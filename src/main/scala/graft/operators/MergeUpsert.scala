@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's upsert pipeline re-expressed as a shuffle-conscious
+  * DataFrame program.
+  *
+  * Reference semantics (openverse-catalog `catalog/dags/common/loader/sql.py`):
+  *  - sql.py:214-219  — required-column filtering (DELETE rows with any
+  *    required field NULL), counted per column;
+  *  - sql.py:220-237  — intra-batch dedup on the logical key
+  *    `(provider, md5(foreign_identifier))`, arbitrary survivor (ctid);
+  *  - sql.py:319      — `DISTINCT ON (url)` pick-one within the batch;
+  *  - sql.py:322-326  — anti-join dropping staged rows whose url already
+  *    belongs to a *different* (provider, foreign_identifier) in the target;
+  *  - sql.py:264-332  — `INSERT … ON CONFLICT (provider, md5(fid)) DO
+  *    UPDATE` with per-column merge strategies from
+  *    `catalog/dags/common/storage/columns.py:24-99`.
+  *
+  * We make the "arbitrary survivor" deterministic (smallest tiebreaker
+  * wins) so results are reproducible and oracle-comparable.
+  *
+  * Scale design: the merge is a single shuffle on the logical key (a
+  * full outer join); per-column strategies are pure Column expressions so
+  * the whole merge stays inside whole-stage codegen. With a real lakehouse
+  * table format this becomes `MERGE INTO`; the join rewrite below is the
+  * format-agnostic equivalent and what Delta executes under the hood.
+  */
+object MergeUpsert {
+
+  /** Per-column merge strategies (columns.py:24-99). `n` = incoming staged
+    * column, `o` = existing target column.
+    */
+  object Strategy {
+    /** newest_non_null: incoming value wins unless NULL. */
+    def newestNonNull(n: Column, o: Column): Column = coalesce(n, o)
+    /** false on update (e.g. removed_from_source). */
+    def alwaysFalse(n: Column, o: Column): Column = lit(false)
+    /** merge_array / merge_jsonb_arrays: distinct union, old first; NULL
+      * falls back to whichever side exists (columns.py:55-74).
+      */
+    def mergeArray(n: Column, o: Column): Column =
+      coalesce(array_distinct(concat(o, n)), n, o)
+    /** merge_jsonb_objects: key-level union, new keys win
+      * (jsonb_strip_nulls(old) || jsonb_strip_nulls(new), columns.py:47-52)
+      * — for MapType columns.
+      */
+    def mergeMap(n: Column, o: Column): Column = {
+      val strip = (c: Column) => map_filter(c, (_, v) => v.isNotNull)
+      coalesce(map_concat(strip(o), strip(n)), n, o)
+    }
+  }
+
+  /** Drop rows with any required column NULL. Returns the surviving frame;
+    * per-column drop counts are computable in ONE pass via `missingCounts`.
+    */
+  def filterRequired(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Per-required-column missing counts + surviving row count, single
+    * aggregate pass (the reference issues one DELETE per column;
+    * loader/sql.py:214-219 + reporting loader/loader.py:57-67).
+    */
+  def missingCounts(df: DataFrame, required: Seq[String]): DataFrame = {
+    val aggs = required.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"missing_$c")) :+
+      sum(when(required.map(col(_).isNotNull).reduce(_ && _), 1L)
+        .otherwise(0L)).as("surviving")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic one-row-per-key dedup (replaces ctid / unordered
+    * DISTINCT ON): smallest `tiebreak` wins. One shuffle on `keys`.
+    */
+  def dedupeByKey(df: DataFrame, keys: Seq[Column], tiebreak: Column)
+      : DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tiebreak.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Full upsert merge. `strategies` maps column name → merge expression
+    * builder (incoming, existing) => merged. Key columns pass through.
+    * Columns absent from `strategies` default to newest_non_null.
+    */
+  def merge(target: DataFrame, staged: DataFrame, keys: Seq[String],
+      strategies: Map[String, (Column, Column) => Column] = Map.empty)
+      : DataFrame = {
+    // presence markers survive the full outer join where qualified key
+    // references would not (using-join coalesces the key columns).
+    val t = target.withColumn("__in_t", lit(true)).alias("t")
+    val s = staged.withColumn("__in_s", lit(true)).alias("s")
+    val joined = t.join(s, keys, "full_outer")
+    val merged = target.columns.filterNot(keys.contains).map { c =>
+      val strat = strategies.getOrElse(c, Strategy.newestNonNull _)
+      val n = col(s"s.$c")
+      val o = col(s"t.$c")
+      when(col("__in_s").isNull, o)         // target-only row: keep old
+        .when(col("__in_t").isNull, n)      // brand-new row: insert
+        .otherwise(strat(n, o)).as(c)       // matched: per-column strategy
+    }
+    joined.select((keys.map(col) ++ merged): _*)
+  }
+}

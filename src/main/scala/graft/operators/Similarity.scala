@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full corpus; one pass, no shuffle of the corpus, then
+  * a per-query top-k window on the scored pairs.
+  *
+  * Scale path: IVF-style partition pruning — assign every vector to its
+  * nearest centroid (broadcast centroids), then search only the probed
+  * cells. At 100 TB this turns a full-corpus scan into a scan of
+  * nprobe/ncells of the data; cells are also the natural parquet
+  * partition key for the vector table.
+  */
+object Similarity {
+
+  /** Elementwise-deterministic cosine between two array<float/double>
+    * columns: fold in index order with double precision (left-to-right,
+    * reproducible across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dbl = (c: Column) => transform(c, x => x.cast("double"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(dbl(x), dbl(y), _ * _), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Output: (vec_id, rank, neighbor_id) — integer-only so results are
+    * robust to last-bit fp differences between engines.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). `centroids`
+    * must be small (broadcast): (cell_id, centroid array<double>).
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cell_id"))
+  }
+
+  /** IVF top-k: restrict the brute-force search to corpus vectors whose
+    * cell is among the query's `nprobe` closest cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probed = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select("vec_id", "qv", "cell_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(corpusCells, "neighbor_id")
+    val scored = broadcast(probed).join(c, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+}

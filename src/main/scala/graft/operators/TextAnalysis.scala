@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (whole-stage codegen, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately small + deterministic; real pipelines swap
+    * in fastText — the *plumbing* (broadcast dim + explode + argmax) is
+    * the operator.
+    */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "a", "en" -> "is",
+    "en" -> "to", "en" -> "in", "en" -> "that", "en" -> "it", "en" -> "for",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "de" -> "nicht", "de" -> "ein", "de" -> "mit", "de" -> "für", "de" -> "auf",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et", "fr" -> "est",
+    "fr" -> "un", "fr" -> "une", "fr" -> "pour", "fr" -> "dans", "fr" -> "que",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "un",
+    "es" -> "una", "es" -> "para", "es" -> "en", "es" -> "con", "es" -> "del",
+    "it" -> "il", "it" -> "gli", "it" -> "e", "it" -> "è", "it" -> "un",
+    "it" -> "una", "it" -> "per", "it" -> "con", "it" -> "di", "it" -> "che")
+
+  /** Predict a language per document: explode words, broadcast-join the
+    * stopword dim, count hits per language, argmax with deterministic
+    * tie-break (more hits, then lexicographically smallest language;
+    * documents with zero stopword hits get 'und').
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = stopwords.toDF("cand_lang", "word")
+    val hits = docs
+      .select(col(idCol).as("doc"),
+        explode(Dedupe.words(lower(col(textCol)))).as("word"))
+      .join(broadcast(dim), Seq("word"))
+      .groupBy("doc", "cand_lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc"), col("cand_lang").as("pred_lang"))
+    docs.select(col(idCol).as("doc"))
+      .join(best, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Heuristic quality signals per document — all exact integer /
+    * deterministic-double arithmetic:
+    * n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    * punct_ratio (punctuation chars / chars), digit_ratio.
+    */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val toks = Dedupe.words(t)
+    val nChars = length(t)
+    val nToks = size(toks)
+    val stripped = (pat: String) => nChars - length(regexp_replace(t, pat, ""))
+    docs.select(
+      col(idCol).as("doc"),
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      (length(regexp_replace(t, " ", "")).cast("double") / nToks)
+        .as("avg_token_len"),
+      (stripped("[.,!?;:]").cast("double") / nChars).as("punct_ratio"),
+      (stripped("[0-9]").cast("double") / nChars).as("digit_ratio"))
+  }
+
+  /** Canonical content fingerprint: md5 of whitespace-collapsed,
+    * lowercased text (the "document fingerprinting" primitive used for
+    * exact dedup across formatting variants).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.CleanFunctions
+import org.apache.spark.sql.functions._
+
+/** Record-cleaning operator coverage (SURVEY.md §2.2 P-family): string
+  * sanitization, char limits, type coercions, overflow guards, filetype
+  * normalization, tag pipelines, JSON field extraction. Messy inputs are
+  * synthesized deterministically from the clean testdata so the oracle
+  * can reproduce them.
+  *
+  * Coercion parity notes: Python `int(float(x))` truncates toward zero →
+  * Spark `cast(double).cast(long)` truncates, but DuckDB `CAST(d AS
+  * BIGINT)` ROUNDS — the oracle must TRUNC() first.
+  */
+object CleaningQueries extends QueryPack {
+
+  /** P4/P5 — sanitize + truncate (columns.py:145-170). */
+  val q17 = Q("q17_sanitize_strings",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val messy = concat(lit("  \"Title\"\t of:   "), col("text"),
+        lit("   \u0008end  "))
+      val cleaned = CleanFunctions.sanitizeString(messy)
+      d.select(col("doc_id"),
+        CleanFunctions.enforceCharLimit(cleaned, 80, truncate = true)
+          .as("cleaned"),
+        length(cleaned).cast("long").as("clen"))
+    },
+    Some("""
+      WITH m AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          translate('  "Title"' || chr(9) || ' of:   ' || text || '   ' || chr(8) || 'end  ',
+                    '"', ''''),
+          '[\x08]', '', 'g'), '\s+', ' ', 'g')) AS cleaned
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN length(cleaned) > 80 THEN substring(cleaned, 1, 80)
+                  ELSE cleaned END AS cleaned,
+             length(cleaned) AS clen
+      FROM m"""))
+
+  /** P6/P7/P14 — int coercion via double, bool coercion, 32-bit overflow
+    * guard (columns.py:227-289, media.py:327-340).
+    */
+  val q18 = Q("q18_coercions",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val qtyStr = col("l_quantity").cast("string")
+      val boolRaw = when(col("l_returnflag") === "R", lit("true"))
+        .when(col("l_returnflag") === "A", lit("f"))
+        .otherwise(lit("maybe"))
+      val big = col("l_orderkey") * lit(1000000L)
+      li.select(col("l_returnflag"),
+          CleanFunctions.coerceInt(qtyStr).cast("long").as("qty_int"),
+          CleanFunctions.coerceBool(boolRaw).as("flag_bool"),
+          CleanFunctions.overflowGuard(big).as("guarded"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty_int")).as("sum_qty_int"),
+          sum(when(col("flag_bool") === true, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("flag_bool").isNull, 1L).otherwise(0L)).as("n_null_bool"),
+          sum(when(col("guarded").isNull, 1L).otherwise(0L)).as("n_overflow"))
+    },
+    Some("""
+      WITH c AS (SELECT l_returnflag,
+          CAST(TRUNC(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS BIGINT) AS qty_int,
+          CASE WHEN l_returnflag = 'R' THEN TRUE
+               WHEN l_returnflag = 'A' THEN FALSE
+               ELSE NULL END AS flag_bool,
+          CASE WHEN l_orderkey * 1000000 >= 2147483647 THEN NULL
+               ELSE l_orderkey * 1000000 END AS guarded
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(qty_int) AS BIGINT) AS sum_qty_int,
+             CAST(SUM(CASE WHEN flag_bool = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN flag_bool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bool,
+             CAST(SUM(CASE WHEN guarded IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+      FROM c GROUP BY l_returnflag"""))
+
+  /** P13 — filetype extraction from URL + whitelist normalization
+    * (media.py:313-325): jpeg→jpg, tif→tiff, unknown→null.
+    */
+  val q19 = Q("q19_filetype",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val ext = when(col("doc_id") % 6 === 0, "JPEG")
+        .when(col("doc_id") % 6 === 1, "png")
+        .when(col("doc_id") % 6 === 2, "TIF")
+        .when(col("doc_id") % 6 === 3, "gif")
+        .when(col("doc_id") % 6 === 4, "webp").otherwise("xyz")
+      val url = concat(lit("https://img.example/f"),
+        col("doc_id").cast("string"), lit("."), ext)
+      d.select(col("doc_id"), url.as("url"),
+        CleanFunctions.filetypeFromUrl(url,
+          Seq("jpg", "png", "tiff", "gif", "webp")).as("filetype"))
+    },
+    Some("""
+      WITH u AS (SELECT doc_id,
+          'https://img.example/f' || doc_id || '.' ||
+            CASE doc_id % 6 WHEN 0 THEN 'JPEG' WHEN 1 THEN 'png'
+                 WHEN 2 THEN 'TIF' WHEN 3 THEN 'gif'
+                 WHEN 4 THEN 'webp' ELSE 'xyz' END AS url
+        FROM documents),
+      e AS (SELECT doc_id, url,
+          CASE lower(regexp_extract(url, '\.([a-zA-Z0-9]+)$', 1))
+               WHEN 'jpeg' THEN 'jpg' WHEN 'tif' THEN 'tiff'
+               ELSE lower(regexp_extract(url, '\.([a-zA-Z0-9]+)$', 1)) END AS norm
+        FROM u)
+      SELECT doc_id, url,
+             CASE WHEN norm IN ('jpg','png','tiff','gif','webp') THEN norm
+                  ELSE NULL END AS filetype
+      FROM e"""))
+
+  /** P10/A7/T2 — tag pipeline: blacklist filter, dedupe, sort, cap at 20,
+    * join to display string (media.py:252-311 + taxa.sql:228-247).
+    */
+  val q20 = Q("q20_tag_pipeline",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val blacklist = Seq("the", "a", "of", "value")
+      val tags = slice(array_sort(array_distinct(
+        filter(split(col("text"), " "),
+          t => !t.isin(blacklist: _*)))), 1, 20)
+      d.select(col("doc_id"),
+        array_join(tags, ", ").as("tags_str"),
+        size(tags).cast("long").as("n_tags"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+          list_sort(list_distinct(list_filter(string_split(text, ' '),
+            x -> x NOT IN ('the','a','of','value'))))[1:20] AS tags
+        FROM documents)
+      SELECT doc_id, array_to_string(tags, ', ') AS tags_str,
+             CAST(len(tags) AS BIGINT) AS n_tags
+      FROM t"""))
+
+  /** P24 — JSON field extract + cast, aggregated per group (the
+    * meta_data->>metric core of popularity, popularity/sql.py:219-222).
+    */
+  val q21 = Q("q21_json_extract",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      e.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      FROM events GROUP BY event_type"""))
+
+  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21)
+}

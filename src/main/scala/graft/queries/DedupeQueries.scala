@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{Dedupe, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication coverage: exact content-hash dedup,
+  * canonical fingerprinting, MinHash+LSH banding, exact n-gram Jaccard,
+  * and 64-bit SimHash — all md5-based so the DuckDB oracle computes
+  * identical values.
+  */
+object DedupeQueries extends QueryPack {
+
+  /** Exact dedup groups by content hash. */
+  val q22 = Q("q22_exact_dedup",
+    (s, dir) => Dedupe.exactGroups(
+      Tables(s, dir, "documents"), "doc_id", "text"),
+    Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+             COUNT(*) AS copies
+      FROM documents GROUP BY md5(text)"""))
+
+  /** Canonical fingerprint (whitespace-collapsed, lowercased md5). */
+  val q23 = Q("q23_fingerprint",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some("""
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents"""))
+
+  /** MinHash (16 hashes over 3-word shingles) + LSH banding (4 bands × 4
+    * rows): candidate pairs where at least one band fully agrees, with the
+    * estimated Jaccard (matching hashes / 16).
+    */
+  val q24 = Q("q24_minhash_lsh",
+    (s, dir) => {
+      val sig = Dedupe.minhashSignature(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 16)
+      Dedupe.minhashCandidates(sig, numHashes = 16, rowsPerBand = 4)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+             FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
+             WHERE i <= len(ws) - 3),
+      sig AS (SELECT doc, i, MIN(md5(i || ':' || shingle)) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+              GROUP BY doc, i),
+      matches AS (SELECT a.doc AS doc_a, b.doc AS doc_b, a.i
+                  FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh
+                   AND a.doc < b.doc),
+      agree AS (SELECT doc_a, doc_b, COUNT(*) AS n_agree
+                FROM matches GROUP BY doc_a, doc_b),
+      bands AS (SELECT DISTINCT doc_a, doc_b FROM
+                 (SELECT doc_a, doc_b, i // 4 AS band, COUNT(*) AS c
+                  FROM matches GROUP BY doc_a, doc_b, i // 4)
+                WHERE c = 4)
+      SELECT doc_a, doc_b,
+             CAST(n_agree AS BIGINT) / CAST(16 AS DOUBLE) AS est_jaccard
+      FROM bands JOIN agree USING (doc_a, doc_b)"""))
+
+  /** Exact n-gram (3-word shingle) Jaccard for pairs sharing a shingle,
+    * thresholded. The shingle equi-join is the blocking step — never an
+    * all-pairs product.
+    */
+  val q25 = Q("q25_ngram_jaccard",
+    (s, dir) => Dedupe.ngramJaccard(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+             FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
+             WHERE i <= len(ws) - 3),
+      sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+      inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                 AND a.doc < b.doc
+                GROUP BY a.doc, b.doc)
+      SELECT doc_a, doc_b,
+             CAST(i AS BIGINT) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(i AS BIGINT) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= CAST(0.5 AS DOUBLE)"""))
+
+  /** 64-bit SimHash as a 16-hex-char string per document. */
+  val q26 = Q("q26_simhash",
+    (s, dir) => Dedupe.simhash(Tables(s, dir, "documents"), "doc_id", "text"),
+    Some("""
+      WITH wd AS (SELECT DISTINCT doc_id AS doc,
+                    unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+      h AS (SELECT doc, md5(word) AS h FROM wd),
+      bits AS (SELECT doc, j,
+                 CASE WHEN SUM(2 * ((( strpos('0123456789abcdef',
+                        substr(h, (j // 4) + 1, 1)) - 1) >> (3 - (j % 4))) & 1) - 1) > 0
+                      THEN 1 ELSE 0 END AS bit
+               FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+               GROUP BY doc, j),
+      nib AS (SELECT doc, j // 4 AS nib_idx,
+                SUM(bit << (3 - (j % 4))) AS nv
+              FROM bits GROUP BY doc, j // 4),
+      hx AS (SELECT doc, nib_idx,
+               substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1) AS ch
+             FROM nib)
+      SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
+      FROM hx GROUP BY doc"""))
+
+  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26)
+}

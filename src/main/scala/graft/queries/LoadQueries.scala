@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.MergeUpsert
+import org.apache.spark.sql.functions._
+
+/** The load/upsert pipeline (SURVEY.md §2.3 J6–J9 + A10): per-column
+  * merge strategies, required-field filtering, key dedup, url-conflict
+  * handling — the semantic heart of the reference's loader
+  * (catalog/dags/common/loader/sql.py:193-332).
+  *
+  * Staged batches are synthesized deterministically from the testdata
+  * tables (mod-arithmetic mutations) so the DuckDB oracle reproduces them
+  * exactly.
+  */
+object LoadQueries extends QueryPack {
+
+  /** J6 — the upsert merge with newest_non_null per-column strategy,
+    * rewritten as ONE full-outer shuffle join on the logical key (what
+    * Delta MERGE executes); staged rows update matching targets, new keys
+    * insert, unmatched targets persist.
+    */
+  val q13 = Q("q13_merge_upsert",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val staged = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        col("o_orderdate"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      MergeUpsert.merge(target, staged, Seq("o_orderkey"))
+    },
+    Some("""
+      WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      staged AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+             FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+             COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+             COALESCE(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+             COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+      FROM target t FULL JOIN staged s ON t.o_orderkey = s.o_orderkey"""))
+
+  /** J6 array strategy — merge_array/merge_jsonb_arrays: distinct union
+    * with null fallbacks (columns.py:55-74). Arrays are sorted on both
+    * sides (DuckDB list_distinct does not preserve order).
+    */
+  val q14 = Q("q14_merge_arrays",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val words = array_sort(array_distinct(split(col("text"), " ")))
+      val target = d.select(col("doc_id"), slice(words, 1, 5).as("tags"))
+      val staged = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), slice(words, 4, 5).as("tags"))
+      MergeUpsert.merge(target, staged, Seq("doc_id"),
+        Map("tags" -> ((n, o) =>
+          array_sort(MergeUpsert.Strategy.mergeArray(n, o)))))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
+      target AS (SELECT doc_id, ws[1:5] AS tags FROM w),
+      staged AS (SELECT doc_id, ws[4:8] AS tags FROM w WHERE doc_id % 2 = 0)
+      SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+             CASE WHEN s.doc_id IS NULL THEN t.tags
+                  WHEN t.doc_id IS NULL THEN s.tags
+                  ELSE list_sort(COALESCE(list_distinct(list_concat(t.tags, s.tags)), s.tags, t.tags))
+             END AS tags
+      FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id"""))
+
+  /** P1/J8/J9/A10 — the staged-load cleaning funnel with its metrics:
+    * required-field drops per column, logical-key dedup, url dedup, and
+    * the surviving row count, as ONE single-row result
+    * (loader/sql.py:214-237 + loader/loader.py:57-67).
+    */
+  val q15 = Q("q15_load_metrics",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val staged = d.select(
+        col("doc_id"),
+        col("source").as("provider"),
+        when(col("doc_id") % 53 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("doc"), (col("doc_id") % 100).cast("string")))
+          .as("fid"),
+        when(col("doc_id") % 47 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("https://ex.com/"),
+            (col("doc_id") % 150).cast("string"))).as("url"))
+      val required = staged.filter(
+        col("fid").isNotNull && col("url").isNotNull)
+      val fidDeduped = MergeUpsert.dedupeByKey(required,
+        Seq(col("provider"), md5(col("fid"))), col("doc_id"))
+      val urlDeduped = MergeUpsert.dedupeByKey(fidDeduped,
+        Seq(col("url")), col("doc_id"))
+      val total = staged.agg(count(lit(1)).as("n_staged"),
+        sum(when(col("fid").isNull, 1L).otherwise(0L)).as("missing_fid"),
+        sum(when(col("url").isNull, 1L).otherwise(0L)).as("missing_url"))
+      val nReq = required.agg(count(lit(1)).as("n_required"))
+      val nFid = fidDeduped.agg(count(lit(1)).as("n_after_fid_dedup"))
+      val nUrl = urlDeduped.agg(count(lit(1)).as("n_final"))
+      total.crossJoin(nReq).crossJoin(nFid).crossJoin(nUrl)
+    },
+    Some("""
+      WITH staged AS (
+        SELECT doc_id, source AS provider,
+          CASE WHEN doc_id % 53 = 0 THEN NULL ELSE 'doc' || (doc_id % 100) END AS fid,
+          CASE WHEN doc_id % 47 = 0 THEN NULL ELSE 'https://ex.com/' || (doc_id % 150) END AS url
+        FROM documents),
+      required AS (SELECT * FROM staged WHERE fid IS NOT NULL AND url IS NOT NULL),
+      fidded AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY provider, md5(fid) ORDER BY doc_id) AS rn FROM required) WHERE rn = 1),
+      urled AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn2 FROM fidded) WHERE rn2 = 1)
+      SELECT (SELECT COUNT(*) FROM staged) AS n_staged,
+             (SELECT COUNT(*) FROM staged WHERE fid IS NULL) AS missing_fid,
+             (SELECT COUNT(*) FROM staged WHERE url IS NULL) AS missing_url,
+             (SELECT COUNT(*) FROM required) AS n_required,
+             (SELECT COUNT(*) FROM fidded) AS n_after_fid_dedup,
+             (SELECT COUNT(*) FROM urled) AS n_final"""))
+
+  /** J7 — url-conflict anti-join: staged rows whose url already belongs
+    * to a DIFFERENT logical key in the target are dropped
+    * (loader/sql.py:322-326). Survivors listed per row.
+    */
+  val q16 = Q("q16_url_conflict",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val target = d.filter(col("doc_id") % 10 === 0).select(
+        concat(lit("k"), col("doc_id").cast("string")).as("fid"),
+        concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
+          .as("url"))
+      val staged = d.filter(col("doc_id") % 10 === 1).select(
+        col("doc_id"),
+        concat(lit("k"), col("doc_id").cast("string")).as("fid"),
+        concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
+          .as("url"))
+      staged.join(target.select(col("url"), col("fid").as("t_fid")),
+          Seq("url"), "left_anti")
+        .select("doc_id", "fid", "url")
+    },
+    Some("""
+      WITH target AS (SELECT 'k' || doc_id AS fid,
+               'https://ex.com/' || (doc_id % 149) AS url
+             FROM documents WHERE doc_id % 10 = 0),
+      staged AS (SELECT doc_id, 'k' || doc_id AS fid,
+               'https://ex.com/' || (doc_id % 149) AS url
+             FROM documents WHERE doc_id % 10 = 1)
+      SELECT doc_id, fid, url FROM staged s
+      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.url = s.url)"""))
+
+  override def all: Seq[Q] = Seq(q13, q14, q15, q16)
+}

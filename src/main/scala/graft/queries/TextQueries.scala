@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis coverage: stopword language ID, quality signals, token
+  * counting. The stopword dim VALUES in the oracle is generated from the
+  * same Scala list the Spark side broadcasts — single source of truth.
+  */
+object TextQueries extends QueryPack {
+
+  private val dimValues = TextAnalysis.stopwords
+    .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  /** Language ID: explode → broadcast stopword join → argmax with
+    * deterministic tie-break.
+    */
+  val q27 = Q("q27_language_id",
+    (s, dir) => TextAnalysis.languageId(
+      Tables(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""
+      WITH dim(cand_lang, word) AS (VALUES $dimValues),
+      w AS (SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents),
+      hits AS (SELECT doc, cand_lang, COUNT(*) AS hits
+               FROM w JOIN dim USING (word) GROUP BY doc, cand_lang),
+      best AS (SELECT doc, cand_lang AS pred_lang FROM
+                (SELECT doc, cand_lang, row_number() OVER
+                   (PARTITION BY doc ORDER BY hits DESC, cand_lang ASC) AS rn
+                 FROM hits)
+               WHERE rn = 1)
+      SELECT d.doc_id AS doc, COALESCE(b.pred_lang, 'und') AS pred_lang
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc"""))
+
+  /** Quality signals: lengths, token counts, ratios — exact integer and
+    * deterministic double arithmetic only.
+    */
+  val q28 = Q("q28_quality_signals",
+    (s, dir) => TextAnalysis.qualitySignals(
+      Tables(s, dir, "documents"), "doc_id", "text"),
+    Some("""
+      SELECT doc_id AS doc,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / length(text) AS digit_ratio
+      FROM documents"""))
+
+  /** Token/vocabulary stats per source (corpus-level rollup). */
+  val q29 = Q("q29_token_stats",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val perDoc = d.select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        explode(toks).as("word"))
+      perDoc.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("word")).as("vocab"))
+    },
+    Some("""
+      WITH w AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS total_tokens, COUNT(DISTINCT word) AS vocab
+      FROM w GROUP BY source"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q29)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the incremental semantics (SURVEY.md
+  * §2.8): the reference's dated ingestion windows + reingestion become
+  * event-time tumbling windows with a watermark; the idempotent-merge
+  * late-data policy maps to watermark-bounded state.
+  *
+  * The batch queries in EventQueries are the oracle-checkable
+  * equivalents; this module proves the same plans run under
+  * `readStream` (file source, AvailableNow-style processing).
+  */
+object EventStreams {
+
+  /** Schema of the events table as the streaming source sees it
+    * (ts arrives as raw nanos — same normalization as Tables.apply).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (parquet files appearing over
+    * time). On a cluster this is the S3 landing zone; locally the test
+    * points it at the testdata file.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour event-time aggregation with a 1-day watermark
+    * (reingestion horizon analog: late rows beyond the horizon are
+    * dropped instead of re-merged).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Run a streaming query to completion over the currently-available
+    * input (Trigger.AvailableNow analog via processAllAvailable) and
+    * return the result table.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String)
+      : DataFrame = {
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.CleanFunctions
+import graft.operators._
+
+/** Unit tests for the operator library on tiny inline data — mirrors the
+  * reference's per-column tests (test_columns.py / test_media.py shapes).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentileDisc matches Postgres discrete semantics") {
+    val df = (1 to 10).map(i => ("p", i.toDouble)).toDF("k", "v")
+    val got = Popularity.percentileDisc(df, Seq("k"), "v", 0.85)
+      .select("pct").as[Double].head()
+    // smallest value with cume_dist >= 0.85 over 1..10 is 9
+    assert(got == 9.0)
+    val median = Popularity.percentileDisc(
+      Seq(("p", 1.0), ("p", 2.0), ("p", 3.0), ("p", 4.0)).toDF("k", "v"),
+      Seq("k"), "v", 0.5).select("pct").as[Double].head()
+    assert(median == 2.0)
+  }
+
+  test("popularity constant clamps zero percentile to 1") {
+    val df = Seq(("a", 0.0), ("a", 0.0), ("b", 10.0)).toDF("k", "v")
+    val rows = Popularity.constants(df, Seq("k"), "v", 0.8)
+      .select("k", "constant").as[(String, Double)].collect().toMap
+    val f = (1.0 - 0.8) / 0.8
+    assert(math.abs(rows("a") - f * 1.0) < 1e-12)
+    assert(math.abs(rows("b") - f * 10.0) < 1e-12)
+  }
+
+  test("merge applies newest_non_null / insert / keep semantics") {
+    val target = Seq((1, "old1", 10), (2, "old2", 20)).toDF("k", "s", "n")
+    val staged = Seq((2, null.asInstanceOf[String], 99), (3, "new3", 30))
+      .toDF("k", "s", "n")
+    val got = MergeUpsert.merge(target, staged, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(got == Seq(
+      Row(1, "old1", 10),   // unmatched target kept
+      Row(2, "old2", 99),   // null staged s falls back to old, n updates
+      Row(3, "new3", 30)))  // new key inserted
+  }
+
+  test("merge array strategy unions distinct with null fallback") {
+    val target = Seq((1, Seq("a", "b")), (2, null.asInstanceOf[Seq[String]]))
+      .toDF("k", "tags")
+    val staged = Seq((1, Seq("b", "c")), (2, Seq("z"))).toDF("k", "tags")
+    val got = MergeUpsert.merge(target, staged, Seq("k"),
+        Map("tags" -> (MergeUpsert.Strategy.mergeArray _)))
+      .orderBy("k").select("tags").as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b", "c"), Seq("z")))
+  }
+
+  test("dedupeByKey keeps smallest tiebreaker") {
+    val df = Seq(("p", "x", 5), ("p", "x", 3), ("p", "y", 1))
+      .toDF("prov", "fid", "id")
+    val got = MergeUpsert.dedupeByKey(df, Seq(col("prov"), col("fid")),
+      col("id")).orderBy("id").select("id").as[Int].collect().toSeq
+    assert(got == Seq(1, 3))
+  }
+
+  test("clean functions: sanitize, truncate, coercions, overflow") {
+    val df = Seq(("  a\t\tb  \"q\"  ", "17.9", "T", 3000000000L))
+      .toDF("s", "num", "b", "big")
+    val got = df.select(
+      CleanFunctions.sanitizeString(col("s")).as("s"),
+      CleanFunctions.enforceCharLimit(lit("abcdef"), 3, truncate = true).as("t"),
+      CleanFunctions.enforceCharLimit(lit("abcdef"), 3, truncate = false).as("n"),
+      CleanFunctions.coerceInt(col("num")).as("i"),
+      CleanFunctions.coerceBool(col("b")).as("bb"),
+      CleanFunctions.overflowGuard(col("big")).as("g")).head()
+    assert(got.getString(0) == "a b 'q'")
+    assert(got.getString(1) == "abc")
+    assert(got.isNullAt(2))
+    assert(got.getInt(3) == 17)       // int(float('17.9')) truncates
+    assert(got.getBoolean(4))
+    assert(got.isNullAt(5))           // >= 2^31-1 → null
+  }
+
+  test("filetype normalization: jpeg→jpg, tif→tiff, unknown→null") {
+    val wl = Seq("jpg", "png", "tiff")
+    val got = Seq("x.JPEG", "y.tif", "z.exe").toDF("u")
+      .select(CleanFunctions.filetypeFromUrl(col("u"), wl).as("f"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("jpg"), Some("tiff"), None))
+  }
+
+  test("shingles produce k-grams and empty below k") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val got = df.select(col("id"), Dedupe.shingles(col("text"), 3).as("sh"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == Seq((1L, Seq("a b c", "b c d")), (2L, Seq.empty)))
+  }
+
+  test("minhash LSH finds identical docs with est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // exact dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val sig = Dedupe.minhashSignature(docs, "doc_id", "text", 3, 16)
+    val got = Dedupe.minhashCandidates(sig, 16, 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ngram jaccard is exact") {
+    val docs = Seq(
+      (1L, "a b c d e"),                       // shingles: abc bcd cde
+      (2L, "a b c d x")).toDF("doc_id", "text") // shingles: abc bcd cdx
+    val got = Dedupe.ngramJaccard(docs, "doc_id", "text", 3, 0.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2.0 / 4.0)))    // |∩|=2, |∪|=4
+  }
+
+  test("simhash: identical docs share hash, format is 16 hex chars") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val got = Dedupe.simhash(docs, "doc_id", "text")
+      .orderBy("doc").as[(Long, String)].collect().toSeq
+    assert(got.forall(_._2.matches("[0-9a-f]{16}")))
+    assert(got(0)._2 == got(1)._2)
+    assert(got(0)._2 != got(2)._2)
+  }
+
+  test("brute-force ANN returns k ranked neighbors, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 3L), (0L, 2, 1L)))
+  }
+
+  test("ivf ANN with identity centroids matches brute force on cells") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val got = Similarity.ivfTopK(vecs.filter(col("vec_id") === 0), vecs,
+        centroids, "vec_id", "embedding", k = 1, nprobe = 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 1L)))  // cell 0 only → neighbor 1
+  }
+
+  test("languageId picks majority stopword language deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs, "doc_id", "text")
+      .orderBy("doc").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "en"), (2L, "de"), (3L, "und")))
+  }
+
+  test("fingerprint collapses whitespace and case") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("x")).as("fx"),
+      TextAnalysis.fingerprint(col("y")).as("fy")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+}
