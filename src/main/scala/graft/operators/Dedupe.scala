@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data
@@ -45,60 +46,103 @@ object Dedupe {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** Distinct (doc, shingle) rows via posexplode + window `lead` —
+    * deliberately NOT the array-lambda form: higher-order functions are
+    * interpreted (no codegen) and re-evaluate the `split` per element,
+    * which is quadratic per document. One narrow shuffle on doc instead.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("w0"), j).over(w))
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
+      .select(col("doc"),
+        concat_ws(" ", (col("w0") +: leads): _*).as("shingle"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select("doc", "shingle")
+      .distinct()
+  }
+
   /** (doc, minhash_index, minhash) rows: signature of `numHashes` md5-based
     * min-hashes over k-word shingles. The i-th hash of shingle s is
     * md5(i || ':' || s) — deterministic and portable.
+    *
+    * All hashes reduce in ONE aggregation pass over the shingle rows
+    * (numHashes min-columns, then a stack unpivot): the shuffle carries
+    * |docs| × numHashes values, never |shingles| × numHashes rows.
     */
+  /** One row per doc: (doc, sig array<string> of `numHashes` minhashes,
+    * index order). The whole signature reduces in ONE aggregation pass —
+    * the shuffle carries |docs| rows with a 16-element array, never
+    * |shingles| × numHashes rows.
+    */
+  def minhashWide(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Long form (doc, i, mh) of the wide signature (unpivot). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), shingleK)).as("shingle"))
-      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col("doc"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))))
-        .as("mh"))
+    minhashWide(docs, idCol, textCol, shingleK, numHashes)
+      .select(col("doc"), posexplode(col("sig")).as(Seq("i", "mh")))
 
-  /** LSH candidate pairs + estimated Jaccard.
+  /** LSH candidate pairs + estimated Jaccard, from wide signatures.
     *
     * Bands of `rowsPerBand` consecutive hash indices; a pair is a
-    * candidate iff ALL hashes agree within at least one band. The band
-    * join is an equi-join on (i, mh) followed by a per-(pair, band)
-    * count — at scale only colliding minhashes meet, so the shuffle is
-    * proportional to true collisions, not |docs|².
+    * candidate iff ALL hashes agree within at least one band — i.e. the
+    * joined band signatures collide. Joining on the whole band signature
+    * (not single minhashes) keeps join buckets tiny: single-hash buckets
+    * degenerate on low-entropy corpora where many documents share the
+    * globally smallest shingle hash. Each side carries its full
+    * signature array, so per-pair agreement is an in-row zip_with —
+    * no re-join of the signature table. Work stays proportional to true
+    * collisions, never |docs|².
     * Output: doc_a < doc_b, est_jaccard = matching_hashes / numHashes.
     */
-  def minhashCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int)
-      : DataFrame = {
-    val a = sig.select(col("doc").as("doc_a"), col("i"), col("mh"))
-    val b = sig.select(col("doc").as("doc_b"), col("i"), col("mh"))
-    val matches = a.join(b, Seq("i", "mh"))
+  def minhashCandidates(sigWide: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = sigWide
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+        "|"))
+    val a = bands.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("band_sig"))
+    val b = bands.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-    val bandHits = matches
-      .groupBy(col("doc_a"), col("doc_b"),
-        (col("i") / lit(rowsPerBand)).cast("int").as("band"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") === lit(rowsPerBand))
-      .select("doc_a", "doc_b").distinct()
-    val agree = matches.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_agree"))
-    bandHits.join(agree, Seq("doc_a", "doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .withColumn("n_agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          x => x)))
       .withColumn("est_jaccard", col("n_agree") / lit(numHashes.toDouble))
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs within a blocking
-    * key (here: pairs sharing at least one shingle — the join IS the
-    * block). Output: doc_a < doc_b, jaccard.
+  /** Exact n-gram Jaccard for a given set of candidate pairs
+    * (doc_a, doc_b) — the LSH-prefilter + exact-verify scale path:
+    * shingle sets are joined only for candidates.
     */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), shingleK)).as("shingle"))
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleK)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val inter = candidates.select("doc_a", "doc_b")
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
@@ -108,6 +152,20 @@ object Dedupe {
           .cast("double"))
       .filter(col("jaccard") >= lit(minJaccard))
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard for all pairs sharing at least one shingle.
+    * Only safe on small blocks (quadratic in block size); at corpus
+    * scale use minhashCandidates + verifyJaccard.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleK)
+    val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(pairs, docs, idCol, textCol, shingleK, minJaccard)
   }
 
   /** 64-bit SimHash over distinct words, emitted as a 16-char hex string

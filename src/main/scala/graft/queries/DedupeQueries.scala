@@ -35,7 +35,7 @@ object DedupeQueries extends QueryPack {
     */
   val q24 = Q("q24_minhash_lsh",
     (s, dir) => {
-      val sig = Dedupe.minhashSignature(
+      val sig = Dedupe.minhashWide(
         Tables(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 16)
       Dedupe.minhashCandidates(sig, numHashes = 16, rowsPerBand = 4)
@@ -49,44 +49,59 @@ object DedupeQueries extends QueryPack {
       sig AS (SELECT doc, i, MIN(md5(i || ':' || shingle)) AS mh
               FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) ii
               GROUP BY doc, i),
-      matches AS (SELECT a.doc AS doc_a, b.doc AS doc_b, a.i
-                  FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh
-                   AND a.doc < b.doc),
-      agree AS (SELECT doc_a, doc_b, COUNT(*) AS n_agree
-                FROM matches GROUP BY doc_a, doc_b),
-      bands AS (SELECT DISTINCT doc_a, doc_b FROM
-                 (SELECT doc_a, doc_b, i // 4 AS band, COUNT(*) AS c
-                  FROM matches GROUP BY doc_a, doc_b, i // 4)
-                WHERE c = 4)
-      SELECT doc_a, doc_b,
-             CAST(n_agree AS BIGINT) / CAST(16 AS DOUBLE) AS est_jaccard
-      FROM bands JOIN agree USING (doc_a, doc_b)"""))
+      bs AS (SELECT doc, i // 4 AS band,
+               string_agg(mh, '|' ORDER BY i) AS band_sig
+             FROM sig GROUP BY doc, i // 4),
+      cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+               FROM bs a JOIN bs b ON a.band = b.band
+                AND a.band_sig = b.band_sig AND a.doc < b.doc)
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS BIGINT) / CAST(16 AS DOUBLE) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.doc_a
+      JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i AND sb.mh = sa.mh
+      GROUP BY c.doc_a, c.doc_b"""))
 
-  /** Exact n-gram (3-word shingle) Jaccard for pairs sharing a shingle,
-    * thresholded. The shingle equi-join is the blocking step — never an
-    * all-pairs product.
+  /** LSH-prefilter + exact verify: exact 3-gram Jaccard computed only
+    * for the MinHash band candidates, thresholded — the 100 TB-safe
+    * near-dup pipeline (candidate generation is sub-quadratic, exact
+    * verification touches only candidate pairs).
     */
   val q25 = Q("q25_ngram_jaccard",
-    (s, dir) => Dedupe.ngramJaccard(
-      Tables(s, dir, "documents"), "doc_id", "text",
-      shingleK = 3, minJaccard = 0.5),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      val cand = Dedupe.minhashCandidates(sig, 16, 4)
+      Dedupe.verifyJaccard(cand, docs, "doc_id", "text",
+        shingleK = 3, minJaccard = 0.5)
+    },
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
              WHERE i <= len(ws) - 3),
+      sig AS (SELECT doc, i, MIN(md5(i || ':' || shingle)) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+              GROUP BY doc, i),
+      bs AS (SELECT doc, i // 4 AS band,
+               string_agg(mh, '|' ORDER BY i) AS band_sig
+             FROM sig GROUP BY doc, i // 4),
+      cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+               FROM bs a JOIN bs b ON a.band = b.band
+                AND a.band_sig = b.band_sig AND a.doc < b.doc),
       sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-      inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-                FROM sh a JOIN sh b ON a.shingle = b.shingle
-                 AND a.doc < b.doc
-                GROUP BY a.doc, b.doc)
+      inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc = c.doc_a
+                JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+                GROUP BY c.doc_a, c.doc_b)
       SELECT doc_a, doc_b,
-             CAST(i AS BIGINT) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+             CAST(n_inter AS BIGINT) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc = doc_a
       JOIN sizes sb ON sb.doc = doc_b
-      WHERE CAST(i AS BIGINT) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= CAST(0.5 AS DOUBLE)"""))
+      WHERE CAST(n_inter AS BIGINT) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= CAST(0.5 AS DOUBLE)"""))
 
   /** 64-bit SimHash as a 16-hex-char string per document. */
   val q26 = Q("q26_simhash",

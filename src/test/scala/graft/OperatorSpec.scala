@@ -100,7 +100,7 @@ class OperatorSpec extends SparkSpec {
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // exact dup of 1
       (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
-    val sig = Dedupe.minhashSignature(docs, "doc_id", "text", 3, 16)
+    val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
     val got = Dedupe.minhashCandidates(sig, 16, 4)
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 1.0)))
