@@ -14,7 +14,7 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     RelationalQueries, PopularityQueries, LoadQueries,
     CleaningQueries, DedupeQueries, TextQueries,
-    SimilarityQueries, EventQueries)
+    SimilarityQueries, EventQueries, EnrichmentQueries)
 
   private val allQueries: Seq[Q] = packs.flatMap(_.all)
 

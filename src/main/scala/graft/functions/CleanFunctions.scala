@@ -85,4 +85,17 @@ object CleanFunctions {
   def cleanTitle(c: Column): Column =
     regexp_replace(regexp_replace(c, "^File:", ""),
       "\\.(jpg|jpeg|png|gif|tiff?|svg|webp)$", "")
+
+  /** P17 — HTML → text extraction (flickr.py:301-309 lxml xpath
+    * //text()): strip tags, decode the common entities, collapse
+    * whitespace. A pure regex expression (codegen'd) instead of an HTML
+    * parser UDF — the reference only ever feeds it description snippets.
+    */
+  def htmlToText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\"")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.{CleanFunctions, LicenseMap, PercentileDiscAgg}
+import graft.operators.MergeUpsert
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's enrichment-pipeline shapes (SURVEY.md §3.2 iNat taxa
+  * + §2.2/2.8 leftovers): length-capped ordered title assembly with
+  * overflow tags (W1/A5/A6/T3), ancestry explode + dimension join (J5/U1),
+  * timestamp-resolved reingestion merge (ST3), license-map resolution
+  * (P2), HTML stripping (P17), jsonb-object merge (J6 map strategy),
+  * multimodal metadata extraction, and the custom exact percentile_disc
+  * Catalyst aggregate.
+  */
+object EnrichmentQueries extends QueryPack {
+
+  /** W1/A5/A6/T3 — the taxa.sql:125-150 shape: per part, assemble a
+    * title from supplier names ordered by shipment count (desc) while
+    * the running length (frame window) stays ≤ 100 chars; overflow names
+    * become tags, capped at 20.
+    */
+  val q34 = Q("q34_title_cap",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val pairs = li.groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n_ship"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("n_ship").desc, col("s_name").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = sum(length(col("s_name")) + 2).over(w)
+      val flagged = pairs.select(col("l_partkey"), col("s_name"),
+        col("n_ship"), cum.as("cum"))
+      // ordered conditional aggregation: sort collected structs by
+      // (-n_ship, s_name), then filter by the cap flag
+      val sorted = array_sort(collect_list(
+        struct((-col("n_ship")).as("ord"), col("s_name").as("name"),
+          (col("cum") <= 100).as("in_title"))))
+      flagged.groupBy("l_partkey").agg(
+        array_join(transform(filter(sorted, x => x.getField("in_title")),
+          x => x.getField("name")), ", ").as("title"),
+        array_join(slice(transform(
+          filter(sorted, x => !x.getField("in_title")),
+          x => x.getField("name")), 1, 20), ", ").as("overflow_tags"))
+    },
+    Some("""
+      WITH pairs AS (SELECT l_partkey, l_suppkey, COUNT(*) AS n_ship
+                     FROM lineitem GROUP BY l_partkey, l_suppkey),
+      j AS (SELECT p.l_partkey, s.s_name, p.n_ship,
+              SUM(length(s.s_name) + 2) OVER (PARTITION BY p.l_partkey
+                ORDER BY p.n_ship DESC, s.s_name ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM pairs p JOIN supplier s ON s.s_suppkey = p.l_suppkey)
+      SELECT l_partkey,
+        array_to_string(list_filter(
+          list(CASE WHEN cum <= 100 THEN s_name END
+               ORDER BY n_ship DESC, s_name ASC),
+          x -> x IS NOT NULL), ', ') AS title,
+        array_to_string(list_filter(
+          list(CASE WHEN cum > 100 THEN s_name END
+               ORDER BY n_ship DESC, s_name ASC),
+          x -> x IS NOT NULL)[1:20], ', ') AS overflow_tags
+      FROM j GROUP BY l_partkey"""))
+
+  /** J5/U1 — ancestry expansion: explode a slash-separated lineage path
+    * and equi-join a union-all dimension (the taxa.sql:249-251 rewrite:
+    * explode + hash join instead of nested-loop ANY).
+    */
+  val q35 = Q("q35_ancestry_expand",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region")
+      val dim = nat.select(concat(lit("n"), col("n_nationkey").cast("string"))
+          .as("code"), col("n_name").as("name"))
+        .unionAll(reg.select(concat(lit("r"), col("r_regionkey").cast("string"))
+          .as("code"), col("r_name").as("name")))
+      val withPath = cust.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(lit("n"), col("c_nationkey").cast("string"), lit("/r"),
+            col("n_regionkey").cast("string")).as("ancestry"))
+      withPath
+        .select(col("c_custkey"), explode(split(col("ancestry"), "/")).as("code"))
+        .join(broadcast(dim), "code")
+        .groupBy("c_custkey")
+        .agg(array_join(array_sort(collect_list(col("name"))), ", ")
+          .as("lineage"))
+    },
+    Some("""
+      WITH dim AS (SELECT 'n' || n_nationkey AS code, n_name AS name FROM nation
+                   UNION ALL
+                   SELECT 'r' || r_regionkey AS code, r_name AS name FROM region),
+      p AS (SELECT c_custkey,
+              'n' || c_nationkey || '/r' || n_regionkey AS ancestry
+            FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      e AS (SELECT c_custkey, unnest(string_split(ancestry, '/')) AS code FROM p)
+      SELECT c_custkey,
+             array_to_string(list_sort(list(name)), ', ') AS lineage
+      FROM e JOIN dim USING (code) GROUP BY c_custkey"""))
+
+  /** ST3/J6 — reingestion merge where the NEWER timestamp wins per
+    * column (the late-data policy: re-pulled rows overwrite only if
+    * fresher). Two overlapping "runs" synthesized from events.
+    */
+  val q36 = Q("q36_reingest_merge",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val run1 = e.filter(col("event_id") < 6000)
+      val run2 = e.filter(col("event_id") >= 4000)
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      val newestWins: (Column, Column) => Column =
+        (n, o) => when(col("s.ts") >= col("t.ts"), n).otherwise(o)
+      MergeUpsert.merge(run1, run2, Seq("event_id"), Map(
+        "user_id" -> newestWins, "event_type" -> newestWins,
+        "value" -> newestWins, "ts" -> newestWins))
+    },
+    Some("""
+      WITH run1 AS (SELECT event_id, user_id, event_type, value, ts
+                    FROM events WHERE event_id < 6000),
+      run2 AS (SELECT event_id, user_id, event_type, value * 2 AS value,
+                 ts + INTERVAL 1 HOUR AS ts
+               FROM events WHERE event_id >= 4000)
+      SELECT COALESCE(t.event_id, s.event_id) AS event_id,
+        CASE WHEN s.event_id IS NULL THEN t.user_id
+             WHEN t.event_id IS NULL THEN s.user_id
+             WHEN s.ts >= t.ts THEN s.user_id ELSE t.user_id END AS user_id,
+        CASE WHEN s.event_id IS NULL THEN t.event_type
+             WHEN t.event_id IS NULL THEN s.event_type
+             WHEN s.ts >= t.ts THEN s.event_type ELSE t.event_type END AS event_type,
+        CASE WHEN s.event_id IS NULL THEN t.value
+             WHEN t.event_id IS NULL THEN s.value
+             WHEN s.ts >= t.ts THEN s.value ELSE t.value END AS value,
+        CASE WHEN s.event_id IS NULL THEN t.ts
+             WHEN t.event_id IS NULL THEN s.ts
+             WHEN s.ts >= t.ts THEN s.ts ELSE t.ts END AS ts
+      FROM run1 t FULL JOIN run2 s ON t.event_id = s.event_id"""))
+
+  private def nib(h: Column, pos: Int): Column =
+    expr(s"instr('0123456789abcdef', substring(__fp, $pos, 1)) - 1")
+
+  /** Multimodal metadata: payloads as binary columns, deterministic
+    * decode stub (byte length, md5 fingerprint, digest-derived fake
+    * dimensions). The partition-batched Dataset decode in
+    * operators.Multimodal computes the same values (asserted in specs);
+    * this expression form is the oracle-checkable surface.
+    */
+  val q37 = Q("q37_multimodal_meta",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val kind = when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+      val hex4 = (start: Int) =>
+        (0 until 4).map(i => nib(col("__fp"), start + i) *
+          lit(math.pow(16, 3 - i).toInt)).reduce(_ + _)
+      d.select(col("doc_id"), kind.as("kind"), col("text").cast("binary")
+          .as("content"))
+        .withColumn("__fp", md5(col("content")))
+        .select(col("doc_id"), col("kind"),
+          length(col("content")).cast("long").as("n_bytes"),
+          col("__fp").as("fingerprint"),
+          (lit(64) + (hex4(1) % 1920)).cast("long").as("width"),
+          (lit(64) + (hex4(5) % 1080)).cast("long").as("height"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          octet_length(encode(text)) AS n_bytes, md5(text) AS fp
+        FROM documents),
+      n AS (SELECT *,
+          (strpos('0123456789abcdef', substr(fp, 1, 1)) - 1) * 4096 +
+          (strpos('0123456789abcdef', substr(fp, 2, 1)) - 1) * 256 +
+          (strpos('0123456789abcdef', substr(fp, 3, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substr(fp, 4, 1)) - 1) AS h1,
+          (strpos('0123456789abcdef', substr(fp, 5, 1)) - 1) * 4096 +
+          (strpos('0123456789abcdef', substr(fp, 6, 1)) - 1) * 256 +
+          (strpos('0123456789abcdef', substr(fp, 7, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substr(fp, 8, 1)) - 1) AS h2
+        FROM b)
+      SELECT doc_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+             fp AS fingerprint,
+             CAST(64 + (h1 % 1920) AS BIGINT) AS width,
+             CAST(64 + (h2 % 1080) AS BIGINT) AS height
+      FROM n"""))
+
+  /** A1 via the custom Catalyst TypedImperativeAggregate
+    * (`percentile_disc_exact`, functions.PercentileDiscAgg) — the
+    * SQL-function-surface parity path; same Postgres semantics as the
+    * windowed implementation in operators.Popularity.
+    */
+  val q38 = Q("q38_percentile_agg",
+    (s, dir) => {
+      PercentileDiscAgg.register(s)
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(expr("percentile_disc_exact(value, 0.85D)").as("pct"))
+    },
+    Some("""
+      SELECT user_id % 10 AS bucket,
+             percentile_disc(0.85) WITHIN GROUP (ORDER BY value) AS pct
+      FROM events GROUP BY user_id % 10"""))
+
+  private val licenseDimValues = LicenseMap.pathMap
+    .map { case (p, l, v) => s"('$p', '$l', '$v')" }.mkString(", ")
+
+  /** P2 — license URL → canonical (license, version) via the frozen
+    * broadcast path map; unknown URLs resolve to nulls (droppable).
+    */
+  val q39 = Q("q39_license_resolve",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val rawUrl = when(col("doc_id") % 6 === 0,
+          "https://creativecommons.org/licenses/by/4.0/")
+        .when(col("doc_id") % 6 === 1,
+          "http://creativecommons.org/licenses/by-sa/3.0")
+        .when(col("doc_id") % 6 === 2,
+          "https://creativecommons.org/publicdomain/zero/1.0/")
+        .when(col("doc_id") % 6 === 3,
+          "https://creativecommons.org/licenses/by-nc/4.0/")
+        .when(col("doc_id") % 6 === 4, "https://example.com/other")
+        .otherwise("https://creativecommons.org/licenses/unknown/9.9")
+      LicenseMap.resolve(d.select(col("doc_id"), rawUrl.as("raw_url")),
+          "raw_url")
+        .select("doc_id", "raw_url", "license", "license_version")
+    },
+    Some(s"""
+      WITH dim(license_path, license, license_version) AS
+        (VALUES $licenseDimValues),
+      u AS (SELECT doc_id,
+          CASE doc_id % 6
+            WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+            WHEN 1 THEN 'http://creativecommons.org/licenses/by-sa/3.0'
+            WHEN 2 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+            WHEN 3 THEN 'https://creativecommons.org/licenses/by-nc/4.0/'
+            WHEN 4 THEN 'https://example.com/other'
+            ELSE 'https://creativecommons.org/licenses/unknown/9.9'
+          END AS raw_url
+        FROM documents),
+      p AS (SELECT doc_id, raw_url,
+          regexp_replace(regexp_extract(lower(raw_url),
+            'creativecommons\\.org/([a-z/.0-9-]+?)/?$$', 1), '/$$', '') AS license_path
+        FROM u)
+      SELECT doc_id, raw_url, license, license_version
+      FROM p LEFT JOIN dim USING (license_path)"""))
+
+  /** P17 — HTML → text extraction over synthesized description markup. */
+  val q40 = Q("q40_html_strip",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val html = concat(lit("<p class=\"d\">"), substring(col("text"), 1, 40),
+        lit(" &amp; <b>"), col("source"), lit("</b> &lt;tail&gt;</p>"))
+      d.select(col("doc_id"),
+        CleanFunctions.htmlToText(html).as("description"))
+    },
+    Some("""
+      WITH h AS (SELECT doc_id,
+          '<p class="d">' || substring(text, 1, 40) || ' &amp; <b>' ||
+            source || '</b> &lt;tail&gt;</p>' AS html
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            html, '<[^>]*>', ' ', 'g'),
+            '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          '\s+', ' ', 'g')) AS description
+      FROM h"""))
+
+  /** J6 map strategy — jsonb-object merge: key-level union where
+    * non-null incoming keys win and null-valued keys are stripped
+    * (columns.py:47-52). Merged fields projected to columns for
+    * engine-portable comparison.
+    */
+  val q41 = Q("q41_map_merge",
+    (s, dir) => {
+      s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val d = Tables(s, dir, "documents")
+      val target = d.select(col("doc_id"),
+        map(lit("a"), when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("doc_id").cast("string")),
+            lit("b"), col("source")).as("meta"))
+      val staged = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        map(lit("b"), when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("u"), col("doc_id").cast("string"))),
+            lit("c"), col("lang")).as("meta"))
+      val merged = MergeUpsert.merge(target, staged, Seq("doc_id"),
+        Map("meta" -> (MergeUpsert.Strategy.mergeMap _)))
+      merged.select(col("doc_id"),
+        element_at(col("meta"), "a").as("a"),
+        element_at(col("meta"), "b").as("b"),
+        element_at(col("meta"), "c").as("c"))
+    },
+    Some("""
+      WITH target AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(doc_id AS VARCHAR) END AS a,
+          source AS b
+        FROM documents),
+      staged AS (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'u' || doc_id END AS b,
+          lang AS c
+        FROM documents WHERE doc_id % 2 = 0)
+      SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+             t.a AS a,
+             COALESCE(s.b, t.b) AS b,
+             s.c AS c
+      FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id"""))
+
+  override def all: Seq[Q] =
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFunctions, LicenseMap, PercentileDiscAgg}
+import graft.operators.{Multimodal, Popularity}
+import graft.sources.Tsv
+
+/** Specs for the enrichment-round modules: TSV boundary, multimodal
+  * decode parity, custom percentile aggregate, license map, HTML strip.
+  */
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TSV round-trip preserves values and \\N nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv").toString
+    val df = Seq(
+      ("fid1", "https://l/1", "https://u/1", null.asInstanceOf[String],
+        "jpg", 123, "by", "4.0"),
+      ("fid2", "https://l/2", "https://u/2", "https://t/2",
+        null.asInstanceOf[String], 0, "cc0", "1.0"))
+      .toDF("foreign_identifier", "foreign_landing_url", "url",
+        "thumbnail_url", "filetype", "filesize", "license_",
+        "license_version")
+    val full = Tsv.imageV001.fieldNames.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(
+        Tsv.imageV001(c).dataType))
+    }.select(Tsv.imageV001.fieldNames.map(col): _*)
+    Tsv.write(full, s"$dir/out")
+    val back = Tsv.read(spark, s"$dir/out")
+    assert(back.count() == 2)
+    val r = back.orderBy("foreign_identifier").collect()
+    assert(r(0).getAs[String]("thumbnail_url") == null)
+    assert(r(0).getAs[Int]("filesize") == 123)
+    assert(r(1).getAs[String]("filetype") == null)
+    assert(r(1).getAs[String]("license_") == "cc0")
+  }
+
+  test("multimodal mapPartitions decode equals the expression form") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val blobs = Multimodal.asBlobs(
+      docs.select(col("doc_id").as("id"), lit("image").as("kind"),
+        col("text").cast("binary").as("content")),
+      "id", "kind", "content")
+    val decoded = Multimodal.decode(blobs)
+      .select(col("id"), col("n_bytes"), col("fingerprint"),
+        col("width"), col("height"))
+    val viaExpr = graft.queries.EnrichmentQueries.q37.run(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id"), col("n_bytes"), col("fingerprint"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"))
+    assert(decoded.exceptAll(viaExpr).isEmpty &&
+      viaExpr.exceptAll(decoded).isEmpty)
+  }
+
+  test("percentile_disc_exact aggregate equals windowed implementation") {
+    PercentileDiscAgg.register(spark)
+    val e = Tables(spark, sfDir, "events")
+    val agg = e.groupBy(col("event_type"))
+      .agg(expr("percentile_disc_exact(value, 0.85D)").as("pct"))
+    val win = Popularity.percentileDisc(e, Seq("event_type"), "value", 0.85)
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
+  test("license map resolves known CC paths and nulls unknowns") {
+    val df = Seq(
+      (1L, "https://creativecommons.org/licenses/by/4.0/"),
+      (2L, "http://CREATIVECOMMONS.org/publicdomain/zero/1.0"),
+      (3L, "https://example.com/nope")).toDF("id", "raw_url")
+    val got = LicenseMap.resolve(df, "raw_url")
+      .orderBy("id").select("license", "license_version")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(Some("by") -> Some("4.0"),
+      Some("cc0") -> Some("1.0"), None -> None))
+  }
+
+  test("htmlToText strips tags, decodes entities, collapses whitespace") {
+    val got = Seq("<p>Hello &amp; <b>world</b>\n &lt;x&gt;</p>").toDF("h")
+      .select(CleanFunctions.htmlToText(col("h"))).as[String].head()
+    assert(got == "Hello & world <x>")
+  }
+}
