@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.Column
 import graft.functions.CleanFunctions
 import org.apache.spark.sql.functions._
 
@@ -155,5 +156,68 @@ object CleaningQueries extends QueryPack {
              COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
       FROM events GROUP BY event_type"""))
 
-  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21)
+  /** P28 — URL component extraction (the Common Crawl link parse,
+    * ExtractCCLinks.py:172-186): host / path / query via Spark's
+    * parse_url (codegen'd built-in); the oracle mirrors with regexes and
+    * NULLIF for parse_url's null-when-absent semantics.
+    */
+  val q42 = Q("q42_url_parse",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.org/media/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(concat(lit("?page="), (col("doc_id") % 7).cast("string"))))
+      d.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"))
+    },
+    Some("""
+      WITH u AS (SELECT doc_id,
+          'https://' || source || '.example.org/media/' || doc_id ||
+            CASE WHEN doc_id % 3 = 0 THEN ''
+                 ELSE '?page=' || (doc_id % 7) END AS url
+        FROM documents)
+      SELECT doc_id, url,
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        NULLIF(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+      FROM u"""))
+
+  /** P20 — first-value-by-name lookup in a key/value struct list (the
+    * Wikimedia audio metadata shape, wikimedia_commons.py:431-452).
+    */
+  val q43 = Q("q43_kv_lookup",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val kv = array(
+        struct(lit("kind").as("name"), col("event_type").as("value")),
+        struct(lit("k").as("name"),
+          get_json_object(col("props"), "$.k").as("value")),
+        struct(lit("user").as("name"), col("user_id").cast("string")
+          .as("value")))
+      val lookup = (arr: Column, key: String) =>
+        element_at(filter(arr, x => x.getField("name") === key), 1)
+          .getField("value")
+      e.select(col("event_id"), kv.as("kv"))
+        .select(col("event_id"),
+          lookup(col("kv"), "k").as("k_value"),
+          lookup(col("kv"), "kind").as("kind_value"),
+          lookup(col("kv"), "missing").as("missing_value"))
+    },
+    Some("""
+      WITH kv AS (SELECT event_id,
+          [{'name': 'kind', 'value': event_type},
+           {'name': 'k', 'value': json_extract_string(props, '$.k')},
+           {'name': 'user', 'value': CAST(user_id AS VARCHAR)}] AS arr
+        FROM events)
+      SELECT event_id,
+        list_filter(arr, x -> x.name = 'k')[1].value AS k_value,
+        list_filter(arr, x -> x.name = 'kind')[1].value AS kind_value,
+        list_filter(arr, x -> x.name = 'missing')[1].value AS missing_value
+      FROM kv"""))
+
+  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q42, q43)
 }

@@ -60,5 +60,42 @@ object SimilarityQueries extends QueryPack {
              MAX(norm) AS max_norm
       FROM n GROUP BY label"""))
 
-  override def all: Seq[Q] = Seq(q30, q31)
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the IVF
+    * cell analog: only same-cell pairs are scored — the blocking join is
+    * what survives 100 TB, never an unblocked |corpus|² product). Norms
+    * precomputed per vector, pair score = dot/(norm_a*norm_b).
+    * Integer-only output.
+    */
+  val q44 = Q("q44_embedding_neardup",
+    (s, dir) => {
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), dbl.as("v"))
+        .withColumn("norm",
+          sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("v").as("va"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("v").as("vb"), col("norm").as("norm_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _) /
+            (col("norm_a") * col("norm_b")))
+        .filter(col("cos") >= 0.35)
+        .select("label", "vec_a", "vec_b")
+    },
+    Some("""
+      SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))))
+            >= CAST(0.35 AS DOUBLE)"""))
+
+  override def all: Seq[Q] = Seq(q30, q31, q44)
 }
