@@ -92,24 +92,29 @@ case class PercentileDiscAgg(
 }
 
 object PercentileDiscAgg {
-  /** Register `percentile_disc_exact(x, p)` in the session's function
-    * registry (p must be a literal).
+
+  /** Expression builder for `percentile_disc_exact(x, p)` (p must be a
+    * literal). Shared by the temp-function registration and
+    * graft.GraftExtensions.
+    */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    val p = exprs(1) match {
+      case Literal(v, DoubleType) => v.asInstanceOf[Double]
+      case Literal(v, _: DecimalType) =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case other => throw new IllegalArgumentException(
+        s"percentile_disc_exact: p must be a literal, got $other")
+    }
+    // unconditional numeric cast; a double→double Cast folds away
+    val childD = org.apache.spark.sql.catalyst.expressions.Cast(
+      exprs.head, DoubleType)
+    PercentileDiscAgg(childD, p).toAggregateExpression()
+  }
+
+  /** Register `percentile_disc_exact(x, p)` in an existing session's
+    * function registry.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "percentile_disc_exact",
-      { exprs =>
-        val p = exprs(1) match {
-          case Literal(v, DoubleType) => v.asInstanceOf[Double]
-          case Literal(v, _: DecimalType) =>
-            v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
-          case other => throw new IllegalArgumentException(
-            s"percentile_disc_exact: p must be a literal, got $other")
-        }
-        // unconditional numeric cast; a double→double Cast folds away
-        val childD = org.apache.spark.sql.catalyst.expressions.Cast(
-          exprs.head, DoubleType)
-        PercentileDiscAgg(childD, p).toAggregateExpression()
-      },
-      "built-in")
+      "percentile_disc_exact", builder, "built-in")
 }

@@ -72,4 +72,24 @@ object Popularity {
       .join(broadcast(consts.select((keys.map(col) :+ col("constant")): _*)),
         keys, "left")
       .withColumn("score", col(valueCol) / (col(valueCol) + col("constant")))
+
+  /** The "data refresh" job (SURVEY.md §3.3): recompute the constants
+    * dimension and the scored snapshot, write both as parquet — the
+    * engine's replacement for the reference's matview refresh
+    * (popularity/sql.py:249-283, 385-421; production budget: 6 h for
+    * constants, up to 21 DAYS for the matview — here it is one
+    * broadcast-join pass over the fact table).
+    *
+    * The snapshot overwrite is the "refresh"; readers swap atomically at
+    * the directory level (on a lakehouse format this is a transactional
+    * table overwrite).
+    */
+  def refreshViews(facts: DataFrame, keys: Seq[String], valueCol: String,
+      p: Double, outDir: String): Unit = {
+    val consts = constants(facts, keys, valueCol, p)
+    consts.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/popularity_constants")
+    score(facts, consts, keys, valueCol)
+      .write.mode("overwrite").parquet(s"$outDir/media_view")
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.time.{Instant, LocalDate}
+
+import org.apache.spark.sql.functions._
+import graft.ingest.{IngestPlanner, ProviderExtract}
+import graft.operators.Popularity
+import graft.sources.Tsv
+
+/** Specs for ingestion planning, provider extraction (golden fixture),
+  * the popularity refresh job, partitioned sinks, and malformed-row
+  * quarantine.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planDay escalates day → 24 hours → 288 five-minute slices") {
+    val day0 = 1700000000L - (1700000000L % IngestPlanner.DaySec)
+    assert(IngestPlanner.planDay(day0, 900, 1000).size == 1)
+    val hourly = IngestPlanner.planDay(day0, 20000, 1000)
+    assert(hourly.size == 24 && hourly.head.endSec - hourly.head.startSec == 3600)
+    val fine = IngestPlanner.planDay(day0, 1000000, 1000)
+    assert(fine.size == 288 && fine.last.endSec == day0 + IngestPlanner.DaySec)
+    // contiguous, no gaps
+    assert(hourly.sliding(2).forall(w => w(0).endSec == w(1).startSec))
+  }
+
+  test("reingestion tiers generate shifted dates in order") {
+    val base = LocalDate.of(2026, 8, 12)
+    val tiers = IngestPlanner.reingestionDates(base, Seq(Seq(1, 2), Seq(7)))
+    assert(tiers == Seq(Seq(base),
+      Seq(base.minusDays(1), base.minusDays(2)), Seq(base.minusDays(7))))
+  }
+
+  test("runSlices accumulates failures without aborting") {
+    val slices = IngestPlanner.planDay(0L, 20000, 1000)
+    val (ok, failed) = IngestPlanner.runSlices(slices) { s =>
+      if (s.startSec == 3600L * 3) throw new RuntimeException("boom")
+      s.startSec
+    }
+    assert(ok.size == 23 && failed.size == 1 &&
+      failed.head._1.startSec == 3600L * 3)
+  }
+
+  test("shouldPull only when source is newer than last success") {
+    val t = Instant.parse("2026-08-01T00:00:00Z")
+    assert(IngestPlanner.shouldPull(t, None))
+    assert(IngestPlanner.shouldPull(t, Some(t.minusSeconds(60))))
+    assert(!IngestPlanner.shouldPull(t, Some(t)))
+  }
+
+  test("flickrish extractor: golden fixture → normalized records") {
+    val batch =
+      """{"page":1,"pages":1,"photo":[
+        |{"id":"42","owner":"o1","title":"  A  \"t\" ","description":"<p>Nice &amp; <b>shot</b></p>",
+        | "license_url":"https://creativecommons.org/licenses/by/4.0/",
+        | "url_l":null,"url_m":"https://m/42.jpg","url_s":"https://s/42.jpg",
+        | "height_l":100,"width_l":200,"tags":"b a  b c","views":7},
+        |{"id":"43","owner":"o2","title":"no license","description":"d",
+        | "license_url":"https://example.com/none",
+        | "url_l":"https://l/43.jpg","url_m":null,"url_s":null,
+        | "height_l":1,"width_l":1,"tags":"x","views":0},
+        |{"id":null,"owner":"o3","title":"no fid","description":"d",
+        | "license_url":"https://creativecommons.org/licenses/by/4.0/",
+        | "url_l":"https://l/44.jpg","url_m":null,"url_s":null,
+        | "height_l":1,"width_l":1,"tags":"x","views":0}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val got = ProviderExtract.flickrish(spark, Seq(batch).toDS())
+    val rows = got.collect()
+    // record 43 dropped (unknown license), 3rd dropped (null fid)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("foreign_identifier") == "42")
+    assert(r.getAs[String]("url") == "https://m/42.jpg")   // P21 coalesce
+    assert(r.getAs[String]("title") == "A 't'")            // P4 sanitize
+    assert(r.getAs[String]("description") == "Nice & shot") // P17
+    assert(r.getAs[collection.Seq[String]]("tags").toSeq ==
+      Seq("a", "b", "c")) // P18
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "4.0")         // P2
+  }
+
+  test("popularity refreshViews writes constants + scored snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("refresh").toString
+    val e = Tables(spark, sfDir, "events")
+    Popularity.refreshViews(e, Seq("event_type"), "value", 0.85, dir)
+    val consts = spark.read.parquet(s"$dir/popularity_constants")
+    val view = spark.read.parquet(s"$dir/media_view")
+    assert(consts.count() == 5)
+    assert(view.count() == e.count())
+    assert(view.filter(col("score") < 0 || col("score") > 1).count() == 0)
+  }
+
+  test("partitioned sink writes year/month/day directories (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val e = Tables(spark, sfDir, "events")
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+    e.write.partitionBy("year", "month", "day").mode("overwrite")
+      .parquet(s"$dir/landing")
+    val back = spark.read.parquet(s"$dir/landing")
+    assert(back.count() == e.count())
+    val firstDay = back.filter(col("year") === 2024 &&
+      col("month") === 1 && col("day") === 1)
+    // partition pruning: only day=1 directories scanned
+    val plan = firstDay.queryExecution.executedPlan.toString
+    assert(firstDay.count() > 0 && plan.contains("PartitionFilters"))
+  }
+
+  test("malformed TSV rows are quarantined, not dropped silently (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv2").toString
+    val lines = Seq(
+      (Seq("f1", "https://l/1", "https://u/1") ++ Seq.fill(17)("\\N"))
+        .mkString("\t"),
+      "garbage_row_with_too_few_columns",
+      (Seq("f2", "https://l/2", "https://u/2") ++ Seq.fill(17)("\\N"))
+        .mkString("\t"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/batch.tsv"),
+      lines.mkString("\n").getBytes)
+    val df = Tsv.readPermissive(spark, s"$dir/batch.tsv").cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+  }
+}
