@@ -74,16 +74,29 @@ object Dedupe {
     * (numHashes min-columns, then a stack unpivot): the shuffle carries
     * |docs| × numHashes values, never |shingles| × numHashes rows.
     */
-  /** One row per doc: (doc, sig array<string> of `numHashes` minhashes,
-    * index order). The whole signature reduces in ONE aggregation pass —
-    * the shuffle carries |docs| rows with a 16-element array, never
+  /** The modulus for the affine minhash permutations (2^31-1, prime). */
+  final val MinhashP = 2147483647L
+  /** i-th permutation of a base hash h: (a_i·h + b_i) mod p. */
+  def permute(i: Int, h: Column): Column =
+    (lit(2L * i + 1) * h + lit(104729L * i + 12345L)) % lit(MinhashP)
+
+  /** One row per doc: (doc, sig array<long> of `numHashes` minhashes,
+    * index order).
+    *
+    * Cost shape: ONE md5 per distinct shingle (28-bit numeric base hash
+    * from its hex prefix), then `numHashes` affine permutations
+    * (a_i·h+b_i mod p) — codegen'd integer arithmetic, not numHashes
+    * string hashes. The whole signature reduces in ONE aggregation
+    * pass: the shuffle carries |docs| rows with a small array, never
     * |shingles| × numHashes rows.
     */
   def minhashWide(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleK)
+      .withColumn("h",
+        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
     val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      min(permute(i, col("h"))).as(s"mh$i"))
     sh.groupBy("doc").agg(mins.head, mins.tail: _*)
       .select(col("doc"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
@@ -114,7 +127,9 @@ object Dedupe {
     val bands = sigWide
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")),
         "|"))
     val a = bands.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("band_sig"))

@@ -46,11 +46,14 @@ object DedupeQueries extends QueryPack {
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
              WHERE i <= len(ws) - 3),
-      sig AS (SELECT doc, i, MIN(md5(i || ':' || shingle)) AS mh
-              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+      hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
+             FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
+      sig AS (SELECT doc, i,
+                MIN(((2 * i + 1) * h + (104729 * i + 12345)) % 2147483647) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(range(16)) AS i) ii
               GROUP BY doc, i),
       bs AS (SELECT doc, i // 4 AS band,
-               string_agg(mh, '|' ORDER BY i) AS band_sig
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_sig
              FROM sig GROUP BY doc, i // 4),
       cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
                FROM bs a JOIN bs b ON a.band = b.band
@@ -81,11 +84,14 @@ object DedupeQueries extends QueryPack {
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
              WHERE i <= len(ws) - 3),
-      sig AS (SELECT doc, i, MIN(md5(i || ':' || shingle)) AS mh
-              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+      hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
+             FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
+      sig AS (SELECT doc, i,
+                MIN(((2 * i + 1) * h + (104729 * i + 12345)) % 2147483647) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(range(16)) AS i) ii
               GROUP BY doc, i),
       bs AS (SELECT doc, i // 4 AS band,
-               string_agg(mh, '|' ORDER BY i) AS band_sig
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_sig
              FROM sig GROUP BY doc, i // 4),
       cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
                FROM bs a JOIN bs b ON a.band = b.band
