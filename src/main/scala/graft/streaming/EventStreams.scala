@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming form of the incremental semantics (SURVEY.md
@@ -45,6 +46,44 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total"))
+
+  /** Input row for the stateful sessionizer. */
+  case class Ev(user_id: Long, ts_us: Long)
+  /** Emitted when a session closes (by gap or stream end). */
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Custom streaming state: gap-based sessionization with
+    * flatMapGroupsWithState (KeyValueGroupedDataset custom state — the
+    * operator Structured Streaming's built-in windows can't express).
+    * Within a batch, events for a user are sorted by event time; a gap
+    * over `gapUs` closes the open session. Batch-mode equivalence with
+    * the SQL lag/cumsum formulation (q33) is asserted in specs.
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Session], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Option[Session]]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var open = state.getOption.flatten
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                open = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1))
+              case Some(s) =>
+                closed += s
+                open = Some(Session(user, e.ts_us, e.ts_us, 1))
+              case None =>
+                open = Some(Session(user, e.ts_us, e.ts_us, 1))
+            }
+          }
+          state.update(open)
+          closed.result().iterator
+      }
+  }
 
   /** Run a streaming query to completion over the currently-available
     * input (Trigger.AvailableNow analog via processAllAvailable) and
