@@ -84,6 +84,15 @@ object Popularity {
     * the directory level (on a lakehouse format this is a transactional
     * table overwrite).
     */
+  /** The metrics-config upsert
+    * (refresh_popularity_metrics_task_factory.py:25-95 →
+    * popularity/sql.py:139-177): merge incoming (provider, metric,
+    * percentile) rows into the config dim — newest non-null wins.
+    */
+  def updateMetricsConfig(current: DataFrame, incoming: DataFrame)
+      : DataFrame =
+    MergeUpsert.merge(current, incoming, Seq("provider"))
+
   def refreshViews(facts: DataFrame, keys: Seq[String], valueCol: String,
       p: Double, outDir: String): Unit = {
     val consts = constants(facts, keys, valueCol, p)

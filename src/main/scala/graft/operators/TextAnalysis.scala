@@ -81,4 +81,31 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * character k-gram, slide a window of `w` consecutive hashes, keep
+    * each window's minimum — the classic plagiarism/near-dup
+    * fingerprint set that is robust to insertions.
+    *
+    * The "rolling" hash is positional k-gram hashing (md5-prefix →
+    * 28-bit int, engine-portable); window-min selection is a frame
+    * window over position — one narrow shuffle on doc. Output: distinct
+    * (doc, fp) rows.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val positions = docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+      .withColumn("p", explode(sequence(lit(1), length(col("t")) - (k - 1))))
+      .withColumn("h",
+        conv(substring(md5(expr(s"substring(t, p, $k)")), 1, 7), 16, 10)
+          .cast("long"))
+    val frame = Window.partitionBy("doc").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    positions
+      .withColumn("fp", min("h").over(frame))
+      // only positions with a FULL window ahead select a fingerprint
+      .filter(col("p") <= length(col("t")) - (k - 1) - (w - 1))
+      .select(col("doc"), col("fp")).distinct()
+  }
 }

@@ -72,5 +72,25 @@ object TextQueries extends QueryPack {
              COUNT(*) AS total_tokens, COUNT(DISTINCT word) AS vocab
       FROM w GROUP BY source"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q29)
+  /** Winnowing (rolling k-gram hash + window-min) fingerprint sets:
+    * distinct (doc, fp) pairs for 8-char grams, window 4.
+    */
+  val q45 = Q("q45_winnow_fingerprint",
+    (s, dir) => TextAnalysis.winnowFingerprints(
+      Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 4),
+    Some("""
+      WITH pos AS (SELECT doc_id AS doc, text AS t, i + 1 AS p
+                   FROM documents
+                   CROSS JOIN (SELECT unnest(range(600)) AS i) ii
+                   WHERE length(text) >= 11 AND i + 1 <= length(text) - 7),
+      hs AS (SELECT doc, t, p, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
+             FROM (SELECT doc, t, p, md5(substr(t, p, 8)) AS m FROM pos) q),
+      mins AS (SELECT doc, t, p,
+                 MIN(h) OVER (PARTITION BY doc ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+               FROM hs)
+      SELECT DISTINCT doc, fp FROM mins
+      WHERE p <= length(t) - 7 - 3"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q29, q45)
 }

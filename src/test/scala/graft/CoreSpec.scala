@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Records
+import graft.metrics.RecordMetrics
+import graft.operators.{MergeUpsert, Popularity}
+import graft.sources.Tsv
+
+/** Specs for typed records, run metrics, metrics-config upsert, and
+  * bucketed co-located joins.
+  */
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed audio columns parse tags/audio_set/alt_files/genres") {
+    val row = Seq((
+      """[{"name":"jazz","provider":"jamendo"},{"name":"x","provider":"p"}]""",
+      """{"title":"Set","foreign_landing_url":"https://l","thumbnail":null,
+         "creator":"c","creator_url":null,"foreign_identifier":"s1"}"""
+        .replaceAll("\n\\s*", ""),
+      """[{"url":"https://a.mp3","filesize":10,"bit_rate":320,"sample_rate":44100}]""",
+      "{rock,jazz}"))
+      .toDF("tags", "audio_set", "alt_files", "genres")
+    val typed = Records.typedAudioColumns(row).head()
+    assert(typed.getAs[collection.Seq[org.apache.spark.sql.Row]]("tags_typed")
+      .map(_.getString(0)).toSeq == Seq("jazz", "x"))
+    assert(typed.getAs[org.apache.spark.sql.Row]("audio_set_typed")
+      .getAs[String]("title") == "Set")
+    assert(typed.getAs[collection.Seq[org.apache.spark.sql.Row]]("alt_files_typed")
+      .head.getAs[Int]("bit_rate") == 320)
+    assert(typed.getAs[collection.Seq[String]]("genres_typed").toSeq ==
+      Seq("rock", "jazz"))
+  }
+
+  test("RecordMetrics derives the funnel and adds across batches") {
+    val staged = Seq(("p", "f1", "u1"), ("p", "f1", "u2"), ("p", null, "u3"),
+      ("p", "f2", "u1")).toDF("provider", "fid", "url")
+    val req = MergeUpsert.filterRequired(staged, Seq("fid", "url"))
+    val fidded = MergeUpsert.dedupeByKey(req,
+      Seq(col("provider"), md5(col("fid"))), col("url"))
+    val urled = MergeUpsert.dedupeByKey(fidded, Seq(col("url")), col("fid"))
+    val m = RecordMetrics.fromStages(staged, req, fidded, urled)
+    // f1's survivor (u1) collides with f2's url (u1) → one url dup
+    assert(m == RecordMetrics(staged = 4, missing = 1, fidDup = 1,
+      urlDup = 1, upserted = 1))
+    assert((m + m).staged == 8)
+    assert(m.report("p").contains("upserted=1"))
+  }
+
+  test("metrics-config upsert: incoming percentile wins, others persist") {
+    val current = Seq(("flickr", "views", 0.85), ("nappy", "downloads", 0.85))
+      .toDF("provider", "metric", "percentile")
+    val incoming = Seq(("flickr", "views", 0.90), ("jamendo", "listens", 0.85))
+      .toDF("provider", "metric", "percentile")
+    val merged = Popularity.updateMetricsConfig(current, incoming)
+      .orderBy("provider").as[(String, String, Double)].collect().toSeq
+    assert(merged == Seq(("flickr", "views", 0.90),
+      ("jamendo", "listens", 0.85), ("nappy", "downloads", 0.85)))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_b")
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no shuffle on either side
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

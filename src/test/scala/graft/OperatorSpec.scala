@@ -159,6 +159,21 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, "en"), (2L, "de"), (3L, "und")))
   }
 
+  test("winnowing: identical docs share fingerprints, overlap for shifted") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "PREFIX the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      .cache()
+    val sets = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(sets(1L) == sets(2L))                  // identical → same set
+    val overlap = (sets(1L) & sets(3L)).size.toDouble / sets(1L).size
+    assert(overlap > 0.5, s"shifted doc should share most fingerprints ($overlap)")
+  }
+
   test("fingerprint collapses whitespace and case") {
     val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
     val r = df.select(
