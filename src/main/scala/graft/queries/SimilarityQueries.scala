@@ -97,5 +97,64 @@ object SimilarityQueries extends QueryPack {
                                    CAST(b.embedding AS DOUBLE[]))))
             >= CAST(0.35 AS DOUBLE)"""))
 
-  override def all: Seq[Q] = Seq(q30, q31, q44)
+  /** IVF scale-path ANN: centroids are deterministic representatives
+    * (each label's lowest-id vector), every corpus vector is assigned
+    * to its nearest centroid cell, and each query searches only its
+    * `nprobe`=3 closest cells — the partition-pruned search that
+    * replaces a full corpus scan at 100 TB. Rank-only output.
+    */
+  val q46 = Q("q46_ann_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val minIds = emb.groupBy("label").agg(min("vec_id").as("cvid"))
+        .select("cvid")
+      val centroids = emb.join(minIds,
+          emb("vec_id") === minIds("cvid"))
+        .select(emb("label").as("cell_id"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    },
+    Some("""
+      WITH centroids AS (
+        SELECT e.label AS cell_id, CAST(e.embedding AS DOUBLE[]) AS centroid
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS cvid FROM embeddings GROUP BY label) m
+          ON e.vec_id = m.cvid),
+      corpus_cells AS (
+        SELECT neighbor_id, cell_id FROM (
+          SELECT e.vec_id AS neighbor_id, c.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+              c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN centroids c)
+        WHERE rn = 1),
+      probed AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT q.vec_id, c.cell_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC,
+              c.cell_id ASC) AS rn
+          FROM embeddings q CROSS JOIN centroids c
+          WHERE q.vec_id < 10)
+        WHERE rn <= 3),
+      scored AS (
+        SELECT p.vec_id, cc.neighbor_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM probed p
+        JOIN corpus_cells cc ON cc.cell_id = p.cell_id
+        JOIN embeddings q ON q.vec_id = p.vec_id
+        JOIN embeddings e ON e.vec_id = cc.neighbor_id
+        WHERE cc.neighbor_id <> p.vec_id)
+      SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5"""))
+
+  override def all: Seq[Q] = Seq(q30, q31, q44, q46)
 }
