@@ -17,6 +17,15 @@ object CleanFunctions {
     trim(regexp_replace(regexp_replace(translate(c, "\"", "'"),
       "[\\x08]", ""), "\\s+", " "))
 
+  /** P4 as ONE codegen'd pass (SanitizeStringExpr) — identical
+    * semantics to [[sanitizeString]] (asserted in specs), ~3× fewer
+    * string traversals on the ingest hot path.
+    */
+  def sanitizeStringNative(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SanitizeStringExpr(ColumnBridge.expression(c)))
+  }
+
   /** P5 — char-limit enforcement (columns.py:159-170): over-limit values
     * truncate (truncate=true) or null out (truncate=false).
     */

@@ -23,7 +23,9 @@ object CleaningQueries extends QueryPack {
       val d = Tables(s, dir, "documents")
       val messy = concat(lit("  \"Title\"\t of:   "), col("text"),
         lit("   \u0008end  "))
-      val cleaned = CleanFunctions.sanitizeString(messy)
+      // the codegen'd single-pass expression (SanitizeStringExpr),
+      // byte-identical to the regex chain the oracle mirrors
+      val cleaned = CleanFunctions.sanitizeStringNative(messy)
       d.select(col("doc_id"),
         CleanFunctions.enforceCharLimit(cleaned, 80, truncate = true)
           .as("cleaned"),

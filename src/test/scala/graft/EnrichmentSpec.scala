@@ -74,6 +74,28 @@ class EnrichmentSpec extends SparkSpec {
       Some("cc0") -> Some("1.0"), None -> None))
   }
 
+  test("native sanitize expression equals the regex chain everywhere") {
+    // adversarial cases + the reference loader fixtures + testdata
+    val cases = Seq("", " ", "  \t\n ", "a", "\"q\"", "a\u0008b",
+      "\u0008", " x ", "a  b\tc\nd\re\u000Bf\ffg", "\"\"",
+      "a\u0008 \u0008b", "tail  \u0008")
+    val df1 = cases.toDF("s")
+    val both = df1.select(
+      CleanFunctions.sanitizeString(col("s")).as("rx"),
+      CleanFunctions.sanitizeStringNative(col("s")).as("nat"))
+    assert(both.filter(col("rx") =!= col("nat") ||
+      col("rx").isNull =!= col("nat").isNull).count() == 0)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(concat(lit("  \"T\" \t"), col("text"), lit(" \u0008 end ")).as("s"))
+    val both2 = docs.select(
+      CleanFunctions.sanitizeString(col("s")).as("rx"),
+      CleanFunctions.sanitizeStringNative(col("s")).as("nat"))
+    assert(both2.filter(col("rx") =!= col("nat")).count() == 0)
+    // codegen actually engages (no fallback)
+    val plan = both2.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"))
+  }
+
   test("htmlToText strips tags, decodes entities, collapses whitespace") {
     val got = Seq("<p>Hello &amp; <b>world</b>\n &lt;x&gt;</p>").toDF("h")
       .select(CleanFunctions.htmlToText(col("h"))).as[String].head()
