@@ -94,11 +94,17 @@ object Popularity {
     MergeUpsert.merge(current, incoming, Seq("provider"))
 
   def refreshViews(facts: DataFrame, keys: Seq[String], valueCol: String,
-      p: Double, outDir: String): Unit = {
+      p: Double, outDir: String): Map[String, Any] = {
     val consts = constants(facts, keys, valueCol, p)
     consts.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/popularity_constants")
+    // A13 — run metrics ride the job itself via observe() (no second
+    // pass over the data), the Spark-native accumulator surface
+    val obs = org.apache.spark.sql.Observation("popularity_refresh")
     score(facts, consts, keys, valueCol)
+      .observe(obs, count(lit(1)).as("rows_scored"),
+        sum(when(col("score").isNull, 1L).otherwise(0L)).as("null_scores"))
       .write.mode("overwrite").parquet(s"$outDir/media_view")
+    obs.get
   }
 }

@@ -58,6 +58,15 @@ class CoreSpec extends SparkSpec {
       ("jamendo", "listens", 0.85), ("nappy", "downloads", 0.85)))
   }
 
+  test("typed Aggregator combines metrics across a Dataset") {
+    import graft.functions.TypedAggregators
+    import graft.metrics.RecordMetrics
+    val batches = Seq(
+      RecordMetrics(10, 1, 2, 0, 7), RecordMetrics(5, 0, 1, 1, 3)).toDS()
+    val total = batches.select(TypedAggregators.metricsTotal.toColumn).head()
+    assert(total == RecordMetrics(15, 1, 3, 1, 10))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -83,7 +83,9 @@ class IngestSpec extends SparkSpec {
   test("popularity refreshViews writes constants + scored snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("refresh").toString
     val e = Tables(spark, sfDir, "events")
-    Popularity.refreshViews(e, Seq("event_type"), "value", 0.85, dir)
+    val obs = Popularity.refreshViews(e, Seq("event_type"), "value", 0.85, dir)
+    assert(obs("rows_scored") == e.count())
+    assert(obs("null_scores") == 0L)
     val consts = spark.read.parquet(s"$dir/popularity_constants")
     val view = spark.read.parquet(s"$dir/media_view")
     assert(consts.count() == 5)
