@@ -38,6 +38,8 @@ object MergeUpsert {
     def newestNonNull(n: Column, o: Column): Column = coalesce(n, o)
     /** false on update (e.g. removed_from_source). */
     def alwaysFalse(n: Column, o: Column): Column = lit(false)
+    /** now: refresh the audit timestamp on every touch (updated_on). */
+    def now(n: Column, o: Column): Column = current_timestamp()
     /** merge_array / merge_jsonb_arrays: distinct union, old first; NULL
       * falls back to whichever side exists (columns.py:55-74).
       */
@@ -102,5 +104,17 @@ object MergeUpsert {
         .otherwise(strat(n, o)).as(c)       // matched: per-column strategy
     }
     joined.select((keys.map(col) ++ merged): _*)
+  }
+
+  /** Surrogate-key assignment (columns.py:417 `identifier uuid DEFAULT
+    * uuid_generate_v4()`): rows without an identifier get a fresh v4
+    * uuid; existing identifiers are stable across merges. Run AFTER
+    * merge so only newly-inserted rows mint ids.
+    */
+  def assignIdentifiers(df: DataFrame, idCol: String = "identifier")
+      : DataFrame = {
+    val existing = if (df.columns.contains(idCol)) col(idCol)
+      else lit(null).cast("string")
+    df.withColumn(idCol, coalesce(existing, expr("uuid()")))
   }
 }

@@ -62,6 +62,18 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(1, 3))
   }
 
+  test("assignIdentifiers mints uuids for new rows, keeps existing") {
+    val merged = Seq((1, "aaaaaaaa-1111-4abc-8def-123456789abc"),
+      (2, null.asInstanceOf[String])).toDF("k", "identifier")
+    val out = MergeUpsert.assignIdentifiers(merged)
+      .orderBy("k").select("identifier").as[String].collect()
+    assert(out(0) == "aaaaaaaa-1111-4abc-8def-123456789abc")
+    assert(out(1).matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    val noCol = MergeUpsert.assignIdentifiers(Seq(3).toDF("k"))
+    assert(noCol.select("identifier").as[String].head() != null)
+  }
+
   test("clean functions: sanitize, truncate, coercions, overflow") {
     val df = Seq(("  a\t\tb  \"q\"  ", "17.9", "T", 3000000000L))
       .toDF("s", "num", "b", "big")
