@@ -94,18 +94,30 @@ object TextAnalysis {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
-    val positions = docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+    // True rolling polynomial k-gram hash (sum of char codes × 31^j) in
+    // pure integer codegen. Characters are exploded ONCE and the k-gram
+    // is assembled from window leads — per-position substring() would
+    // re-scan the string per char (O(len²) per doc), and per-position
+    // md5 costs a digest per k-gram; this is one sort per doc and O(1)
+    // arithmetic per position.
+    val byPos = Window.partitionBy("doc").orderBy("p")
+    val h = (0 until k).map { j =>
+      val factor = lit(math.pow(31, k - 1 - j).toLong)
+      (if (j == 0) col("code") else lead(col("code"), j).over(byPos)) * factor
+    }.reduce(_ + _)
+    val chars = docs
+      .select(col(idCol).as("doc"), col(textCol).as("t"))
       .filter(length(col("t")) >= k + w - 1)
-      .withColumn("p", explode(sequence(lit(1), length(col("t")) - (k - 1))))
-      .withColumn("h",
-        conv(substring(md5(expr(s"substring(t, p, $k)")), 1, 7), 16, 10)
-          .cast("long"))
-    val frame = Window.partitionBy("doc").orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    positions
+      .select(col("doc"), length(col("t")).as("len"),
+        posexplode(split(col("t"), "")).as(Seq("p0", "ch")))
+      .select(col("doc"), col("len"), (col("p0") + 1).as("p"),
+        ascii(col("ch")).cast("long").as("code"))
+    val frame = byPos.rowsBetween(Window.currentRow, w - 1)
+    chars
+      .withColumn("h", h)
       .withColumn("fp", min("h").over(frame))
-      // only positions with a FULL window ahead select a fingerprint
-      .filter(col("p") <= length(col("t")) - (k - 1) - (w - 1))
+      // only positions whose k-gram AND full winnow window fit
+      .filter(col("p") <= col("len") - (k - 1) - (w - 1))
       .select(col("doc"), col("fp")).distinct()
   }
 }

@@ -83,8 +83,8 @@ object TextQueries extends QueryPack {
                    FROM documents
                    CROSS JOIN (SELECT unnest(range(600)) AS i) ii
                    WHERE length(text) >= 11 AND i + 1 <= length(text) - 7),
-      hs AS (SELECT doc, t, p, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
-             FROM (SELECT doc, t, p, md5(substr(t, p, 8)) AS m FROM pos) q),
+      hs AS (SELECT doc, t, p, (CAST(ord(substr(t, p + 0, 1)) AS BIGINT) * 27512614111) + (CAST(ord(substr(t, p + 1, 1)) AS BIGINT) * 887503681) + (CAST(ord(substr(t, p + 2, 1)) AS BIGINT) * 28629151) + (CAST(ord(substr(t, p + 3, 1)) AS BIGINT) * 923521) + (CAST(ord(substr(t, p + 4, 1)) AS BIGINT) * 29791) + (CAST(ord(substr(t, p + 5, 1)) AS BIGINT) * 961) + (CAST(ord(substr(t, p + 6, 1)) AS BIGINT) * 31) + (CAST(ord(substr(t, p + 7, 1)) AS BIGINT) * 1) AS h
+             FROM pos),
       mins AS (SELECT doc, t, p,
                  MIN(h) OVER (PARTITION BY doc ORDER BY p
                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
