@@ -72,4 +72,45 @@ object ProviderExtract {
         col("foreign_landing_url").isNotNull && col("url").isNotNull &&
         col("license").isNotNull)
   }
+
+  /** One page record inside a wikimedia-style batch. */
+  val wikiPageSchema: StructType = StructType(Seq(
+    StructField("pageid", LongType),
+    StructField("title", StringType),
+    StructField("url", StringType),
+    StructField("description_html", StringType),
+    StructField("global_usage", LongType)))
+
+  val wikiBatchSchema: StructType = StructType(Seq(
+    StructField("continue_token", StringType),
+    StructField("pages", ArrayType(wikiPageSchema))))
+
+  /** Continue-token archetype (wikimedia_commons.py): the SAME page can
+    * recur across consecutive batches with complementary fields (the
+    * response-merge problem, wikimedia_commons.py:139-154) and varying
+    * usage counts (the ST7 popularity cache) — so extraction is a
+    * groupBy(pageid) merge: non-null field union via max, usage via
+    * max, then normalization (File:-prefix title cleanup P19, HTML
+    * description strip P17).
+    */
+  def wikimediaish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val pages = rawBatches
+      .select(from_json(col("value"), wikiBatchSchema).as("b"))
+      .select(explode(col("b.pages")).as("p"))
+      .select(col("p.*"))
+      .filter(col("pageid").isNotNull)
+    pages.groupBy("pageid")
+      .agg(max(col("title")).as("title"),
+        max(col("url")).as("url"),
+        max(col("description_html")).as("description_html"),
+        max(col("global_usage")).as("global_usage"))
+      .select(
+        col("pageid").cast("string").as("foreign_identifier"),
+        CleanFunctions.cleanTitle(col("title")).as("title"),
+        col("url"),
+        CleanFunctions.htmlToText(col("description_html")).as("description"),
+        col("global_usage"),
+        lit("wikimedia").as("provider"))
+  }
 }

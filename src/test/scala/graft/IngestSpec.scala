@@ -80,6 +80,28 @@ class IngestSpec extends SparkSpec {
       r.getAs[String]("license_version") == "4.0")         // P2
   }
 
+  test("wikimediaish: continue-token batches merge per page, max usage") {
+    val batch1 =
+      """{"continue_token":"c1","pages":[
+        |{"pageid":7,"title":"File:Sunset.jpg","url":"https://up/7.jpg",
+        | "description_html":null,"global_usage":3},
+        |{"pageid":8,"title":"File:Moon.png","url":"https://up/8.png",
+        | "description_html":"<p>moon</p>","global_usage":1}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val batch2 =
+      """{"continue_token":null,"pages":[
+        |{"pageid":7,"title":"File:Sunset.jpg","url":"https://up/7.jpg",
+        | "description_html":"<b>dusk</b> sky","global_usage":9}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val got = ProviderExtract.wikimediaish(spark, Seq(batch1, batch2).toDS())
+      .orderBy("foreign_identifier").collect()
+    assert(got.length == 2)
+    val p7 = got.head
+    assert(p7.getAs[String]("title") == "Sunset")          // P19 cleanup
+    assert(p7.getAs[String]("description") == "dusk sky")  // P17 + merge
+    assert(p7.getAs[Long]("global_usage") == 9L)           // ST7 max
+  }
+
   test("popularity refreshViews writes constants + scored snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("refresh").toString
     val e = Tables(spark, sfDir, "events")
