@@ -35,13 +35,15 @@ object EventStreams {
     spark.readStream.schema(rawSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** Tumbling 1-hour event-time aggregation with a 1-day watermark
+  /** Tumbling 1-hour event-time aggregation with a watermark
     * (reingestion horizon analog: late rows beyond the horizon are
-    * dropped instead of re-merged).
+    * dropped instead of re-merged — the max day-shift of the provider's
+    * reingestion schedule is the natural delay).
     */
-  def hourlyCounts(events: DataFrame): DataFrame =
+  def hourlyCounts(events: DataFrame, watermark: String = "1 day")
+      : DataFrame =
     events
-      .withWatermark("ts", "1 day")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("hour"), col("event_type"),

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Watermark semantics: events later than the horizon are dropped from
+  * the streaming aggregation (ST-semantics: lateness beyond the
+  * reingestion horizon is not merged).
+  */
+class WatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in ns
+
+  private def writeBatch(dir: String, tsNs: Seq[Long]): Unit =
+    tsNs.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts, 1L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("append-mode windows finalize; beyond-watermark events drop") {
+    val landing = java.nio.file.Files.createTempDirectory("wm").toString
+    val day = 1700006400L * 1000000000L // a midnight, in ns
+    // batch 1: two events in hour 0, one in each of hours 1..4
+    writeBatch(landing, Seq(day + 1, day + 2, day + H + 1,
+      day + 2 * H + 1, day + 3 * H + 1, day + 4 * H + 1))
+    val agg = EventStreams.hourlyCounts(
+      EventStreams.readEvents(spark, landing), watermark = "10 minutes")
+    val q = agg.writeStream
+      .outputMode("append")          // emit only FINALIZED windows
+      .format("memory").queryName("wm_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wmchk").toString)
+      .start()
+    q.processAllAvailable()
+    // batch 2: a fresh event (hour 5), an in-horizon late event (hour 4),
+    // and an ancient one (two days earlier — beyond the watermark)
+    writeBatch(landing, Seq(day + 5 * H + 1, day + 4 * H + 2,
+      day - 48 * H))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out")
+      .select(col("hour").cast("long").as("h"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val daySec = day / 1000000000L
+    // hours 0..3 finalized by the batch-2 watermark (04:00:01 - 10min)
+    assert(out.keySet == Set(daySec, daySec + 3600, daySec + 7200,
+      daySec + 10800))
+    assert(out(daySec) == 2)
+    // the ancient event's window (day - 48h) was never emitted NOR
+    // merged — dropped by the watermark
+    assert(!out.contains(daySec - 48 * 3600))
+  }
+}
