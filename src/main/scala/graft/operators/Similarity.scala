@@ -30,17 +30,38 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Fixed-dimension dot product as an expanded expression —
+    * element_at chains are whole-stage-codegen'd where higher-order
+    * lambdas are interpreted (and re-entered per element). Same
+    * left-to-right addition order as the fold, so results are
+    * bit-identical to [[cosine]]; use when the embedding dim is known
+    * (it always is for a real vector table).
+    */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** dim > 0 → codegen'd fixed-dim cosine; otherwise the generic fold. */
+  private def cos(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) cosineFixed(a, b, dim) else cosine(a, b)
+
+  /** Fixed-dimension cosine (codegen'd). */
+  def cosineFixed(a: Column, b: Column, dim: Int): Column =
+    dotFixed(a, b, dim) /
+      (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (vec_id, rank, neighbor_id) — integer-only so results are
     * robust to last-bit fp differences between engines.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, dim: Int = -1): DataFrame = {
     val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("neighbor_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cos(col("qv"), col("cv"), dim))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -52,10 +73,10 @@ object Similarity {
     * must be small (broadcast): (cell_id, centroid array<double>).
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, dim: Int = -1): DataFrame = {
     val scored = vectors.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("sim", cos(col(vecCol), col("centroid"), dim))
     val w = Window.partitionBy(idCol)
       .orderBy(col("sim").desc, col("cell_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -66,12 +87,13 @@ object Similarity {
     * cell is among the query's `nprobe` closest cells.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      dim: Int = -1): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol, dim)
       .withColumnRenamed(idCol, "neighbor_id")
     val probed = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("qv"), col("centroid")))
+      .withColumn("sim", cos(col("qv"), col("centroid"), dim))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id").asc)))
       .filter(col("rn") <= nprobe)
@@ -80,7 +102,7 @@ object Similarity {
       .join(corpusCells, "neighbor_id")
     val scored = broadcast(probed).join(c, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cos(col("qv"), col("cv"), dim))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
