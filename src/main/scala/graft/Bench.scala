@@ -25,18 +25,29 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // two timed runs per query, best-of — first run pays one-off codegen
     // compilation and is exposed to GC/system noise
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        // clear any persisted frames so the second run re-pays the full
+        // plan (best-of-two must not silently measure a cache hit)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: $e")
+            errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

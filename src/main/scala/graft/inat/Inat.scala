@@ -3,6 +3,7 @@ package graft.inat
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.operators.MergeUpsert
 
@@ -21,13 +22,53 @@ object Inat {
   /** Source TSV-in-CSV readers (gzipped, header, tab separator, \b
     * quote — photos.sql:33-38 import options).
     */
-  def readTable(spark: SparkSession, path: String): DataFrame =
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val table = schemas.keys.find(path.contains(_)).getOrElse(
+      throw new IllegalArgumentException(s"no known iNat table in $path"))
     spark.read
       .option("sep", "\t")
       .option("header", "true")
       .option("quote", "")
-      .option("inferSchema", "true")
+      .schema(schemas(table))
       .csv(path)
+  }
+
+  /** Explicit source schemas (photos.sql:18-27, observations.sql:14-23,
+    * observers.sql:12-16, taxa DDL) — inferSchema would be a second full
+    * scan of the 120M-row photos CSV at production scale. uuid/date
+    * columns read as string (uuids are opaque join keys here).
+    */
+  val schemas: Map[String, StructType] = Map(
+    "photos" -> StructType(Seq(
+      StructField("photo_uuid", StringType),
+      StructField("photo_id", IntegerType),
+      StructField("observation_uuid", StringType),
+      StructField("observer_id", IntegerType),
+      StructField("extension", StringType),
+      StructField("license", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("position", IntegerType))),
+    "observations" -> StructType(Seq(
+      StructField("observation_uuid", StringType),
+      StructField("observer_id", IntegerType),
+      StructField("latitude", DecimalType(15, 10)),
+      StructField("longitude", DecimalType(15, 10)),
+      StructField("positional_accuracy", IntegerType),
+      StructField("taxon_id", IntegerType),
+      StructField("quality_grade", StringType),
+      StructField("observed_on", DateType))),
+    "observers" -> StructType(Seq(
+      StructField("observer_id", IntegerType),
+      StructField("login", StringType),
+      StructField("name", StringType))),
+    "taxa" -> StructType(Seq(
+      StructField("taxon_id", IntegerType),
+      StructField("ancestry", StringType),
+      StructField("rank_level", DoubleType),
+      StructField("rank", StringType),
+      StructField("name", StringType),
+      StructField("active", BooleanType))))
 
   /** License code → (license, version) dim
     * (`inaturalist/create_schema.sql` license_codes seed; iNat exposes

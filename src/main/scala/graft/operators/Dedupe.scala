@@ -91,13 +91,21 @@ object Dedupe {
     * |shingles| × numHashes rows.
     */
   def minhashWide(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleK)
-      .withColumn("h",
-        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
+      shingleK: Int, numHashes: Int): DataFrame =
+    minhashWideFromShingles(shingleRows(docs, idCol, textCol, shingleK),
+      numHashes)
+
+  /** Signature from precomputed (doc, shingle) rows — callers that also
+    * need the shingle frame elsewhere (e.g. exact verification) compute
+    * it ONCE, persist, and pass it here; at 100 TB re-deriving the
+    * shingle explode per consumer is the dominant waste.
+    */
+  def minhashWideFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("h",
+      conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
     val mins = (0 until numHashes).map(i =>
       min(permute(i, col("h"))).as(s"mh$i"))
-    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc").agg(mins.head, mins.tail: _*)
       .select(col("doc"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
@@ -151,8 +159,15 @@ object Dedupe {
     * shingle sets are joined only for candidates.
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleK)
+      textCol: String, shingleK: Int, minJaccard: Double): DataFrame =
+    verifyJaccardShingled(candidates,
+      shingleRows(docs, idCol, textCol, shingleK), minJaccard)
+
+  /** Exact Jaccard from precomputed shingle rows (persist `sh` — it is
+    * read three times: both intersection sides and the size table).
+    */
+  def verifyJaccardShingled(candidates: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = candidates.select("doc_a", "doc_b")
       .join(sh.select(col("doc").as("doc_a"), col("shingle")), "doc_a")
@@ -175,12 +190,12 @@ object Dedupe {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleK)
+    val sh = shingleRows(docs, idCol, textCol, shingleK).persist()
     val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(pairs, docs, idCol, textCol, shingleK, minJaccard)
+    verifyJaccardShingled(pairs, sh, minJaccard)
   }
 
   /** 64-bit SimHash over distinct words, emitted as a 16-char hex string

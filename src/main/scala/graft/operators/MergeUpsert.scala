@@ -106,6 +106,22 @@ object MergeUpsert {
     joined.select((keys.map(col) ++ merged): _*)
   }
 
+  /** J7 — url-conflict drop (loader/sql.py:322-326): a staged row is
+    * dropped iff its url already exists in the target under a DIFFERENT
+    * logical key (`MD5(foreign_identifier) <> MD5(new.foreign_identifier)`).
+    * A re-pull of the same record (same url, same fid) survives and goes
+    * on to update via the key merge. One anti-join keyed on url.
+    */
+  def urlConflictFilter(staged: DataFrame, target: DataFrame,
+      urlCol: String, fidCol: String): DataFrame = {
+    val conflicts = target.select(col(urlCol).as("__c_url"),
+      md5(col(fidCol)).as("__c_fid_md5"))
+    staged.join(conflicts,
+      col(urlCol) === col("__c_url") &&
+        md5(col(fidCol)) =!= col("__c_fid_md5"),
+      "left_anti")
+  }
+
   /** Surrogate-key assignment (columns.py:417 `identifier uuid DEFAULT
     * uuid_generate_v4()`): rows without an identifier get a fresh v4
     * uuid; existing identifiers are stable across merges. Run AFTER

@@ -71,17 +71,21 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid (IVF cell). `centroids`
     * must be small (broadcast): (cell_id, centroid array<double>).
+    *
+    * Argmax is ONE aggregation pass with map-side partial combine —
+    * `min_by` over (-sim, cell_id) picks the highest similarity with ties
+    * to the smallest cell_id (identical to a row_number(sim desc,
+    * cell_id asc)=1 pick, without the full sort-shuffle of the
+    * corpus×centroids cross product).
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, dim: Int = -1): DataFrame = {
-    val scored = vectors.select(col(idCol), col(vecCol))
+      vecCol: String, dim: Int = -1): DataFrame =
+    vectors.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("sim", cos(col(vecCol), col("centroid"), dim))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("sim").desc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cell_id"))
-  }
+      .groupBy(idCol)
+      .agg(min_by(col("cell_id"),
+        struct((-col("sim")).as("ns"), col("cell_id"))).as("cell_id"))
 
   /** IVF top-k: restrict the brute-force search to corpus vectors whose
     * cell is among the query's `nprobe` closest cells.
@@ -91,13 +95,18 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol, dim)
       .withColumnRenamed(idCol, "neighbor_id")
+    // top-nprobe cells per query: small in-group sort inside one
+    // aggregate (|centroids| elements), not a window over the product
     val probed = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("sim", cos(col("qv"), col("centroid"), dim))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id").asc)))
-      .filter(col("rn") <= nprobe)
-      .select("vec_id", "qv", "cell_id")
+      .groupBy("vec_id")
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(
+          struct((-col("sim")).as("ns"), col("cell_id")))), 1, nprobe)
+          .as("top_cells"))
+      .select(col("vec_id"), col("qv"),
+        explode(col("top_cells").getField("cell_id")).as("cell_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(corpusCells, "neighbor_id")
     val scored = broadcast(probed).join(c, Seq("cell_id"))

@@ -73,10 +73,13 @@ object DedupeQueries extends QueryPack {
   val q25 = Q("q25_ngram_jaccard",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      // the shingle explode is the dominant cost — compute it ONCE and
+      // persist; it feeds the minhash signature, both intersection sides,
+      // and the size table (4 consumers)
+      val sh = Dedupe.shingleRows(docs, "doc_id", "text", 3).persist()
+      val sig = Dedupe.minhashWideFromShingles(sh, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4)
-      Dedupe.verifyJaccard(cand, docs, "doc_id", "text",
-        shingleK = 3, minJaccard = 0.5)
+      Dedupe.verifyJaccardShingled(cand, sh, minJaccard = 0.5)
     },
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

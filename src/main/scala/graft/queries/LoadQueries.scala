@@ -62,17 +62,21 @@ object LoadQueries extends QueryPack {
       MergeUpsert.merge(target, staged, Seq("doc_id"),
         Map("tags" -> ((n, o) =>
           array_sort(MergeUpsert.Strategy.mergeArray(n, o)))))
+        // serialize the array for the oracle comparator (pandas cannot
+        // hash raw arrays); the merge itself still produces array<string>
+        .select(col("doc_id"), array_join(col("tags"), ",").as("tags"))
     },
     Some("""
       WITH w AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents),
       target AS (SELECT doc_id, ws[1:5] AS tags FROM w),
       staged AS (SELECT doc_id, ws[4:8] AS tags FROM w WHERE doc_id % 2 = 0)
-      SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
-             CASE WHEN s.doc_id IS NULL THEN t.tags
-                  WHEN t.doc_id IS NULL THEN s.tags
-                  ELSE list_sort(COALESCE(list_distinct(list_concat(t.tags, s.tags)), s.tags, t.tags))
-             END AS tags
-      FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id"""))
+      SELECT doc_id, array_to_string(tags, ',') AS tags FROM (
+        SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+               CASE WHEN s.doc_id IS NULL THEN t.tags
+                    WHEN t.doc_id IS NULL THEN s.tags
+                    ELSE list_sort(COALESCE(list_distinct(list_concat(t.tags, s.tags)), s.tags, t.tags))
+               END AS tags
+        FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id)"""))
 
   /** P1/J8/J9/A10 — the staged-load cleaning funnel with its metrics:
     * required-field drops per column, logical-key dedup, url dedup, and
@@ -121,9 +125,12 @@ object LoadQueries extends QueryPack {
              (SELECT COUNT(*) FROM fidded) AS n_after_fid_dedup,
              (SELECT COUNT(*) FROM urled) AS n_final"""))
 
-  /** J7 — url-conflict anti-join: staged rows whose url already belongs
-    * to a DIFFERENT logical key in the target are dropped
-    * (loader/sql.py:322-326). Survivors listed per row.
+  /** J7 — url-conflict anti-join with the reference's exact condition
+    * (loader/sql.py:322-326): a staged row is dropped only when its url
+    * exists in the target under a DIFFERENT `md5(foreign_identifier)`.
+    * The staged batch deliberately contains re-pulls of target rows
+    * (same fid, same url) which must SURVIVE — the semantic a url-only
+    * anti-join gets wrong.
     */
   val q16 = Q("q16_url_conflict",
     (s, dir) => {
@@ -132,13 +139,14 @@ object LoadQueries extends QueryPack {
         concat(lit("k"), col("doc_id").cast("string")).as("fid"),
         concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
           .as("url"))
-      val staged = d.filter(col("doc_id") % 10 === 1).select(
+      // %10==0 rows are re-pulls (same key+url as target); %10==1 rows
+      // are new keys whose urls may collide with target urls.
+      val staged = d.filter(col("doc_id") % 10 <= 1).select(
         col("doc_id"),
         concat(lit("k"), col("doc_id").cast("string")).as("fid"),
         concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
           .as("url"))
-      staged.join(target.select(col("url"), col("fid").as("t_fid")),
-          Seq("url"), "left_anti")
+      MergeUpsert.urlConflictFilter(staged, target, "url", "fid")
         .select("doc_id", "fid", "url")
     },
     Some("""
@@ -147,9 +155,10 @@ object LoadQueries extends QueryPack {
              FROM documents WHERE doc_id % 10 = 0),
       staged AS (SELECT doc_id, 'k' || doc_id AS fid,
                'https://ex.com/' || (doc_id % 149) AS url
-             FROM documents WHERE doc_id % 10 = 1)
+             FROM documents WHERE doc_id % 10 <= 1)
       SELECT doc_id, fid, url FROM staged s
-      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.url = s.url)"""))
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.url = s.url AND md5(t.fid) <> md5(s.fid))"""))
 
   override def all: Seq[Q] = Seq(q13, q14, q15, q16)
 }

@@ -59,6 +59,22 @@ class LoaderGoldenSpec extends SparkSpec {
     assert(out.filter(col("foreign_identifier") === "135257").count() == 1)
   }
 
+  test("url-conflict drop: same-url-same-key re-pull SURVIVES, " +
+      "same-url-different-key is dropped (loader/sql.py:322-326)") {
+    import spark.implicits._
+    val target = Seq(
+      ("fid1", "https://ex.com/a"),
+      ("fid2", "https://ex.com/b")).toDF("fid", "url")
+    val staged = Seq(
+      ("fid1", "https://ex.com/a"),   // re-pull: same url, same key → keep
+      ("fid9", "https://ex.com/b"),   // conflict: url owned by fid2 → drop
+      ("fid3", "https://ex.com/c")    // brand new url → keep
+    ).toDF("fid", "url")
+    val out = MergeUpsert.urlConflictFilter(staged, target, "url", "fid")
+    assert(out.select("fid").as[String].collect().sorted.toSeq ==
+      Seq("fid1", "fid3"))
+  }
+
   test("malformed fixtures: rows with corrupt meta_data quarantine") {
     // the reference's "malformed" rows are structurally valid TSV whose
     // meta_data JSON contains raw control bytes (Postgres COPY rejects
