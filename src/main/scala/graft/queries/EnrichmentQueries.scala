@@ -211,20 +211,35 @@ object EnrichmentQueries extends QueryPack {
     .map { case (p, l, v) => s"('$p', '$l', '$v')" }.mkString(", ")
 
   /** P2 — license URL → canonical (license, version) via the frozen
-    * broadcast path map; unknown URLs resolve to nulls (droppable).
+    * broadcast path map (all 68 entries of `licenses/constants.py:3-93`:
+    * 1.0–4.0 eras, 2.1 jurisdiction ports, by-nd-nc/publicdomain/mark
+    * special cases, sampling+ paths, legalcode/deed suffix strip);
+    * unknown URLs resolve to nulls (droppable).
     */
   val q39 = Q("q39_license_resolve",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      val rawUrl = when(col("doc_id") % 6 === 0,
+      val rawUrl = when(col("doc_id") % 12 === 0,
           "https://creativecommons.org/licenses/by/4.0/")
-        .when(col("doc_id") % 6 === 1,
+        .when(col("doc_id") % 12 === 1,
           "http://creativecommons.org/licenses/by-sa/3.0")
-        .when(col("doc_id") % 6 === 2,
+        .when(col("doc_id") % 12 === 2,
           "https://creativecommons.org/publicdomain/zero/1.0/")
-        .when(col("doc_id") % 6 === 3,
-          "https://creativecommons.org/licenses/by-nc/4.0/")
-        .when(col("doc_id") % 6 === 4, "https://example.com/other")
+        .when(col("doc_id") % 12 === 3,
+          "https://creativecommons.org/licenses/by-nc/2.5/")
+        .when(col("doc_id") % 12 === 4, "https://example.com/other")
+        .when(col("doc_id") % 12 === 5,
+          "https://creativecommons.org/licenses/by/2.1/jp/")
+        .when(col("doc_id") % 12 === 6,
+          "https://creativecommons.org/licenses/by-nd-nc/1.0/")
+        .when(col("doc_id") % 12 === 7,
+          "https://creativecommons.org/licenses/publicdomain/")
+        .when(col("doc_id") % 12 === 8,
+          "https://creativecommons.org/licenses/mark/1.0/")
+        .when(col("doc_id") % 12 === 9,
+          "https://creativecommons.org/licenses/sampling+/1.0/")
+        .when(col("doc_id") % 12 === 10,
+          "http://creativecommons.org/licenses/BY-NC-SA/2.0/legalcode")
         .otherwise("https://creativecommons.org/licenses/unknown/9.9")
       LicenseMap.resolve(d.select(col("doc_id"), rawUrl.as("raw_url")),
           "raw_url")
@@ -234,21 +249,89 @@ object EnrichmentQueries extends QueryPack {
       WITH dim(license_path, license, license_version) AS
         (VALUES $licenseDimValues),
       u AS (SELECT doc_id,
-          CASE doc_id % 6
+          CASE doc_id % 12
             WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
             WHEN 1 THEN 'http://creativecommons.org/licenses/by-sa/3.0'
             WHEN 2 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
-            WHEN 3 THEN 'https://creativecommons.org/licenses/by-nc/4.0/'
+            WHEN 3 THEN 'https://creativecommons.org/licenses/by-nc/2.5/'
             WHEN 4 THEN 'https://example.com/other'
+            WHEN 5 THEN 'https://creativecommons.org/licenses/by/2.1/jp/'
+            WHEN 6 THEN 'https://creativecommons.org/licenses/by-nd-nc/1.0/'
+            WHEN 7 THEN 'https://creativecommons.org/licenses/publicdomain/'
+            WHEN 8 THEN 'https://creativecommons.org/licenses/mark/1.0/'
+            WHEN 9 THEN 'https://creativecommons.org/licenses/sampling+/1.0/'
+            WHEN 10 THEN 'http://creativecommons.org/licenses/BY-NC-SA/2.0/legalcode'
             ELSE 'https://creativecommons.org/licenses/unknown/9.9'
           END AS raw_url
         FROM documents),
       p AS (SELECT doc_id, raw_url,
           regexp_replace(regexp_extract(lower(raw_url),
-            'creativecommons\\.org/([a-z/.0-9-]+?)/?$$', 1), '/$$', '') AS license_path
+            '(?:^|//)creativecommons\\.org/([a-z/.0-9+-]+?)(?:/(?:legalcode|deed)[.a-z]*)?/?$$', 1),
+            '/$$', '') AS license_path
         FROM u)
       SELECT doc_id, raw_url, license, license_version
       FROM p LEFT JOIN dim USING (license_path)"""))
+
+  private val licenseReverseDimValues = LicenseMap.reverseMap
+    .map { case (l, v, p) => s"('$l', '$v', '$p')" }.mkString(", ")
+
+  /** P2 pair fallback (`licenses.get_license_info_from_license_pair:
+    * 191-209` + `_ensure_license_version_string:212-226`): validate a
+    * (license, version) pair against the reverse map — float-normalizing
+    * the version, honoring the 2.1-unported → 2.0 downgrades — and derive
+    * the canonical CC URL.
+    */
+  val q47 = Q("q47_license_pair",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val lic = when(col("doc_id") % 8 === 0, "by")
+        .when(col("doc_id") % 8 === 1, "by-nc-nd")
+        .when(col("doc_id") % 8 === 2, "cc0")
+        .when(col("doc_id") % 8 === 3, "by-sa")
+        .when(col("doc_id") % 8 === 4, "publicdomain")
+        .when(col("doc_id") % 8 === 5, "notalicense")
+        .when(col("doc_id") % 8 === 6, "pdm")
+        .otherwise("by")
+      val ver = when(col("doc_id") % 8 === 0, "4.0")
+        .when(col("doc_id") % 8 === 1, "2.1")
+        .when(col("doc_id") % 8 === 2, "1.0")
+        .when(col("doc_id") % 8 === 3, "2")
+        .when(col("doc_id") % 8 === 4, "N/A")
+        .when(col("doc_id") % 8 === 5, "1.0")
+        .when(col("doc_id") % 8 === 6, "1.0")
+        .otherwise(lit(null).cast("string"))
+      LicenseMap.resolvePair(
+          d.select(col("doc_id"), lic.as("license"), ver.as("version")),
+          "license", "version")
+        .select("doc_id", "license", "version", "license_version_n",
+          "license_url")
+    },
+    Some(s"""
+      WITH rdim(license, version_n, license_path) AS
+        (VALUES $licenseReverseDimValues),
+      u AS (SELECT doc_id,
+          CASE doc_id % 8
+            WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc-nd' WHEN 2 THEN 'cc0'
+            WHEN 3 THEN 'by-sa' WHEN 4 THEN 'publicdomain'
+            WHEN 5 THEN 'notalicense' WHEN 6 THEN 'pdm' ELSE 'by'
+          END AS license,
+          CASE doc_id % 8
+            WHEN 0 THEN '4.0' WHEN 1 THEN '2.1' WHEN 2 THEN '1.0'
+            WHEN 3 THEN '2' WHEN 4 THEN 'N/A' WHEN 5 THEN '1.0'
+            WHEN 6 THEN '1.0' ELSE NULL
+          END AS version
+        FROM documents),
+      n AS (SELECT doc_id, license, version,
+          CASE WHEN version = 'N/A' THEN version
+               ELSE CAST(TRY_CAST(version AS DOUBLE) AS VARCHAR) END
+            AS license_version_n
+        FROM u)
+      SELECT doc_id, n.license AS license, version, license_version_n,
+        CASE WHEN license_path IS NOT NULL
+             THEN 'https://creativecommons.org/' || license_path || '/'
+        END AS license_url
+      FROM n LEFT JOIN rdim
+        ON n.license = rdim.license AND n.license_version_n = rdim.version_n"""))
 
   /** P17 — HTML → text extraction over synthesized description markup. */
   val q40 = Q("q40_html_strip",
@@ -312,5 +395,5 @@ object EnrichmentQueries extends QueryPack {
       FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47)
 }

@@ -74,6 +74,65 @@ class EnrichmentSpec extends SparkSpec {
       Some("cc0") -> Some("1.0"), None -> None))
   }
 
+  test("license map covers the reference's full path map") {
+    // constants.py:3-93 — 43 simple + 18 jurisdiction + 5 special + 1
+    // special-irreversible = 67 forward entries
+    assert(LicenseMap.pathMap.size == 67)
+    val m = LicenseMap.pathMap.map { case (p, l, v) => p -> (l, v) }.toMap
+    assert(m("licenses/by/2.5") == ("by", "2.5"))
+    assert(m("licenses/by-nc-sa/2.1/jp") == ("by-nc-sa", "2.1"))
+    assert(m("licenses/by-nd-nc/1.0") == ("by-nc-nd", "1.0"))
+    assert(m("licenses/by-nd-nc/2.0/jp") == ("by-nc-nd", "2.0"))
+    assert(m("licenses/publicdomain") == ("publicdomain", LicenseMap.NoVersion))
+    assert(m("publicdomain/mark/1.0") == ("pdm", "1.0"))
+    assert(m("licenses/mark/1.0") == ("pdm", "1.0"))
+    assert(m("licenses/nc-sampling+/1.0") == ("nc-sampling+", "1.0"))
+    assert(!m.contains("licenses/by-nc-nd/1.0")) // was by-nd-nc pre-2.0
+  }
+
+  test("license url resolution: jurisdiction, legalcode, case, suffixes") {
+    val df = Seq(
+      (1L, "https://creativecommons.org/licenses/by/2.1/au/"),
+      (2L, "http://creativecommons.org/licenses/BY-NC-SA/2.0/legalcode"),
+      (3L, "creativecommons.org/licenses/sampling+/1.0"), // scheme-less
+      (4L, "https://creativecommons.org/licenses/by/4.0/deed.es"),
+      (5L, "https://creativecommons.org/licenses/publicdomain/"),
+      (6L, "https://notcreativecommons.org/licenses/by/1.0/"))
+      .toDF("id", "raw_url")
+    val got = LicenseMap.resolve(df, "raw_url")
+      .orderBy("id").select("license", "license_version")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      Some("by") -> Some("2.1"),
+      Some("by-nc-sa") -> Some("2.0"),
+      Some("sampling+") -> Some("1.0"),
+      Some("by") -> Some("4.0"),
+      Some("publicdomain") -> Some(LicenseMap.NoVersion),
+      None -> None))
+  }
+
+  test("license pair fallback: float versions, 2.1 downgrade, specials") {
+    // test_licenses.py get_license_info_from_license_pair cases
+    val df = Seq(
+      (1L, "by", "4.0"), (2L, "by", "2"), (3L, "by-nc-nd", "2.1"),
+      (4L, "cc0", "1.0"), (5L, "publicdomain", "N/A"),
+      (6L, "notalicense", "1.0"), (7L, "by", null.asInstanceOf[String]))
+      .toDF("id", "license", "version")
+    val got = LicenseMap.resolvePair(df, "license", "version")
+      .orderBy("id").select("license_version_n", "license_url")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      Some("4.0") -> Some("https://creativecommons.org/licenses/by/4.0/"),
+      Some("2.0") -> Some("https://creativecommons.org/licenses/by/2.0/"),
+      // 2.1 without jurisdiction downgrades to the unported 2.0 URL but
+      // keeps its version (constants._SPECIAL_REVERSE_ONLY_PATHS:96-102)
+      Some("2.1") -> Some("https://creativecommons.org/licenses/by-nc-nd/2.0/"),
+      Some("1.0") -> Some("https://creativecommons.org/publicdomain/zero/1.0/"),
+      Some("N/A") -> Some("https://creativecommons.org/licenses/publicdomain/"),
+      Some("1.0") -> None,
+      None -> None))
+  }
+
   test("native sanitize expression equals the regex chain everywhere") {
     // adversarial cases + the reference loader fixtures + testdata
     val cases = Seq("", " ", "  \t\n ", "a", "\"q\"", "a\u0008b",
