@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.Column
-import graft.functions.CleanFunctions
+import graft.functions.{CleanFunctions, Urls}
 import org.apache.spark.sql.functions._
 
 /** Record-cleaning operator coverage (SURVEY.md §2.2 P-family): string
@@ -221,5 +221,69 @@ object CleaningQueries extends QueryPack {
         list_filter(arr, x -> x.name = 'missing')[1].value AS missing_value
       FROM kv"""))
 
-  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q42, q43)
+  private val tlsInList =
+    Urls.tlsSupportedDomains.map(d => s"'$d'").mkString(", ")
+
+  /** P3 — URL validate/repair (`common/urls.py:20-59`): scheme
+    * replace-with-best (frozen TLS map), protocol-relative fold,
+    * slash strip, TLD-structure validation, IPv4 passthrough. The
+    * fixture rows mirror the reference's own test_urls.py cases.
+    */
+  val q48 = Q("q48_url_validate",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val raw = when(col("doc_id") % 10 === 0, "creativecomons.org")
+        .when(col("doc_id") % 10 === 1, "https:/abcd")
+        .when(col("doc_id") % 10 === 2, "http://abcd.com")
+        .when(col("doc_id") % 10 === 3, "8.8.8.8")
+        .when(col("doc_id") % 10 === 4,
+          "//commons.wikimedia.org/wiki/User:potato")
+        .when(col("doc_id") % 10 === 5,
+          "https://wordpress.org/photos/photo/5262839486/")
+        .when(col("doc_id") % 10 === 6, "example.com:8080/gallery?id=1")
+        .when(col("doc_id") % 10 === 7,
+          "hreativecommons.org/?referer=https://abc.com")
+        .when(col("doc_id") % 10 === 8, "")
+        .otherwise("foo.notarealtld/x")
+      d.select(col("doc_id"), raw.as("raw_url"),
+        Urls.validateUrlString(raw).as("repaired_url"))
+    },
+    Some(s"""
+      WITH u AS (SELECT doc_id,
+          CASE doc_id % 10
+            WHEN 0 THEN 'creativecomons.org'
+            WHEN 1 THEN 'https:/abcd'
+            WHEN 2 THEN 'http://abcd.com'
+            WHEN 3 THEN '8.8.8.8'
+            WHEN 4 THEN '//commons.wikimedia.org/wiki/User:potato'
+            WHEN 5 THEN 'https://wordpress.org/photos/photo/5262839486/'
+            WHEN 6 THEN 'example.com:8080/gallery?id=1'
+            WHEN 7 THEN 'hreativecommons.org/?referer=https://abc.com'
+            WHEN 8 THEN ''
+            ELSE 'foo.notarealtld/x'
+          END AS raw_url
+        FROM documents),
+      st AS (SELECT doc_id, raw_url,
+          regexp_replace(trim(raw_url), '^https*:/*', '') AS noscheme
+        FROM u),
+      b AS (SELECT doc_id, raw_url,
+          regexp_replace(noscheme, '^/+|/+$$', '', 'g') AS body,
+          lower(regexp_extract(regexp_replace(noscheme, '^/+', ''),
+            '^([^/:?#]+)', 1)) AS fq
+        FROM st),
+      c AS (SELECT doc_id, raw_url,
+          concat(CASE WHEN fq IN ($tlsInList) THEN 'https' ELSE 'http' END,
+            '://', body) AS upgraded
+        FROM b),
+      h AS (SELECT doc_id, raw_url, upgraded,
+          lower(regexp_extract(upgraded, '^[a-z]+://([^/?#]+)', 1)) AS host
+        FROM c)
+      SELECT doc_id, raw_url,
+        CASE WHEN trim(raw_url) = '' THEN NULL
+             WHEN regexp_matches(host, '${Urls.hostPattern}')
+               OR regexp_matches(host, '${Urls.ipv4Pattern}')
+             THEN upgraded END AS repaired_url
+      FROM h"""))
+
+  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q42, q43, q48)
 }
