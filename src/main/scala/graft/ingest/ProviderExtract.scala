@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,5 +112,337 @@ object ProviderExtract {
         CleanFunctions.htmlToText(col("description_html")).as("description"),
         col("global_usage"),
         lit("wikimedia").as("provider"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Archetype 3: offset pagination, audio records (jamendo.py /
+  // europeana.py shape). Pagination state (`offset += batch_limit`,
+  // jamendo.py:44-61) is driver-side planning; the Spark side is the
+  // stateless batch → record explode + columnar normalization of
+  // jamendo.py:180-243's per-record Python.
+  // ---------------------------------------------------------------------
+
+  val jamendoTrackSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("shareurl", StringType),
+    StructField("audio", StringType),
+    StructField("audiodownload", StringType),
+    StructField("duration", LongType),
+    StructField("license_ccurl", StringType),
+    StructField("image", StringType),
+    StructField("position", LongType),
+    StructField("album_id", StringType),
+    StructField("album_name", StringType),
+    StructField("album_image", StringType),
+    StructField("artist_id", StringType),
+    StructField("artist_idstr", StringType),
+    StructField("artist_name", StringType),
+    StructField("releasedate", StringType),
+    StructField("lyrics", StringType),
+    StructField("musicinfo", StructType(Seq(
+      StructField("speed", StringType),
+      StructField("gender", StringType),
+      StructField("vocalinstrumental", StringType),
+      StructField("tags", StructType(Seq(
+        StructField("genres", ArrayType(StringType)),
+        StructField("instruments", ArrayType(StringType)),
+        StructField("vartags", ArrayType(StringType)))))))),
+    StructField("stats", StructType(Seq(
+      StructField("rate_download_total", LongType),
+      StructField("rate_listened_total", LongType),
+      StructField("rate_playlisted_total", LongType))))))
+
+  val jamendoBatchSchema: StructType = StructType(Seq(
+    StructField("headers", StructType(Seq(
+      StructField("results_count", LongType)))),
+    StructField("results", ArrayType(jamendoTrackSchema))))
+
+  /** Drop one query parameter from a URL, fixing separators — the
+    * columnar form of `jamendo._remove_param_from_url:69-74` (used for
+    * the `from` API-secret param and the audio-set `trackid`).
+    */
+  def removeUrlParam(url: Column, param: String): Column =
+    regexp_replace(
+      regexp_replace(url, s"([?&])$param=[^&]*&", "$$1"),
+      s"[?&]$param=[^&]*$$", "")
+
+  /** `jamendo._add_trailing_slash:99-111` — photon needs `/?`. */
+  def addSlashBeforeQuery(url: Column): Column =
+    when(url.isNotNull && !url.contains("/?"),
+      regexp_replace(url, "\\?", "/?")).otherwise(url)
+
+  /** Offset-pagination archetype (jamendo.py): explode `results`,
+    * normalize columnar — strip the `from` secret off audio URLs,
+    * photon-slash + de-trackid thumbnails, ms duration, ranked tag
+    * assembly, audio-set subrecord with slugged set URL, license via
+    * the frozen map, required-field drops.
+    */
+  def jamendoish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), jamendoBatchSchema).as("b"))
+      .select(explode(col("b.results")).as("t"))
+    val mi = col("t.musicinfo")
+    val tags = concat(
+      filter(array(
+        mi.getField("vocalinstrumental"),
+        mi.getField("gender"),
+        when(mi.getField("speed").isNotNull,
+          concat(lit("speed_"), mi.getField("speed")))),
+        x => x.isNotNull),
+      filter(coalesce(mi.getField("tags").getField("instruments"),
+        array()), x => x =!= "undefined"),
+      filter(coalesce(mi.getField("tags").getField("vartags"),
+        array()), x => x =!= "undefined"))
+    val stats = col("t.stats")
+    val meta = map_filter(map(
+      lit("lyrics"), nullif(col("t.lyrics"), lit("")),
+      lit("release_date"), col("t.releasedate"),
+      lit("downloads"), coalesce(stats.getField("rate_download_total"),
+        lit(0L)).cast("string"),
+      lit("listens"), coalesce(stats.getField("rate_listened_total"),
+        lit(0L)).cast("string"),
+      lit("playlists"), coalesce(stats.getField("rate_playlisted_total"),
+        lit(0L)).cast("string")),
+      (_, v) => v.isNotNull)
+    // album slug: lower, spaces and slashes to dashes, then double
+    // dashes removed (jamendo.py:216-219's exact replace chain)
+    val slug = regexp_replace(
+      translate(lower(col("t.album_name")), " /", "--"), "--", "")
+    val setUrl = when(
+      col("t.album_id").isNotNull && col("t.album_name").isNotNull,
+      concat(lit("https://www.jamendo.com/album/"), col("t.album_id"),
+        lit("/"), slug))
+    val rec = t.select(
+      col("t.id").as("foreign_identifier"),
+      col("t.shareurl").as("foreign_landing_url"),
+      removeUrlParam(col("t.audio"), "from").as("url"),
+      (col("t.duration") * 1000).as("duration"),
+      lit("mp32").as("filetype"),
+      lit("music").as("category"),
+      addSlashBeforeQuery(col("t.image")).as("thumbnail_url"),
+      col("t.name").as("title"),
+      when(col("t.artist_name").isNotNull, trim(col("t.artist_name")))
+        .as("creator"),
+      when(col("t.artist_name").isNotNull && col("t.artist_id").isNotNull
+          && col("t.artist_idstr").isNotNull,
+        concat(lit("https://www.jamendo.com/artist/"), col("t.artist_id"),
+          lit("/"), col("t.artist_idstr"))).as("creator_url"),
+      col("t.license_ccurl").as("raw_license_url"),
+      meta.as("meta_data"),
+      tags.as("tags"),
+      mi.getField("tags").getField("genres").as("genres"),
+      struct(
+        col("t.album_id").as("set_foreign_id"),
+        col("t.album_name").as("audio_set"),
+        col("t.position").as("set_position"),
+        setUrl.as("set_url"),
+        removeUrlParam(addSlashBeforeQuery(col("t.album_image")),
+          "trackid").as("set_thumbnail")).as("audio_set"),
+      lit("jamendo").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .drop("license_path")
+      .filter(col("foreign_identifier").isNotNull &&
+        col("foreign_landing_url").isNotNull && col("url").isNotNull &&
+        col("license").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // Archetype 4: one response row → MANY image records (smithsonian.py:
+  // 149-175 + 286-305) — the §2.9 table-generating case: each row's
+  // online_media list fans out, each CC0 image inheriting the row's
+  // shared fields.
+  // ---------------------------------------------------------------------
+
+  private val mediaItemSchema = StructType(Seq(
+    StructField("content", StringType),
+    StructField("idsId", StringType),
+    StructField("thumbnail", StringType),
+    StructField("type", StringType),
+    StructField("usage", StructType(Seq(StructField("access", StringType))))))
+
+  private val labeledContent = StructType(Seq(
+    StructField("content", StringType),
+    StructField("label", StringType)))
+
+  val smithsonianRowSchema: StructType = StructType(Seq(
+    StructField("content", StructType(Seq(
+      StructField("descriptiveNonRepeating", StructType(Seq(
+        StructField("record_link", StringType),
+        StructField("guid", StringType),
+        StructField("record_ID", StringType),
+        StructField("unit_code", StringType),
+        StructField("data_source", StringType),
+        StructField("title", StructType(Seq(
+          StructField("content", StringType)))),
+        StructField("online_media", StructType(Seq(
+          StructField("media", ArrayType(mediaItemSchema)))))))),
+      StructField("freetext", StructType(Seq(
+        StructField("name", ArrayType(labeledContent)),
+        StructField("notes", ArrayType(labeledContent))))),
+      StructField("indexedStructured", StructType(Seq(
+        StructField("date", ArrayType(StringType)),
+        StructField("object_type", ArrayType(StringType)),
+        StructField("topic", ArrayType(StringType)),
+        StructField("place", ArrayType(StringType)),
+        StructField("name", ArrayType(StructType(Seq(
+          StructField("content", StringType),
+          StructField("type", StringType)))))))))))))
+
+  val smithsonianBatchSchema: StructType = StructType(Seq(
+    StructField("response", StructType(Seq(
+      StructField("rowCount", LongType),
+      StructField("rows", ArrayType(smithsonianRowSchema)))))))
+
+  /** `smithsonian.creator_types:53-107` — label → preference rank. */
+  val smithsonianCreatorTypes: Seq[(String, Int)] = Seq(
+    "artist" -> 0, "artist/maker" -> 0, "attributed to" -> 0,
+    "author" -> 0, "created_by" -> 0, "creator" -> 0, "created by" -> 0,
+    "model maker" -> 0, "modeler" -> 0, "photographer" -> 0,
+    "photograph by" -> 0, "written by" -> 0,
+    "architect" -> 1, "designer" -> 1, "designed by" -> 1,
+    "illustrator" -> 1, "illustrated by" -> 1, "cartoonist" -> 1,
+    "weaver" -> 1, "composer" -> 1, "composed by" -> 1,
+    "embroiderer" -> 1, "landscape architect" -> 1, "calligrapher" -> 1,
+    "sculptor" -> 1, "jeweler" -> 1, "potter" -> 1, "ceramist" -> 1,
+    "compiled by" -> 2, "engraver" -> 2, "etcher" -> 2, "maker" -> 2,
+    "silversmith" -> 2, "producer" -> 2, "produced by" -> 2,
+    "metal worker" -> 2, "carver" -> 2, "cartographer" -> 2,
+    "print maker" -> 3, "painter" -> 3, "after" -> 3, "inventor" -> 3,
+    "lithographer" -> 3, "attribution" -> 3, "former attribution" -> 3,
+    "manufactured by" -> 4, "manufacturer" -> 4, "published by" -> 4,
+    "publisher" -> 4, "editor" -> 4, "patentee" -> 5, "collector" -> 6)
+
+  /** `smithsonian.description_types:54-63`. */
+  val smithsonianDescriptionTypes: Seq[String] = Seq(
+    "description", "summary", "caption", "notes", "description (brief)",
+    "description (spanish)", "description (brief spanish)",
+    "gallery label", "exhibition label", "luce center label",
+    "publication label", "new acquisition label")
+
+  /** `provider_details.SMITHSONIAN_SUB_PROVIDERS:71-117` flattened to
+    * unit_code → source.
+    */
+  val smithsonianSubProviders: Seq[(String, String)] = {
+    val nmnh = Seq("NMNHANTHRO", "NMNHBIRDS", "NMNHBOTANY",
+      "NMNHEDUCATION", "NMNHENTO", "NMNHFISHES", "NMNHHERPS", "NMNHINV",
+      "NMNHMAMMALS", "NMNHMINSCI", "NMNHPALEO")
+      .map(_ -> "smithsonian_national_museum_of_natural_history")
+    nmnh ++ Seq(
+      "ACM" -> "smithsonian_anacostia_museum",
+      "CHNDM" -> "smithsonian_cooper_hewitt_museum",
+      "FBR" -> "smithsonian_field_book_project",
+      "FSG" -> "smithsonian_freer_gallery_of_art",
+      "HAC" -> "smithsonian_gardens",
+      "OFEO-SG" -> "smithsonian_gardens",
+      "HMSG" -> "smithsonian_hirshhorn_museum",
+      "NASM" -> "smithsonian_air_and_space_museum",
+      "NMAAHC" -> "smithsonian_african_american_history_museum",
+      "NMAH" -> "smithsonian_american_history_museum",
+      "NMAI" -> "smithsonian_american_indian_museum",
+      "NMAfA" -> "smithsonian_african_art_museum",
+      "NPG" -> "smithsonian_portrait_gallery",
+      "NPM" -> "smithsonian_postal_museum",
+      "NZP" -> "smithsonian_zoo_and_conservation",
+      "SAAM" -> "smithsonian_american_art_museum",
+      "SIA" -> "smithsonian_institution_archives",
+      "SIL" -> "smithsonian_libraries")
+  }
+
+  private def litMap[V](entries: Seq[(String, V)]): Column =
+    map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** Multi-record-per-response archetype (smithsonian.py): rows fan out
+    * through TWO explodes — response rows, then each row's CC0 media
+    * list — with shared row fields (title, landing URL, ranked creator,
+    * notes-derived description, sub-provider lookup) inherited by every
+    * image. All columnar; the rank-pick creator and description
+    * concatenation are higher-order array expressions instead of the
+    * reference's per-record loops.
+    */
+  def smithsonianish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val rows = rawBatches
+      .select(from_json(col("value"), smithsonianBatchSchema).as("b"))
+      .select(explode(col("b.response.rows")).as("r"))
+    val dnr = col("r.content.descriptiveNonRepeating")
+    val ft = col("r.content.freetext")
+    val ix = col("r.content.indexedStructured")
+
+    val ctypes = litMap(smithsonianCreatorTypes)
+    val candidates = filter(coalesce(ft.getField("name"), array()),
+      x => element_at(ctypes, lower(x.getField("label"))).isNotNull &&
+        x.getField("content").isNotNull &&
+        !lower(x.getField("content")).contains("unknown"))
+    val ranked = transform(candidates, x => struct(
+      element_at(ctypes, lower(x.getField("label"))).as("rank"),
+      x.getField("content").as("content")))
+    val topRank = array_min(transform(ranked, x => x.getField("rank")))
+    val topNames = transform(
+      filter(ranked, x => x.getField("rank") === topRank),
+      x => x.getField("content"))
+    val freetextCreator = when(size(topNames) > 1,
+      concat(array_join(slice(topNames, lit(1),
+          (size(topNames) - 1).cast("int")), "; "),
+        lit(" and "), element_at(topNames, -1)))
+      .when(size(topNames) === 1, element_at(topNames, 1))
+    val structuredCreator = element_at(transform(
+      filter(coalesce(ix.getField("name"), array()),
+        x => lower(x.getField("type")) === "personal_main" &&
+          x.getField("content").isNotNull),
+      x => x.getField("content")), 1)
+
+    val dtypes = smithsonianDescriptionTypes.map(lit(_))
+    val notes = coalesce(ft.getField("notes"), array())
+    val description = array_join(transform(
+      filter(notes, x =>
+        lower(trim(x.getField("label"))).isInCollection(dtypes)),
+      x => x.getField("content")), " ")
+    val labelText = array_join(transform(
+      filter(notes, x => lower(trim(x.getField("label"))) === "label text"),
+      x => x.getField("content")), " ")
+
+    val tags = concat(
+      coalesce(ix.getField("date"), array()),
+      coalesce(ix.getField("object_type"), array()),
+      coalesce(ix.getField("topic"), array()),
+      coalesce(ix.getField("place"), array()))
+
+    val subProviders = litMap(smithsonianSubProviders)
+
+    val shared = rows.select(
+      coalesce(dnr.getField("record_link"), dnr.getField("guid"))
+        .as("foreign_landing_url"),
+      dnr.getField("title").getField("content").as("title"),
+      element_at(subProviders, trim(dnr.getField("unit_code")))
+        .as("source"),
+      coalesce(freetextCreator, structuredCreator).as("creator"),
+      map_filter(map(
+        lit("unit_code"), dnr.getField("unit_code"),
+        lit("data_source"), dnr.getField("data_source"),
+        lit("description"), nullif(description, lit("")),
+        lit("label_text"), nullif(labelText, lit(""))),
+        (_, v) => v.isNotNull).as("meta_data"),
+      filter(tags, x => x.isNotNull && x =!= "").as("tags"),
+      coalesce(dnr.getField("online_media").getField("media"), array())
+        .as("media"))
+      .filter(col("foreign_landing_url").isNotNull)
+
+    // the fan-out: one CC0 image record per qualifying media item
+    shared
+      .select(col("*"), explode(col("media")).as("m"))
+      .filter(col("m.type") === "Images" &&
+        col("m.usage.access") === "CC0" &&
+        col("m.content").isNotNull && col("m.idsId").isNotNull)
+      .select(
+        col("m.idsId").as("foreign_identifier"),
+        col("foreign_landing_url"),
+        col("m.content").as("url"),
+        col("m.thumbnail").as("thumbnail_url"),
+        col("title"), col("creator"), col("source"),
+        col("meta_data"), col("tags"),
+        lit("cc0").as("license"), lit("1.0").as("license_version"),
+        lit("smithsonian").as("provider"))
   }
 }
