@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
-import graft.operators.MergeUpsert
+import graft.operators.{AudioSets, MergeUpsert}
 import org.apache.spark.sql.functions._
 
 /** The load/upsert pipeline (SURVEY.md §2.3 J6–J9 + A10): per-column
@@ -160,5 +160,74 @@ object LoadQueries extends QueryPack {
       WHERE NOT EXISTS (SELECT 1 FROM target t
                         WHERE t.url = s.url AND md5(t.fid) <> md5(s.fid))"""))
 
-  override def all: Seq[Q] = Seq(q13, q14, q15, q16)
+  /** W2 audio — the audioset_view (popularity/sql.py:329-359): audio
+    * rows synthesized with JSON audio_set subrecords at the TSV
+    * boundary, parsed typed (P8), duration overflow-guarded (P14,
+    * audio.py:194-197), then deduped newest-per-(set fid, provider)
+    * exactly like the reference's DISTINCT ON ... ORDER BY updated_on
+    * DESC (made deterministic on ties by track id).
+    */
+  val q49 = Q("q49_audioset_view",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val setId = col("doc_id") % 7
+      val setJson = when(col("doc_id") % 5 === 4,
+          lit(null).cast("string"))
+        .otherwise(concat(
+          lit("{\"foreign_identifier\":\"set-"), setId,
+          lit("\",\"title\":\"Set "), setId,
+          lit("\",\"foreign_landing_url\":\"https://sets/"), setId,
+          lit("\",\"creator\":\"c"), col("doc_id") % 3,
+          lit("\",\"thumbnail\":\"https://t/"), setId, lit("\"}")))
+      val audio = d.select(
+        col("doc_id").cast("string").as("foreign_identifier"),
+        col("source").as("provider"),
+        ((col("doc_id") * 37) % 1000).as("updated_on"),
+        setJson.as("audio_set"),
+        when(col("doc_id") % 11 === 0, lit(3000000000L))
+          .otherwise(col("doc_id") * 9973).as("duration"),
+        lit(null).cast("string").as("tags"),
+        lit(null).cast("string").as("alt_files"),
+        lit(null).cast("string").as("genres"))
+      AudioSets.audioSetView(AudioSets.typedAudio(audio),
+        extraCols = Seq("duration"))
+    },
+    Some("""
+      WITH a AS (SELECT doc_id,
+          CAST(doc_id AS VARCHAR) AS foreign_identifier,
+          source AS provider,
+          (doc_id * 37) % 1000 AS updated_on,
+          CASE WHEN doc_id % 5 = 4 THEN NULL ELSE
+            '{"foreign_identifier":"set-' || (doc_id % 7) ||
+            '","title":"Set ' || (doc_id % 7) ||
+            '","foreign_landing_url":"https://sets/' || (doc_id % 7) ||
+            '","creator":"c' || (doc_id % 3) ||
+            '","thumbnail":"https://t/' || (doc_id % 7) || '"}'
+          END AS audio_set,
+          CASE WHEN doc_id % 11 = 0 THEN 3000000000
+               ELSE doc_id * 9973 END AS duration
+        FROM documents),
+      g AS (SELECT *,
+          CASE WHEN duration >= 2147483647 THEN NULL
+               ELSE duration END AS dur_guarded
+        FROM a WHERE audio_set IS NOT NULL),
+      r AS (SELECT
+          json_extract_string(audio_set, '$.foreign_identifier') AS sfid,
+          json_extract_string(audio_set, '$.title') AS title,
+          json_extract_string(audio_set, '$.foreign_landing_url') AS flu,
+          json_extract_string(audio_set, '$.creator') AS creator,
+          json_extract_string(audio_set, '$.creator_url') AS creator_url,
+          json_extract_string(audio_set, '$.thumbnail') AS thumbnail,
+          provider, dur_guarded,
+          row_number() OVER (
+            PARTITION BY json_extract_string(audio_set, '$.foreign_identifier'),
+                         provider
+            ORDER BY updated_on DESC, foreign_identifier ASC) AS rn
+        FROM g)
+      SELECT sfid AS foreign_identifier, title, flu AS foreign_landing_url,
+             creator, creator_url, thumbnail, provider,
+             dur_guarded AS duration
+      FROM r WHERE rn = 1"""))
+
+  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49)
 }

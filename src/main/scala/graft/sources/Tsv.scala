@@ -50,6 +50,58 @@ object Tsv {
       StructField("set_position", IntegerType),
       StructField("alt_files", StringType)))   // JSON array text
 
+  /** Legacy image TSV v000 (tsv_columns.py "000" list): no filetype or
+    * category, width/height mid-row rather than trailing.
+    */
+  val imageV000: StructType = StructType(Seq(
+    StructField("foreign_identifier", StringType),
+    StructField("foreign_landing_url", StringType),
+    StructField("url", StringType),
+    StructField("thumbnail_url", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("filesize", IntegerType),
+    StructField("license_", StringType),
+    StructField("license_version", StringType),
+    StructField("creator", StringType),
+    StructField("creator_url", StringType),
+    StructField("title", StringType),
+    StructField("meta_data", StringType),
+    StructField("tags", StringType),
+    StructField("watermarked", StringType),
+    StructField("provider", StringType),
+    StructField("source", StringType),
+    StructField("ingestion_type", StringType)))
+
+  /** `loader/paths.py:31-48` — TSV version from the filename: `_vNNN_`
+    * if present, else the legacy "000".
+    */
+  def tsvVersion(fileName: String): String = {
+    val m = "_v(\\d+)_".r.findFirstMatchIn(fileName)
+    m.map(_.group(1)).getOrElse("000")
+  }
+
+  /** Schema registry keyed like the reference's COLUMNS dict
+    * (tsv_columns.py). Audio has no legacy version — its history starts
+    * at 001.
+    */
+  def schemaFor(mediaType: String, version: String): StructType =
+    (mediaType, version.toInt) match {
+      case ("image", 0) => imageV000
+      case ("image", _) => imageV001
+      case ("audio", v) if v >= 1 => audioV001
+      case _ => throw new IllegalArgumentException(
+        s"no TSV schema for $mediaType v$version")
+    }
+
+  /** Resolve the right schema from a staged TSV's filename, e.g.
+    * `behance_image_20210906130355.tsv` → image v000.
+    */
+  def schemaForFile(fileName: String): StructType = {
+    val media = if (fileName.contains("_audio_")) "audio" else "image"
+    schemaFor(media, tsvVersion(fileName))
+  }
+
   def read(spark: SparkSession, path: String, schema: StructType = imageV001)
       : DataFrame =
     spark.read

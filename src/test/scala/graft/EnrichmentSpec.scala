@@ -35,6 +35,65 @@ class EnrichmentSpec extends SparkSpec {
     assert(r(1).getAs[String]("license_") == "cc0")
   }
 
+  test("TSV version detection and schema registry (paths.py:31-48)") {
+    assert(Tsv.tsvVersion("behance_image_20210906130355.tsv") == "000")
+    assert(Tsv.tsvVersion("jamendo_audio_v005_20210906130355.tsv") == "005")
+    assert(Tsv.schemaForFile("behance_image_20210906130355.tsv") ==
+      Tsv.imageV000)
+    assert(Tsv.schemaForFile("flickr_image_v001_20210906130355.tsv") ==
+      Tsv.imageV001)
+    assert(Tsv.schemaForFile("jamendo_audio_v001_20210906130355.tsv") ==
+      Tsv.audioV001)
+    intercept[IllegalArgumentException] {
+      Tsv.schemaFor("audio", "000") // audio history starts at 001
+    }
+  }
+
+  test("legacy v000 TSV round-trips with mid-row width/height") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv0").toString
+    val line = Seq("fid9", "https://l/9", "https://u/9", "\\N", "640",
+      "480", "\\N", "by", "4.0", "who", "\\N", "t9", "{}", "\\N", "f",
+      "behance", "behance", "provider_api").mkString("\t")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/behance_image_20210906130355.tsv"),
+      line.getBytes("UTF-8"))
+    val back = Tsv.read(spark, s"$dir/behance_image_20210906130355.tsv",
+      Tsv.schemaForFile("behance_image_20210906130355.tsv"))
+    val r = back.collect().head
+    assert(r.getAs[Int]("width") == 640 && r.getAs[Int]("height") == 480)
+    assert(r.getAs[String]("thumbnail_url") == null)
+    assert(r.getAs[String]("provider") == "behance")
+    assert(back.schema.fieldNames.toSeq.take(6) == Seq("foreign_identifier",
+      "foreign_landing_url", "url", "thumbnail_url", "width", "height"))
+  }
+
+  test("audioSetView keeps the newest row per (set fid, provider)") {
+    val rows = Seq(
+      // (track fid, provider, updated_on, set fid, set title, duration)
+      ("t1", "jamendo", 10L, "s1", "Set One v1", 100L),
+      ("t2", "jamendo", 30L, "s1", "Set One v3", 3000000000L),
+      ("t3", "jamendo", 20L, "s1", "Set One v2", 200L),
+      ("t4", "other", 5L, "s1", "Set One other-provider", 50L),
+      ("t5", "jamendo", 7L, "s2", "Set Two", 70L))
+    val df = rows.toDF("foreign_identifier", "provider", "updated_on",
+        "sfid", "stitle", "duration")
+      .withColumn("audio_set", concat(lit("{\"foreign_identifier\":\""),
+        col("sfid"), lit("\",\"title\":\""), col("stitle"), lit("\"}")))
+      .withColumn("tags", lit(null).cast("string"))
+      .withColumn("alt_files", lit(null).cast("string"))
+      .withColumn("genres", lit(null).cast("string"))
+    val got = graft.operators.AudioSets.audioSetView(
+        graft.operators.AudioSets.typedAudio(df),
+        extraCols = Seq("duration"))
+      .orderBy("foreign_identifier", "provider").collect()
+    assert(got.length == 3) // (s1,jamendo), (s1,other), (s2,jamendo)
+    val s1 = got.find(r => r.getAs[String]("foreign_identifier") == "s1" &&
+      r.getAs[String]("provider") == "jamendo").get
+    assert(s1.getAs[String]("title") == "Set One v3") // newest wins
+    // P14: the winning row's overflowing duration was guarded to null
+    assert(s1.get(s1.fieldIndex("duration")) == null)
+  }
+
   test("multimodal mapPartitions decode equals the expression form") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val blobs = Multimodal.asBlobs(
