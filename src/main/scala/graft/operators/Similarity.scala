@@ -87,6 +87,50 @@ object Similarity {
       .agg(min_by(col("cell_id"),
         struct((-col("sim")).as("ns"), col("cell_id"))).as("cell_id"))
 
+  /** Blocked embedding near-duplicate pairs with bounded per-task
+    * fan-out: same-`labelCol` pairs (a, b) with a < b and cosine ≥
+    * `threshold`.
+    *
+    * A block of n vectors implies n² candidate pairs, and a plain
+    * self-join on the block key pins an entire hot block's n² onto ONE
+    * task — the 100 TB failure mode. Blocks are therefore split into
+    * s = ceil(n / maxBlock) salt buckets: the left side keeps its
+    * bucket, the right side replicates into every bucket, so each pair
+    * still meets exactly once (in the left row's bucket) while per-task
+    * candidate count drops from n² to n²/s. Results are EXACT — the
+    * quadratic is parallelized, not sampled — at the cost of an s×
+    * replication of the right side of oversized blocks only.
+    */
+  def nearDupPairsSalted(df: DataFrame, labelCol: String, idCol: String,
+      vecCol: String, threshold: Double, dim: Int = -1,
+      maxBlock: Int = 4096): DataFrame = {
+    val salts = df.groupBy(labelCol)
+      .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).cast("int")
+        .as("__s"))
+    val dbl = transform(col(vecCol), x => x.cast("double"))
+    val e = df.select(col(labelCol), col(idCol), dbl.as("__v"))
+      .withColumn("__norm",
+        if (dim > 0) sqrt(dotFixed(col("__v"), col("__v"), dim))
+        else sqrt(aggregate(zip_with(col("__v"), col("__v"), _ * _),
+          lit(0.0), _ + _)))
+      .join(salts, labelCol)
+    val a = e.select(col(labelCol), col(idCol).as("vec_a"),
+      col("__v").as("__va"), col("__norm").as("__na"),
+      pmod(hash(col(idCol)), col("__s")).as("__salt"))
+    val b = e.select(col(labelCol), col(idCol).as("vec_b"),
+      col("__v").as("__vb"), col("__norm").as("__nb"),
+      explode(sequence(lit(0), col("__s") - 1)).as("__salt"))
+    a.join(b, Seq(labelCol, "__salt"))
+      .filter(col("vec_a") < col("vec_b"))
+      // pair dot stays the interpreted fold: over millions of pairs the
+      // expanded fixed-dim expression exceeds JIT method-size limits
+      .withColumn("cos",
+        aggregate(zip_with(col("__va"), col("__vb"), _ * _), lit(0.0),
+          _ + _) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col(labelCol), col("vec_a"), col("vec_b"))
+  }
+
   /** IVF top-k: restrict the brute-force search to corpus vectors whose
     * cell is among the query's `nprobe` closest cells.
     */

@@ -69,25 +69,13 @@ object SimilarityQueries extends QueryPack {
     */
   val q44 = Q("q44_embedding_neardup",
     (s, dir) => {
-      // per-vector norms use the codegen'd fixed-dim dot; the PAIR dot
-      // keeps the lambda fold — over millions of pairs the 64-term
-      // expanded expression exceeds JIT-friendly method size and runs
-      // slower than the interpreted fold (measured 4.3s vs 1.5s sf0.1)
-      val dbl = transform(col("v"), x => x.cast("double"))
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(Similarity.dotFixed(col("v"), col("v"), 64)))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        dbl.as("va"), col("norm").as("norm_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"),
-        dbl.as("vb"), col("norm").as("norm_b"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos",
-          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _) /
-            (col("norm_a") * col("norm_b")))
-        .filter(col("cos") >= 0.35)
-        .select("label", "vec_a", "vec_b")
+      // salted block self-join: maxBlock=256 splits each ~1000-vector
+      // label block into 4 salt buckets, so the hot-block quadratic is
+      // spread across tasks — results are exactly the plain blocked
+      // join's (salting only re-routes which task scores each pair)
+      Similarity.nearDupPairsSalted(Tables(s, dir, "embeddings"),
+        "label", "vec_id", "embedding", threshold = 0.35, dim = 64,
+        maxBlock = 256)
     },
     Some("""
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b

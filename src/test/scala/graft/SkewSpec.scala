@@ -23,6 +23,20 @@ class SkewSpec extends SparkSpec {
     assert(j.filter(abs(col("t_d") - col("total")) > 1e-6).count() == 0)
   }
 
+  test("nearDupPairsSalted equals the unsalted blocked self-join") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(2000)
+    // maxBlock large enough that s=1 everywhere -> the plain blocked join
+    val plain = graft.operators.Similarity.nearDupPairsSalted(
+      emb, "label", "vec_id", "embedding", 0.3, dim = 64,
+      maxBlock = 1000000)
+    // aggressively small cap -> every block salted into many buckets
+    val salted = graft.operators.Similarity.nearDupPairsSalted(
+      emb, "label", "vec_id", "embedding", 0.3, dim = 64, maxBlock = 17)
+    assert(plain.count() == salted.count())
+    assert(salted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(salted).isEmpty)
+  }
+
   test("saltedJoin equals plain join") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val oo = Tables(spark, sfDir, "orders")
