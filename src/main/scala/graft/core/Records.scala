@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +40,30 @@ object Records {
     StructField("creator_url", StringType),
     StructField("foreign_identifier", StringType)))
 
+  /** P9 write side — array column → PG array literal, the exact format
+    * of the reference's ArrayColumn.prepare_string (columns.py:534-556):
+    * JSON-encoded elements inside braces, `{"a","b c",null}`. to_json
+    * gives the identical element encoding json.dumps does.
+    */
+  def toPgArray(arr: Column): Column =
+    when(arr.isNull, lit(null).cast("string"))
+      .otherwise(concat(lit("{"),
+        regexp_replace(to_json(arr), "^\\[|\\]$", ""), lit("}")))
+
+  /** P9 read side — PG array literal → array<string>. Literals written
+    * by [[toPgArray]]/the reference have JSON-quoted elements, so the
+    * braces swap for brackets and parse as JSON (which keeps embedded
+    * commas and quotes intact); legacy unquoted literals `{a,b}` fail
+    * that parse and fall back to a plain comma split.
+    */
+  def fromPgArray(c: Column): Column = {
+    val inner = regexp_replace(c, "^\\{|\\}$", "")
+    val asJson = from_json(concat(lit("["), inner, lit("]")),
+      ArrayType(StringType))
+    when(c.isNull, lit(null).cast("array<string>"))
+      .otherwise(coalesce(asJson, split(inner, ",")))
+  }
+
   /** Parse the TSV boundary's JSON text columns into typed columns
     * (the inverse happens with to_json on write). Unknown/extra keys
     * are dropped by from_json; malformed JSON → null (quarantinable).
@@ -51,8 +75,6 @@ object Records {
         from_json(col("audio_set"), audioSetType))
       .withColumn("alt_files_typed",
         from_json(col("alt_files"), altFilesType))
-      // genres arrives as a PG array literal `{a,b}` (P9)
-      .withColumn("genres_typed",
-        when(col("genres").isNull, lit(null).cast("array<string>"))
-          .otherwise(split(regexp_replace(col("genres"), "[{}]", ""), ",")))
+      // genres arrives as a PG array literal (P9)
+      .withColumn("genres_typed", fromPgArray(col("genres")))
 }

@@ -32,6 +32,32 @@ class CoreSpec extends SparkSpec {
       Seq("rock", "jazz"))
   }
 
+  test("PG array literal round-trips, including commas/quotes/nulls") {
+    import graft.core.Records
+    val arrs: Seq[Seq[String]] = Seq(
+      Seq("rock", "prog rock"),
+      Seq("a,b", "it's", null),
+      Seq(),
+      null)
+    val df = arrs.toDF("arr")
+    val lit_ = df.select(Records.toPgArray(col("arr")).as("pg"))
+    val got = lit_.select(col("pg")).as[Option[String]].collect().toSeq
+    // exact reference format: JSON-encoded elements inside braces
+    assert(got(0) == Some("""{"rock","prog rock"}"""))
+    assert(got(1) == Some("""{"a,b","it's",null}"""))
+    assert(got(2) == Some("{}"))
+    assert(got(3) == None)
+    val back = lit_.select(Records.fromPgArray(col("pg")).as("arr"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(back.map(_.map(_.toList)) ==
+      arrs.map(Option(_).map(_.toList)))
+    // legacy unquoted literals still parse via the split fallback
+    val legacy = Seq("{a,b}").toDF("pg")
+      .select(Records.fromPgArray(col("pg")).as("arr"))
+      .as[Seq[String]].head()
+    assert(legacy.toList == List("a", "b"))
+  }
+
   test("RecordMetrics derives the funnel and adds across batches") {
     val staged = Seq(("p", "f1", "u1"), ("p", "f1", "u2"), ("p", null, "u3"),
       ("p", "f2", "u1")).toDF("provider", "fid", "url")

@@ -46,4 +46,31 @@ class PlanSpec extends SparkSpec {
     // "*(n)" prefixes mark whole-stage-codegen'd operators
     assert(p.contains("*(1)"))
   }
+
+  test("q39/q47: license dims broadcast, no cartesian") {
+    for (q <- Seq("q39_license_resolve", "q47_license_pair")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("q48: url validation is one codegen'd projection, no joins") {
+    val p = plan("q48_url_validate")
+    assert(p.contains("*(1)"))
+    assert(!p.contains("Join") && !p.contains("Exchange"))
+  }
+
+  test("q49: audioset view is a single shuffle on the set key") {
+    val p = plan("q49_audioset_view")
+    // one Exchange feeding the window dedup; no join at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q44: salted near-dup joins on (label, salt), never cartesian") {
+    val p = plan("q44_embedding_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
