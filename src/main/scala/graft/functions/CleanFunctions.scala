@@ -26,6 +26,30 @@ object CleanFunctions {
     ColumnBridge.column(SanitizeStringExpr(ColumnBridge.expression(c)))
   }
 
+  /** P8 — JSON-value sanitization (columns.py:319-358,
+    * `_sanitize_json_values`): the reference recursively walks raw
+    * dict/list JSON (depth cap 100) applying the P4 string sanitize to
+    * every leaf. In the typed model each nesting level is a typed
+    * column, so one higher-order pass per level IS that recursion. An
+    * empty collection nulls out, matching `prepare_string`'s
+    * `if sanitized_json else None`.
+    */
+  def sanitizeMapValues(m: Column): Column =
+    when(size(map_entries(m)) > 0,
+      transform_values(m, (_, v) => sanitizeString(v)))
+
+  /** P8 over array<string> (the list branch of the recursion). */
+  def sanitizeArrayValues(a: Column): Column =
+    when(size(a) > 0, transform(a, v => sanitizeString(v)))
+
+  /** P8 over enriched tag structs: the name leaf sanitizes, the
+    * provider passes through (media.py:305-311 tag shape).
+    */
+  def sanitizeTagStructs(tags: Column): Column =
+    when(size(tags) > 0, transform(tags, t => struct(
+      sanitizeString(t.getField("name")).as("name"),
+      t.getField("provider").as("provider"))))
+
   /** P5 — char-limit enforcement (columns.py:159-170): over-limit values
     * truncate (truncate=true) or null out (truncate=false).
     */

@@ -285,5 +285,44 @@ object CleaningQueries extends QueryPack {
              THEN upgraded END AS repaired_url
       FROM h"""))
 
-  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q42, q43, q48)
+  /** P8 — JSON-value sanitization over typed collections: every map
+    * value and array element goes through the P4 chain (the reference's
+    * recursive `_sanitize_json_values` flattened onto typed columns);
+    * array output serialized for the comparator.
+    */
+  val q50 = Q("q50_sanitize_json",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val m = map(
+        lit("title"), concat(lit("  \"T\"\t "), substring(col("text"), 1, 30)),
+        lit("note"), when(col("doc_id") % 4 === 0, lit(""))
+          .otherwise(concat(lit(" a\u0008b  "), col("source"))))
+      val arr = array(concat(lit("  x\t"), col("lang")), lit("\"q\""))
+      val clean = CleanFunctions.sanitizeMapValues(m)
+      d.select(col("doc_id"),
+        element_at(clean, "title").as("title_clean"),
+        element_at(clean, "note").as("note_clean"),
+        array_join(CleanFunctions.sanitizeArrayValues(arr), "|")
+          .as("arr_clean"))
+    },
+    Some("""
+      WITH raw AS (SELECT doc_id,
+          '  "T"' || chr(9) || ' ' || substring(text, 1, 30) AS title_v,
+          CASE WHEN doc_id % 4 = 0 THEN ''
+               ELSE ' a' || chr(8) || 'b  ' || source END AS note_v,
+          '  x' || chr(9) || lang AS a0, '"q"' AS a1
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(translate(title_v, '"', ''''),
+          '[\x08]', '', 'g'), '\s+', ' ', 'g')) AS title_clean,
+        trim(regexp_replace(regexp_replace(translate(note_v, '"', ''''),
+          '[\x08]', '', 'g'), '\s+', ' ', 'g')) AS note_clean,
+        trim(regexp_replace(regexp_replace(translate(a0, '"', ''''),
+          '[\x08]', '', 'g'), '\s+', ' ', 'g')) || '|' ||
+          trim(regexp_replace(regexp_replace(translate(a1, '"', ''''),
+            '[\x08]', '', 'g'), '\s+', ' ', 'g')) AS arr_clean
+      FROM raw"""))
+
+  override def all: Seq[Q] =
+    Seq(q17, q18, q19, q20, q21, q42, q43, q48, q50)
 }

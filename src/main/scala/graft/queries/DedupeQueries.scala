@@ -75,7 +75,10 @@ object DedupeQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       // the shingle explode is the dominant cost — compute it ONCE and
       // persist; it feeds the minhash signature, both intersection sides,
-      // and the size table (4 consumers)
+      // and the size table (4 consumers). (An array-HOF shingle builder
+      // with no window shuffle was measured 5× SLOWER at sf0.1 — 3.6s vs
+      // 0.66s — the interpreted per-element lambda dominates; keep the
+      // posexplode + window-lead form.)
       val sh = Dedupe.shingleRows(docs, "doc_id", "text", 3).persist()
       val sig = Dedupe.minhashWideFromShingles(sh, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4)

@@ -214,6 +214,34 @@ class EnrichmentSpec extends SparkSpec {
     assert(plan.contains("*(1)"))
   }
 
+  test("P8 collection sanitize: map values, arrays, tag structs") {
+    val df = Seq((1,
+      Map("a" -> "  \"x\"\ty ", "b" -> ""),
+      Seq(" pq ", "r  s"),
+      Seq(("  \"n\" ", "flickr"))))
+      .toDF("id", "m", "arr", "tags")
+    val got = df.select(
+      CleanFunctions.sanitizeMapValues(col("m")).as("m"),
+      CleanFunctions.sanitizeArrayValues(col("arr")).as("arr"),
+      CleanFunctions.sanitizeTagStructs(
+        col("tags").cast("array<struct<name:string,provider:string>>"))
+        .as("tags")).collect().head
+    assert(got.getAs[Map[String, String]]("m") ==
+      Map("a" -> "'x' y", "b" -> ""))
+    assert(got.getAs[collection.Seq[String]]("arr").toSeq ==
+      Seq("pq", "r s"))
+    val tag = got.getAs[collection.Seq[org.apache.spark.sql.Row]]("tags").head
+    assert(tag.getAs[String]("name") == "'n'" &&
+      tag.getAs[String]("provider") == "flickr")
+    // empty collections null out (prepare_string's falsy -> None)
+    val empty = Seq((1, Map.empty[String, String], Seq.empty[String]))
+      .toDF("id", "m", "arr")
+      .select(CleanFunctions.sanitizeMapValues(col("m")).as("m"),
+        CleanFunctions.sanitizeArrayValues(col("arr")).as("arr"))
+      .collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+  }
+
   test("htmlToText strips tags, decodes entities, collapses whitespace") {
     val got = Seq("<p>Hello &amp; <b>world</b>\n &lt;x&gt;</p>").toDF("h")
       .select(CleanFunctions.htmlToText(col("h"))).as[String].head()
