@@ -54,4 +54,81 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(kindCol).as("kind"),
       col(bytesCol).as("content")).as[MediaBlob]
   }
+
+  /** A resized payload: new dims + (stub) re-encoded bytes. */
+  case class ResizedBlob(id: Long, kind: String, width: Int, height: Int,
+      scale: Double, content: Array[Byte])
+
+  /** Fit-inside-box resize. The geometry (aspect-preserving scale,
+    * never upscale) is real; the re-encode is the stub part — content
+    * passes through untouched where a codec would re-encode. Runs per
+    * partition so a real resizer inits once per partition.
+    */
+  def resize(decoded: Dataset[DecodedMeta], blobs: Dataset[MediaBlob],
+      maxW: Int, maxH: Int): Dataset[ResizedBlob] = {
+    import blobs.sparkSession.implicits._
+    val joined = decoded.toDF().join(blobs.toDF().drop("kind"), "id")
+      .as[(Long, String, Long, String, Int, Int, Array[Byte])]
+    joined.mapPartitions { iter =>
+      iter.map { case (id, kind, _, _, w, h, content) =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / w, maxH.toDouble / h))
+        ResizedBlob(id, kind, (w * scale).toInt, (h * scale).toInt,
+          scale, content)
+      }
+    }
+  }
+
+  /** One sampled frame of a video payload. */
+  case class Frame(id: Long, frame_idx: Int, n_frames: Int,
+      frame_bytes: Array[Byte])
+
+  /** Frame sampling: each video blob fans out to `n` evenly-spaced
+    * frames — the one-blob→many-rows generator shape, iterator-to-
+    * iterator so a partition never materializes all its frames at once.
+    * Stub: a "frame" is the corresponding byte slice of the payload
+    * (a real extractor would seek + decode at the same positions).
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], n: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val len = b.content.length
+        if (len == 0) Iterator.empty
+        else Iterator.tabulate(n) { i =>
+          val start = (len.toLong * i / n).toInt
+          val end = (len.toLong * (i + 1) / n).toInt
+          Frame(b.id, i, n, java.util.Arrays.copyOfRange(
+            b.content, start, math.max(end, start + 1).min(len)))
+        }
+      }
+    }
+  }
+
+  /** Deterministic stub embedding: digest bytes → fixed-dim unit-norm
+    * float vector, the schema contract of a real vision/audio encoder.
+    * Output plugs straight into the Similarity operators (ANN, near-dup).
+    */
+  def embedStub(blobs: Dataset[MediaBlob], dim: Int = 64): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      // one digest instance per partition (the "model init" slot)
+      val md = MessageDigest.getInstance("MD5")
+      iter.map { b =>
+        val v = new Array[Float](dim)
+        var off = 0
+        var seed = b.content
+        while (off < dim) {
+          seed = md.digest(seed)
+          var i = 0
+          while (i < seed.length && off < dim) {
+            v(off) = ((seed(i) & 0xff) - 127.5f) / 127.5f
+            i += 1; off += 1
+          }
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        (b.id, v.map(x => if (norm == 0) 0f else x / norm).toSeq)
+      }
+    }.toDF("id", "embedding")
+  }
 }

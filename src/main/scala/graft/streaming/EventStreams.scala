@@ -87,6 +87,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup (the streaming form of the batch hash-dedup):
+    * keep the FIRST occurrence of each key, with state bounded by the
+    * watermark horizon — a re-pull of the same record inside the
+    * horizon dedupes here; one arriving beyond it re-emits and the
+    * downstream idempotent merge (J6) absorbs it, exactly the
+    * reference's reingestion contract. dropDuplicatesWithinWatermark
+    * evicts per-key state at the horizon, so state is O(keys-per-
+    * horizon), never O(all-history) — the property that keeps this
+    * runnable forever on a 100 TB/day stream.
+    */
+  def dedupWithinHorizon(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a streaming query to completion over the currently-available
     * input (Trigger.AvailableNow analog via processAllAvailable) and
     * return the result table.

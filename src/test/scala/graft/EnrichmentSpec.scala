@@ -112,6 +112,45 @@ class EnrichmentSpec extends SparkSpec {
       viaExpr.exceptAll(decoded).isEmpty)
   }
 
+  test("multimodal resize geometry, frame fan-out, stub embeddings") {
+    val docs = Tables(spark, sfDir, "documents").limit(20)
+    val blobs = Multimodal.asBlobs(
+      docs.select(col("doc_id").as("id"), lit("video").as("kind"),
+        col("text").cast("binary").as("content")),
+      "id", "kind", "content")
+    val decoded = Multimodal.decode(blobs)
+    // resize: fits inside the box, aspect preserved, never upscales
+    val resized = Multimodal.resize(decoded, blobs, 320, 240).collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      assert(r.width <= 320 && r.height <= 240 && r.scale <= 1.0)
+    }
+    val d0 = decoded.filter(col("id") === resized.head.id).collect().head
+    val r0 = resized.head
+    // aspect ratio preserved within integer truncation
+    assert(math.abs(r0.width.toDouble / r0.height -
+      d0.width.toDouble / d0.height) < 0.05 || r0.scale == 1.0)
+    // frame sampling: every non-empty blob fans out to exactly n frames
+    // covering the payload in order
+    val frames = Multimodal.sampleFrames(blobs, 4)
+    assert(frames.count() == 80)
+    val f = frames.filter(col("id") === 0).collect().sortBy(_.frame_idx)
+    val orig = blobs.filter(col("id") === 0).collect().head.content
+    assert(f.map(_.frame_bytes.length).sum == orig.length)
+    assert(java.util.Arrays.equals(f.flatMap(_.frame_bytes), orig))
+    // stub embeddings: unit-norm fixed-dim vectors, deterministic
+    val emb = Multimodal.embedStub(blobs, dim = 16)
+    val v = emb.filter(col("id") === 1).collect()
+      .head.getAs[collection.Seq[Float]]("embedding")
+    assert(v.length == 16)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    val v2 = Multimodal.embedStub(blobs, dim = 16)
+      .filter(col("id") === 1).collect()
+      .head.getAs[collection.Seq[Float]]("embedding")
+    assert(v == v2)
+  }
+
   test("percentile_disc_exact aggregate equals windowed implementation") {
     PercentileDiscAgg.register(spark)
     val e = Tables(spark, sfDir, "events")

@@ -51,4 +51,33 @@ class WatermarkSpec extends SparkSpec {
     // merged — dropped by the watermark
     assert(!out.contains(daySec - 48 * 3600))
   }
+
+  test("streaming dedup keeps first occurrence within the horizon") {
+    val landing = java.nio.file.Files.createTempDirectory("dd").toString
+    val day = 1700006400L * 1000000000L
+    // same event_id=7 occurs twice in-batch, once again next batch
+    Seq((7L, day + 1, 1L, "view", 1.0, "{}"),
+        (7L, day + 2, 1L, "view", 1.0, "{}"),
+        (8L, day + 3, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val dedup = EventStreams.dedupWithinHorizon(
+      EventStreams.readEvents(spark, landing), Seq("event_id"),
+      watermark = "1 hour")
+    val q = dedup.writeStream
+      .outputMode("append").format("memory").queryName("dd_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ddchk").toString)
+      .start()
+    q.processAllAvailable()
+    Seq((7L, day + 4, 1L, "view", 1.0, "{}"),   // dupe inside horizon
+        (9L, day + 5, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(7L, 8L, 9L)) // each key once, first wins
+  }
 }
