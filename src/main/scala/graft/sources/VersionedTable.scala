@@ -124,6 +124,35 @@ object VersionedTable {
     commit(merged, root)
   }
 
+  /** ST8 single-flight: at most one writer per table. The lock is an
+    * atomically-created file (`create` with overwrite=false is the
+    * mutual-exclusion primitive); a second writer fails fast instead of
+    * queueing — the reference's single-run sensor semantics. The lock
+    * carries its creation timestamp so an operator can judge staleness
+    * after a crashed writer; [[mergeInto]]/[[commit]] themselves stay
+    * lock-free (last-pointer-flip-wins) for callers that serialize
+    * externally, matching how the reference leaves throttling to the
+    * orchestrator.
+    */
+  def withWriterLock[T](spark: SparkSession, root: String)(f: => T): T = {
+    val fsys = fs(spark, root)
+    val lock = new Path(root, "_WRITER_LOCK")
+    val out =
+      try fsys.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another writer holds the lock on $root")
+      }
+    try {
+      out.write(System.currentTimeMillis().toString
+        .getBytes(StandardCharsets.UTF_8))
+      out.close()
+      f
+    } finally {
+      fsys.delete(lock, false)
+    }
+  }
+
   /** Drop retired version directories, keeping the newest `keep`
     * committed versions plus any orphans newer than the pointer (a
     * concurrent staged-but-unpublished write must not be deleted).

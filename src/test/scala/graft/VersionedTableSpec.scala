@@ -55,6 +55,29 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
+  test("writer lock is single-flight and releases on completion") {
+    val root = tmp()
+    // a second writer inside the critical section fails fast
+    VersionedTable.withWriterLock(spark, root) {
+      VersionedTable.commit(Seq((1, "a")).toDF("id", "x"), root)
+      intercept[IllegalStateException] {
+        VersionedTable.withWriterLock(spark, root) { fail("must not run") }
+      }
+    }
+    // lock released -> next writer proceeds
+    VersionedTable.withWriterLock(spark, root) {
+      VersionedTable.commit(Seq((2, "b")).toDF("id", "x"), root)
+    }
+    assert(VersionedTable.currentVersion(spark, root) == Some(2L))
+    // lock also releases when the body throws
+    intercept[RuntimeException] {
+      VersionedTable.withWriterLock(spark, root) {
+        throw new RuntimeException("writer crashed")
+      }
+    }
+    VersionedTable.withWriterLock(spark, root) {}
+  }
+
   test("vacuum drops retired versions, keeps the recent window") {
     val root = tmp()
     (1 to 4).foreach { i =>
