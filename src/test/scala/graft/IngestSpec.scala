@@ -49,6 +49,33 @@ class IngestSpec extends SparkSpec {
     assert(!IngestPlanner.shouldPull(t, Some(t)))
   }
 
+  test("oauth token lifecycle: authorize once, rotate, refresh plan") {
+    import graft.ingest.OAuth
+    import java.time.{Duration, Instant}
+    val t0 = Instant.parse("2026-08-01T00:00:00Z")
+    val p1 = OAuth.TokenPair("a1", "r1", t0.plusSeconds(3600))
+    var store = OAuth.authorize(Map.empty, "freesound", p1)
+    // re-authorization never downgrades the stored pair
+    store = OAuth.authorize(store, "freesound",
+      OAuth.TokenPair("aX", "rX", t0))
+    assert(store("freesound") == p1)
+    // refresh due only inside the margin of expiry
+    assert(!OAuth.needsRefresh(t0, p1, Duration.ofMinutes(10)))
+    assert(OAuth.needsRefresh(t0.plusSeconds(3001), p1,
+      Duration.ofMinutes(10)))
+    store = OAuth.authorize(store, "other",
+      OAuth.TokenPair("b1", "s1", t0.plusSeconds(60)))
+    assert(OAuth.refreshPlan(store, t0, Duration.ofMinutes(10)) ==
+      Seq("other"))
+    // rotation spends the old refresh token
+    val rotated = OAuth.applyRefresh(store, "other",
+      OAuth.TokenPair("b2", "s2", t0.plusSeconds(7200)))
+    assert(rotated.toOption.get("other").refreshToken == "s2")
+    // unauthorized provider -> the skip path, not a silent insert
+    assert(OAuth.applyRefresh(store, "nope",
+      OAuth.TokenPair("x", "y", t0)).isLeft)
+  }
+
   test("flickrish extractor: golden fixture → normalized records") {
     val batch =
       """{"page":1,"pages":1,"photo":[
