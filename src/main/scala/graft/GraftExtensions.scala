@@ -7,10 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.PercentileDiscAgg
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst functions at session build time
+  * Catalyst pieces at session build time
   * (`.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions`). Currently:
-  * `percentile_disc_exact(x, p)` — exact Postgres discrete percentile.
+  * `spark.sql.extensions=graft.GraftExtensions`):
+  * `percentile_disc_exact(x, p)` — exact Postgres discrete percentile —
+  * and the CollapseSanitize optimizer rule (idempotent-sanitize
+  * elimination).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -19,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PercentileDiscAgg].getName,
         "percentile_disc_exact"),
       PercentileDiscAgg.builder))
+    e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }
