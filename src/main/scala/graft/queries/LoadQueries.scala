@@ -229,5 +229,49 @@ object LoadQueries extends QueryPack {
              dur_guarded AS duration
       FROM r WHERE rn = 1"""))
 
-  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49)
+  /** Audio alt_files fan-out: each audio row's alternate encodings
+    * (storage/audio.py:130-133 AltFile shape) parse typed from the TSV
+    * JSON boundary and explode one-row-per-encoding, then roll up per
+    * container format — the downstream shape the API's file-picker
+    * queries need.
+    */
+  val q51 = Q("q51_alt_files",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val alt = when(col("doc_id") % 3 === 2, lit(null).cast("string"))
+        .otherwise(concat(
+          lit("[{\"url\":\"https://f/"), col("doc_id"),
+          lit(".mp3\",\"filesize\":"), col("doc_id") % 1000,
+          lit(",\"bit_rate\":128000,\"sample_rate\":44100},"),
+          lit("{\"url\":\"https://f/"), col("doc_id"),
+          lit(".ogg\",\"filesize\":"), (col("doc_id") * 7) % 997,
+          lit(",\"bit_rate\":96000,\"sample_rate\":48000}]")))
+      val typed = d.select(col("doc_id"),
+        from_json(alt, graft.core.Records.altFilesType).as("alt"))
+      typed
+        .select(col("doc_id"), explode(col("alt")).as("f"))
+        .select(col("doc_id"),
+          regexp_extract(col("f.url"), "\\.([a-z0-9]+)$", 1).as("fmt"),
+          col("f.filesize"), col("f.bit_rate"), col("f.sample_rate"))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(col("filesize")).cast("long").as("total_size"),
+          max(col("bit_rate")).cast("long").as("max_bitrate"),
+          countDistinct(col("sample_rate")).as("n_rates"))
+    },
+    Some("""
+      WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 2),
+      ex AS (
+        SELECT doc_id, 'mp3' AS fmt, doc_id % 1000 AS filesize,
+               128000 AS bit_rate, 44100 AS sample_rate FROM base
+        UNION ALL
+        SELECT doc_id, 'ogg' AS fmt, (doc_id * 7) % 997 AS filesize,
+               96000 AS bit_rate, 48000 AS sample_rate FROM base)
+      SELECT fmt, COUNT(*) AS n,
+             CAST(SUM(filesize) AS BIGINT) AS total_size,
+             CAST(MAX(bit_rate) AS BIGINT) AS max_bitrate,
+             COUNT(DISTINCT sample_rate) AS n_rates
+      FROM ex GROUP BY fmt"""))
+
+  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51)
 }
