@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.Records
+import graft.functions.{CleanFunctions, Urls}
+
+/** Property tests over generated adversarial inputs — one Spark job per
+  * property (the generated corpus goes through AS A COLUMN, so the
+  * codegen path is what's exercised, not per-row evals).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] = {
+    val p = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(p, Seed(i.toLong)))
+  }
+
+  // strings heavy on the sanitize chain's special cases
+  private val nastyString: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+    1 -> Gen.oneOf('"', '\'', '', '\\'),
+    1 -> Gen.oneOf('é', 'ß', '中'))).map(_.mkString)
+
+  test("native sanitize == regex chain on 500 generated strings") {
+    val cases = sample(nastyString, 500)
+    val df = cases.toDF("s")
+    val mismatches = df.select(
+        CleanFunctions.sanitizeString(col("s")).as("rx"),
+        CleanFunctions.sanitizeStringNative(col("s")).as("nat"))
+      .filter(col("rx") =!= col("nat") ||
+        col("rx").isNull =!= col("nat").isNull)
+    assert(mismatches.count() == 0)
+  }
+
+  test("PG array literal round-trips 300 generated arrays") {
+    val arrGen = Gen.listOfN(3, nastyString.map(_.take(20)))
+      .map(_.toSeq)
+    val cases = sample(arrGen, 300).filter(_.nonEmpty)
+    val df = cases.toDF("arr")
+    val back = df.select(col("arr"),
+      Records.fromPgArray(Records.toPgArray(col("arr"))).as("rt"))
+    // to_json escapes and from_json unescapes — round trip must be exact
+    val bad = back.filter(
+      size(col("arr")) =!= size(col("rt")) ||
+        exists(zip_with(col("arr"), col("rt"),
+          (a, b) => !(a <=> b)), x => x))
+    assert(bad.count() == 0)
+  }
+
+  test("url validation never emits a scheme-less or unknown-TLD url") {
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("", "http://", "https://", "https:/", "//")
+      host <- Gen.oneOf("example.com", "abcd.com", "foo.notarealtld",
+        "8.8.8.8", "x.co.uk", "nohost", "creativecomons.org")
+      path <- Gen.oneOf("", "/", "/a/b", "/a/b/", "/?q=1")
+    } yield s"$scheme$host$path"
+    val cases = sample(urlGen, 400)
+    val out = cases.toDF("u")
+      .select(Urls.validateUrlString(col("u")).as("v"))
+      .filter(col("v").isNotNull)
+    // every surviving url has a scheme and a known-suffix (or IP) host
+    val badScheme = out.filter(!col("v").rlike("^https?://"))
+    assert(badScheme.count() == 0)
+    val host = lower(regexp_extract(col("v"), "^[a-z]+://([^/?#]+)", 1))
+    val badHost = out.filter(
+      !host.rlike(Urls.hostPattern) && !host.rlike(Urls.ipv4Pattern))
+    assert(badHost.count() == 0)
+    // and nothing valid was dropped: every known-good host survives
+    val survivors = out.as[String].collect().toSet
+    assert(cases.count(_.contains("example.com")) > 0)
+    assert(survivors.exists(_.contains("example.com")))
+  }
+}
