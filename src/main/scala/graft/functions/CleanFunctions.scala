@@ -131,4 +131,13 @@ object CleanFunctions {
       "&quot;", "\"")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** P17 as a native codegen'd expression (HtmlToTextExpr) — identical
+    * semantics to [[htmlToText]] without the six regex engine passes;
+    * equality asserted in specs including entity-cascade cases.
+    */
+  def htmlToTextNative(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HtmlToTextExpr(ColumnBridge.expression(c)))
+  }
 }

@@ -333,14 +333,17 @@ object EnrichmentQueries extends QueryPack {
       FROM n LEFT JOIN rdim
         ON n.license = rdim.license AND n.license_version_n = rdim.version_n"""))
 
-  /** P17 — HTML → text extraction over synthesized description markup. */
+  /** P17 — HTML → text extraction over synthesized description markup,
+    * via the native single-pass expression (byte-equal to the regex
+    * chain the oracle mirrors).
+    */
   val q40 = Q("q40_html_strip",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
       val html = concat(lit("<p class=\"d\">"), substring(col("text"), 1, 40),
         lit(" &amp; <b>"), col("source"), lit("</b> &lt;tail&gt;</p>"))
       d.select(col("doc_id"),
-        CleanFunctions.htmlToText(html).as("description"))
+        CleanFunctions.htmlToTextNative(html).as("description"))
     },
     Some("""
       WITH h AS (SELECT doc_id,

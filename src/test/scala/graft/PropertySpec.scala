@@ -37,6 +37,26 @@ class PropertySpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("native html_to_text == regex chain on generated markup") {
+    val htmlGen: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("<b>", "</b>", "<p class=\"x\">", "<", ">",
+        "<unclosed", "<a<b>", "<>"),
+      1 -> Gen.oneOf("&amp;", "&lt;", "&gt;", "&quot;", "&amp;lt;",
+        "&amp;amp;", "&am", "&"),
+      1 -> Gen.oneOf(" ", "\t", "\n", "  "))).map(_.mkString)
+    val cases = sample(htmlGen, 500) ++ Seq(
+      "&amp;lt;cascade&amp;gt;", "<a href=\"x\">link</a>",
+      "no markup at all", "", "  <p>  </p>  ")
+    val df = cases.toDF("h")
+    val mismatches = df.select(
+        CleanFunctions.htmlToText(col("h")).as("rx"),
+        CleanFunctions.htmlToTextNative(col("h")).as("nat"))
+      .filter(col("rx") =!= col("nat") ||
+        col("rx").isNull =!= col("nat").isNull)
+    assert(mismatches.count() == 0)
+  }
+
   test("PG array literal round-trips 300 generated arrays") {
     val arrGen = Gen.listOfN(3, nastyString.map(_.take(20)))
       .map(_.toSeq)
