@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.PercentileDiscAgg
+import graft.functions.{HtmlToTextExpr, PercentileDiscAgg,
+  SanitizeStringExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst pieces at session build time
@@ -21,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PercentileDiscAgg].getName,
         "percentile_disc_exact"),
       PercentileDiscAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("sanitize_string"),
+      new ExpressionInfo(classOf[SanitizeStringExpr].getName,
+        "sanitize_string"),
+      exprs => SanitizeStringExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("html_to_text"),
+      new ExpressionInfo(classOf[HtmlToTextExpr].getName,
+        "html_to_text"),
+      exprs => HtmlToTextExpr(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }

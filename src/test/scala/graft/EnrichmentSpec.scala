@@ -286,4 +286,13 @@ class EnrichmentSpec extends SparkSpec {
       .select(CleanFunctions.htmlToText(col("h"))).as[String].head()
     assert(got == "Hello & world <x>")
   }
+
+  test("native cleaning expressions are callable from SQL") {
+    CleanFunctions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT sanitize_string('  "a"  b ') AS s,
+                html_to_text('<p>x &amp; y</p>') AS h""").collect().head
+    assert(r.getAs[String]("s") == "'a' b")
+    assert(r.getAs[String]("h") == "x & y")
+  }
 }
