@@ -57,6 +57,49 @@ object TextAnalysis {
     * n_chars, n_tokens, n_distinct_tokens, avg_token_len,
     * punct_ratio (punctuation chars / chars), digit_ratio.
     */
+  /** Gopher-style repetition/quality rules (the published heuristics of
+    * Rae et al. 2021 §A1.1, the standard LLM-corpus filter set): word
+    * count bounds, mean word length bounds, symbol-to-word ratio
+    * (hashes + ellipses), alphabetic-word fraction, and stop-word
+    * containment — each as a measured value plus its pass flag and an
+    * overall keep decision. All integer-derived ratios, so results are
+    * engine-exact.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = Dedupe.words(t)
+    val n = size(toks)
+    val meanLen = (length(regexp_replace(t, " ", "")).cast("double") / n)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / n
+    val alphaFrac = size(filter(toks, x => x.rlike("[a-zA-Z]")))
+      .cast("double") / n
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val stopCount = size(filter(
+      array(stops.map(lit(_)): _*), s => array_contains(toks, s)))
+    val passWords = n >= minWords && n <= maxWords
+    val passMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val passSymbols = symbolRatio <= 0.1
+    val passAlpha = alphaFrac >= 0.8
+    val passStops = stopCount >= 2
+    docs.select(
+      col(idCol).as("doc"),
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      stopCount.cast("long").as("stop_count"),
+      passWords.as("pass_words"), passMeanLen.as("pass_mean_len"),
+      passSymbols.as("pass_symbols"), passAlpha.as("pass_alpha"),
+      passStops.as("pass_stops"),
+      (passWords && passMeanLen && passSymbols && passAlpha &&
+        passStops).as("keep"))
+  }
+
   def qualitySignals(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = col(textCol)

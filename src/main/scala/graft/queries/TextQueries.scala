@@ -92,5 +92,52 @@ object TextQueries extends QueryPack {
       SELECT DISTINCT doc, fp FROM mins
       WHERE p <= length(t) - 7 - 3"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q29, q45)
+  /** Gopher-style corpus filter rules over documents, with a dirty-text
+    * variant synthesized for rule diversity (hash/ellipsis injection on
+    * a deterministic subset).
+    */
+  val q52 = Q("q52_gopher_rules",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dirty = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" ### ... ### ... #")))
+        .when(col("doc_id") % 7 === 1, lit("tiny doc"))
+        .otherwise(col("text"))
+      TextAnalysis.gopherRules(
+        d.select(col("doc_id"), dirty.as("t")), "doc_id", "t",
+        minWords = 20, maxWords = 100000)
+    },
+    Some("""
+      WITH src AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' ### ... ### ... #'
+               WHEN doc_id % 7 = 1 THEN 'tiny doc'
+               ELSE text END AS t
+        FROM documents),
+      m AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM src),
+      v AS (SELECT doc_id,
+          len(ws) AS n_words,
+          CAST(length(replace(t, ' ', '')) AS DOUBLE) / len(ws) AS mean_word_len,
+          CAST((length(t) - length(replace(t, '#', ''))) +
+               (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+            / len(ws) AS symbol_ratio,
+          CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS DOUBLE) / len(ws) AS alpha_frac,
+          len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(ws, s))) AS stop_count
+        FROM m)
+      SELECT doc_id AS doc, CAST(n_words AS BIGINT) AS n_words,
+        mean_word_len, symbol_ratio, alpha_frac,
+        CAST(stop_count AS BIGINT) AS stop_count,
+        (n_words >= 20 AND n_words <= 100000) AS pass_words,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+        (symbol_ratio <= 0.1) AS pass_symbols,
+        (alpha_frac >= 0.8) AS pass_alpha,
+        (stop_count >= 2) AS pass_stops,
+        ((n_words >= 20 AND n_words <= 100000) AND
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AND
+         (stop_count >= 2)) AS keep
+      FROM v"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52)
 }
