@@ -51,7 +51,10 @@ object Dedupe {
     * interpreted (no codegen) and re-evaluate the `split` per element,
     * which is quadratic per document. One narrow shuffle on doc instead.
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+  /** All k-word shingles WITH multiplicity (repetition metrics need the
+    * counts; dedup/minhash want the distinct set — see [[shingleRows]]).
+    */
+  def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy("doc").orderBy("pos")
     val leads = (1 until k).map(j => lead(col("w0"), j).over(w))
@@ -63,8 +66,11 @@ object Dedupe {
         leads.last.isNotNull.as("__full"))
       .filter(col("__full"))
       .select("doc", "shingle")
-      .distinct()
   }
+
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shingleRowsAll(docs, idCol, textCol, k).distinct()
 
   /** (doc, minhash_index, minhash) rows: signature of `numHashes` md5-based
     * min-hashes over k-word shingles. The i-th hash of shingle s is

@@ -100,6 +100,52 @@ object TextAnalysis {
         passStops).as("keep"))
   }
 
+  /** BPE-style pre-tokenizer regex (the GPT-2 pattern family reduced to
+    * the RE2-compatible subset — no lookahead, so the same pattern runs
+    * in every engine): a token is an optionally-space-prefixed letter
+    * run, digit run, or punctuation run, or a single whitespace char.
+    */
+  val bpeTokenPattern: String =
+    " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+| "
+
+  /** Token counting both ways (whitespace words vs BPE-ish subword
+    * pre-tokens) — the cost-estimation signal an LLM-corpus pipeline
+    * budgets with. Pure codegen'd projection.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      size(Dedupe.words(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeTokenPattern), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Gopher repetition signal: the fraction of characters covered by
+    * occurrences of the doc's most frequent word 2-gram (ties broken
+    * lexicographically). One explode + two aggregations, both with
+    * map-side partials — no window over the exploded rows.
+    */
+  def topBigramFraction(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = Dedupe.shingleRowsAll(docs, idCol, textCol, 2)
+    val counts = grams.groupBy("doc", "shingle")
+      .agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy("doc").agg(
+      min_by(struct(col("shingle"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("shingle"))).as("top"))
+      .select(col("doc"), col("top.shingle").as("top_bigram"),
+        col("top.cnt").as("top_count"))
+    docs.select(col(idCol).as("doc"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(top, Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_count"), lit(0L)).cast("long").as("top_count"),
+        (coalesce(col("top_count") * length(col("top_bigram")), lit(0L))
+          .cast("double") / col("n_chars")).as("top_bigram_char_frac"))
+  }
+
   def qualitySignals(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = col(textCol)

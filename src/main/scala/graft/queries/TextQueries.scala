@@ -139,5 +139,57 @@ object TextQueries extends QueryPack {
          (stop_count >= 2)) AS keep
       FROM v"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52)
+  /** Gopher repetition signal: per-doc most-frequent word bigram and
+    * the fraction of characters its occurrences cover, with a
+    * repetition-injected subset so the signal actually fires.
+    */
+  val q53 = Q("q53_repetition",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dirty = when(col("doc_id") % 5 === 0,
+          concat(col("text"), repeat(lit(" spam ham"), 30)))
+        .otherwise(col("text"))
+      TextAnalysis.topBigramFraction(
+        d.select(col("doc_id"), dirty.as("t")), "doc_id", "t")
+    },
+    Some("""
+      WITH src AS (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || repeat(' spam ham', 30)
+               ELSE text END AS t
+        FROM documents),
+      m AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM src),
+      g AS (SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS bigram
+            FROM m CROSS JOIN (SELECT unnest(range(1000)) AS i) ii
+            WHERE i <= len(ws) - 2),
+      c AS (SELECT doc_id, bigram, COUNT(*) AS cnt
+            FROM g GROUP BY doc_id, bigram),
+      top AS (SELECT doc_id, bigram AS top_bigram, cnt AS top_count
+              FROM (SELECT doc_id, bigram, cnt, row_number() OVER
+                      (PARTITION BY doc_id
+                       ORDER BY cnt DESC, bigram ASC) AS rn
+                    FROM c)
+              WHERE rn = 1)
+      SELECT m.doc_id AS doc, CAST(length(m.t) AS BIGINT) AS n_chars,
+             top_bigram, CAST(top_count AS BIGINT) AS top_count,
+             CAST(top_count * length(top_bigram) AS DOUBLE) /
+               length(m.t) AS top_bigram_char_frac
+      FROM m JOIN top ON m.doc_id = top.doc_id"""))
+
+  /** Token counting both ways: whitespace words vs the RE2-compatible
+    * BPE-style pre-tokenizer — the corpus cost-estimation signal.
+    */
+  val q54 = Q("q54_bpe_tokens",
+    (s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "doc_id",
+        "text"),
+    Some(s"""
+      SELECT doc_id AS doc,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text,
+          '${TextAnalysis.bpeTokenPattern}'))
+          AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54)
 }
