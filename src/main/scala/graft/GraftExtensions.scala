@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HtmlToTextExpr, PercentileDiscAgg,
-  SanitizeStringExpr}
+import graft.functions.{DotProductExpr, HtmlToTextExpr,
+  PercentileDiscAgg, SanitizeStringExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst pieces at session build time
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HtmlToTextExpr].getName,
         "html_to_text"),
       exprs => HtmlToTextExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      exprs => DotProductExpr(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }

@@ -147,6 +147,62 @@ object Similarity {
       .select(col(labelCol), col("vec_a"), col("vec_b"))
   }
 
+  /** Materialize the IVF index: the corpus written PARTITIONED BY its
+    * cell assignment. At 100 TB the cell is the parquet partition key —
+    * a probe then reads nprobe/ncells of the data through partition
+    * PRUNING (directories never opened), not a filter running over a
+    * full scan.
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit = {
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    corpus.join(cells, idCol)
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+  }
+
+  /** Probed top-nprobe cells per query vector (small aggregate over
+    * query × broadcast centroids — never a window over a product).
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int, dim: Int = -1): DataFrame =
+    queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col("qv"), col("centroid"), dim))
+      .groupBy("vec_id")
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(
+          struct((-col("sim")).as("ns"), col("cell_id")))), 1, nprobe)
+          .as("top_cells"))
+      .select(col("vec_id"), col("qv"),
+        explode(col("top_cells").getField("cell_id")).as("cell_id"))
+
+  /** Search a materialized IVF index: the probed cell set (tiny —
+    * ≤ queries × nprobe values, a plan parameter, not data) statically
+    * prunes the partitioned scan, so only the probed directories are
+    * ever read. Results are identical to [[ivfTopK]] over the same
+    * centroids.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      dim: Int = -1): DataFrame = {
+    val probed = probeCells(queries, centroids, idCol, vecCol, nprobe, dim)
+    val cellSet = probed.select("cell_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell_id").isin(cellSet: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cell_id"))
+    val scored = broadcast(probed).join(corpus, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cos", cos(col("qv"), col("cv"), dim))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+
   /** IVF top-k: restrict the brute-force search to corpus vectors whose
     * cell is among the query's `nprobe` closest cells.
     */
@@ -157,16 +213,7 @@ object Similarity {
       .withColumnRenamed(idCol, "neighbor_id")
     // top-nprobe cells per query: small in-group sort inside one
     // aggregate (|centroids| elements), not a window over the product
-    val probed = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col("qv"), col("centroid"), dim))
-      .groupBy("vec_id")
-      .agg(first(col("qv")).as("qv"),
-        slice(array_sort(collect_list(
-          struct((-col("sim")).as("ns"), col("cell_id")))), 1, nprobe)
-          .as("top_cells"))
-      .select(col("vec_id"), col("qv"),
-        explode(col("top_cells").getField("cell_id")).as("cell_id"))
+    val probed = probeCells(queries, centroids, idCol, vecCol, nprobe, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(corpusCells, "neighbor_id")
     val scored = broadcast(probed).join(c, Seq("cell_id"))

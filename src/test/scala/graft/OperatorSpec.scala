@@ -11,6 +11,38 @@ import graft.operators._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("materialized IVF index: pruned read, identical results") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val minIds = emb.groupBy("label").agg(min("vec_id").as("cvid"))
+      .select("cvid")
+    val centroids = emb.join(minIds, emb("vec_id") === minIds("cvid"))
+      .select(emb("label").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.writeIvfIndex(emb, centroids, "vec_id", "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries,
+      centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+    val direct = Similarity.ivfTopK(queries, emb, centroids, "vec_id",
+      "embedding", k = 5, nprobe = 2)
+    assert(indexed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(indexed).isEmpty)
+    // partition pruning is real: the scan only selects the probed
+    // cells' directories (nprobe=1 -> at most 5 of the 10 cells)
+    val cells = Similarity.probeCells(queries, centroids,
+        "vec_id", "embedding", 1).select("cell_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    assert(cells.nonEmpty && cells.size < 10)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cell_id").isin(cells: _*))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount == cells.size)
+    assert(scan.selectedPartitions.partitionCount < 10)
+  }
+
   test("percentileDisc matches Postgres discrete semantics") {
     val df = (1 to 10).map(i => ("p", i.toDouble)).toDF("k", "v")
     val got = Popularity.percentileDisc(df, Seq("k"), "v", 0.85)
