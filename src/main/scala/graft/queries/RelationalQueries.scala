@@ -213,5 +213,32 @@ object RelationalQueries extends QueryPack {
       FROM w JOIN stats USING (word)
       GROUP BY p_partkey"""))
 
-  override def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09)
+  /** T-family top-k via the bounded-heap native aggregate
+    * (functions.TopKRowsAgg): O(k) state per group and map-side partial
+    * aggregation — each input partition reduces to ≤k entries per group
+    * BEFORE the shuffle, where the window form (q07) shuffles and sorts
+    * every row of every group. Same results, deterministic ties.
+    */
+  val q55 = Q("q55_topk_agg",
+    (s, dir) => {
+      graft.functions.TopKRowsAgg.register(s)
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("top_k_rows(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_custkey"),
+          array_join(col("top").cast("array<string>"), ",")
+            .as("top_orders"))
+    },
+    Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER
+          (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      SELECT o_custkey,
+             string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+               AS top_orders
+      FROM r WHERE rn <= 3 GROUP BY o_custkey"""))
+
+  override def all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q55)
 }

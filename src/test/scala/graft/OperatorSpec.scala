@@ -11,6 +11,27 @@ import graft.operators._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("top_k_rows bounded-heap aggregate equals the window form") {
+    graft.functions.TopKRowsAgg.register(spark)
+    val e = Tables(spark, sfDir, "events")
+    val agg = e.groupBy("user_id")
+      .agg(expr("top_k_rows(value, event_id, 5)").as("top"))
+      .select(col("user_id"), explode(col("top")).as("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val win = e.select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5).select("user_id", "event_id")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+    // partial aggregation engaged: two HashAggregate levels
+    val plan = e.groupBy("user_id")
+      .agg(expr("top_k_rows(value, event_id, 5)"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2 ||
+      "SortAggregate".r.findAllIn(plan).size >= 2)
+  }
+
   test("materialized IVF index: pruned read, identical results") {
     import graft.operators.Similarity
     val emb = Tables(spark, sfDir, "embeddings")
