@@ -17,6 +17,26 @@ class InatSpec extends SparkSpec {
   lazy val observers = Inat.readTable(spark, s"$fixtures/observers.csv.gz")
   lazy val taxa = Inat.readTable(spark, s"$fixtures/taxa.csv.gz")
 
+  test("readers construct with zero jobs (no inference scan)") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Inat.readTable(spark, s"$fixtures/photos.csv.gz")
+      assert(df.schema == Inat.schemas("photos"))
+      Thread.sleep(200) // let any async job-start events drain
+      // explicit schema: building the frame must not run an inference
+      // job over the (at production scale, 120M-row) CSV
+      assert(jobs == 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("fixtures load with expected columns") {
     assert(photos.columns.contains("photo_id") && photos.count() > 0)
     assert(taxa.columns.contains("ancestry") && taxa.count() > 0)
