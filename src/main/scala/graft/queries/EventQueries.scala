@@ -64,5 +64,16 @@ object EventQueries extends QueryPack {
              CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
       FROM sessions GROUP BY user_id, session"""))
 
-  override def all: Seq[Q] = Seq(q32, q33)
+  /** Mergeable HLL distinct-count sketches (operators.Sketches). No
+    * DuckDB oracle — sketch estimates are engine-specific — so the
+    * driver records the weaker rows-only check here; the hard
+    * verification is OperatorSpec's 5% error bound against exact
+    * counts and the exact merge-identity property.
+    */
+  val q56 = Q("q56_distinct_sketch",
+    (s, dir) => graft.operators.Sketches.approxDistinct(
+      Tables(s, dir, "events"), Seq("event_type"), "user_id"),
+    None)
+
+  override def all: Seq[Q] = Seq(q32, q33, q56)
 }

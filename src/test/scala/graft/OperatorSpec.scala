@@ -11,6 +11,36 @@ import graft.operators._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("HLL sketches: bounded error, exact merge identity") {
+    import graft.operators.Sketches
+    val e = Tables(spark, sfDir, "events")
+    val approx = Sketches.approxDistinct(e, Seq("event_type"), "user_id")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val j = approx.join(exact, "event_type")
+      .select(col("approx_distinct").cast("double").as("a"),
+        col("exact").cast("double").as("x"))
+    // HLL at lgK=12 has ~1.6% relative standard error; allow 5%
+    assert(j.filter(abs(col("a") - col("x")) / col("x") > 0.05)
+      .count() == 0)
+    // merge identity: sketches of two disjoint halves union to exactly
+    // the whole-input sketch (register-wise max is order-independent)
+    val whole = Sketches.distinctSketch(e, Seq("event_type"), "user_id")
+      .select(col("event_type"),
+        Sketches.estimate(col("sketch")).as("est"))
+    val halves = Sketches.mergeSketches(
+      Sketches.distinctSketch(e.filter(col("event_id") % 2 === 0),
+        Seq("event_type"), "user_id")
+        .union(Sketches.distinctSketch(
+          e.filter(col("event_id") % 2 =!= 0),
+          Seq("event_type"), "user_id")),
+      Seq("event_type"))
+      .select(col("event_type"),
+        Sketches.estimate(col("sketch")).as("est"))
+    assert(whole.exceptAll(halves).isEmpty &&
+      halves.exceptAll(whole).isEmpty)
+  }
+
   test("top_k_rows bounded-heap aggregate equals the window form") {
     graft.functions.TopKRowsAgg.register(spark)
     val e = Tables(spark, sfDir, "events")
