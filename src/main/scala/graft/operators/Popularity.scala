@@ -107,4 +107,26 @@ object Popularity {
       .write.mode("overwrite").parquet(s"$outDir/media_view")
     obs.get
   }
+
+  /** The refresh as a TRANSACTION: constants and scored snapshot commit
+    * as versioned tables (graft.sources.VersionedTable), so a reader
+    * mid-scan keeps its resolved version while the pointer flips — the
+    * lake equivalent of the reference's `REFRESH MATERIALIZED VIEW
+    * CONCURRENTLY` swap, plus time travel to prior refreshes. Returns
+    * the observe() metrics and both committed versions.
+    */
+  def refreshViewsVersioned(facts: DataFrame, keys: Seq[String],
+      valueCol: String, p: Double, tableRoot: String): Map[String, Any] = {
+    import graft.sources.VersionedTable
+    val consts = constants(facts, keys, valueCol, p)
+    val vConsts = VersionedTable.commit(consts.coalesce(1),
+      s"$tableRoot/popularity_constants")
+    val obs = org.apache.spark.sql.Observation("popularity_refresh_v")
+    val scored = score(facts, consts, keys, valueCol)
+      .observe(obs, count(lit(1)).as("rows_scored"),
+        sum(when(col("score").isNull, 1L).otherwise(0L)).as("null_scores"))
+    // a refresh REPLACES the snapshot (new version), it does not merge
+    val vView = VersionedTable.commit(scored, s"$tableRoot/media_view")
+    obs.get ++ Map("constants_version" -> vConsts, "view_version" -> vView)
+  }
 }

@@ -142,6 +142,25 @@ class IngestSpec extends SparkSpec {
     assert(view.filter(col("score") < 0 || col("score") > 1).count() == 0)
   }
 
+  test("versioned popularity refresh: atomic flip + time travel") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("refv").toString
+    val e = Tables(spark, sfDir, "events")
+    val m1 = Popularity.refreshViewsVersioned(e, Seq("event_type"),
+      "value", 0.85, root)
+    assert(m1("view_version") == 1L && m1("rows_scored") == e.count())
+    // second refresh over a filtered fact set: new version, old
+    // snapshot still readable (time travel)
+    val m2 = Popularity.refreshViewsVersioned(
+      e.filter(col("event_id") % 2 === 0), Seq("event_type"),
+      "value", 0.85, root)
+    assert(m2("view_version") == 2L)
+    val cur = VersionedTable.read(spark, s"$root/media_view")
+    val old = VersionedTable.read(spark, s"$root/media_view", Some(1L))
+    assert(old.count() == e.count())
+    assert(cur.count() == e.filter(col("event_id") % 2 === 0).count())
+  }
+
   test("partitioned sink writes year/month/day directories (S8)") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     val e = Tables(spark, sfDir, "events")
