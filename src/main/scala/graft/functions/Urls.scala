@@ -77,8 +77,10 @@ object Urls {
     * (tldextract fqdn: host without scheme, slashes, port, path).
     */
   def fqdn(url: Column): Column =
-    lower(regexp_extract(regexp_replace(stripScheme(url), "^/+", ""),
-      "^([^/:?#]+)", 1))
+    lower(regexp_replace(
+      regexp_extract(regexp_replace(stripScheme(url), "^/+", ""),
+        "^([^/?#]+)", 1),
+      "^[^@]*@|:[0-9]+$", ""))
 
   /** `urls._add_best_scheme:109-123` against the frozen TLS set. */
   def bestScheme(url: Column): Column =
@@ -91,7 +93,10 @@ object Urls {
     */
   def validateUrlString(url: Column, stripSlash: Boolean = true): Column = {
     val upgraded = addUrlScheme(url, bestScheme(url), stripSlash)
-    val host = lower(regexp_extract(upgraded, "^[a-z]+://([^/?#]+)", 1))
+    // userinfo is dropped for VALIDATION only (urlparse keeps it in the
+    // netloc, tldextract ignores it) — the repaired URL keeps it
+    val host = lower(regexp_replace(
+      regexp_extract(upgraded, "^[a-z]+://([^/?#]+)", 1), "^[^@]*@", ""))
     when(url.isNull || trim(url) === "", lit(null).cast("string"))
       .when(host.rlike(hostPattern) || host.rlike(ipv4Pattern), upgraded)
       .otherwise(lit(null).cast("string"))

@@ -50,6 +50,13 @@ class UrlsSpec extends SparkSpec {
     assert(validate("foo.notarealtld/x") == None)
     // empty -> None
     assert(validate("") == None)
+    // userinfo ignored for validation, kept in the repaired URL;
+    // TLS lookup sees through it too
+    assert(validate("user:pw@abcd.com/img") ==
+      Some("https://user:pw@abcd.com/img"))
+    // port kept, validated alongside the suffix
+    assert(validate("example.com:8080/g?id=1") ==
+      Some("https://example.com:8080/g?id=1"))
   }
 
   test("validate_url_string trailing-slash flag") {
