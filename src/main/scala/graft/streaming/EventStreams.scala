@@ -103,6 +103,33 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** ST7 as a live stream: the popularity cache (per-key running max)
+    * maintained incrementally — each micro-batch's partial maxima merge
+    * into the versioned table under `greatest(new, old)`, committed
+    * atomically per batch. Readers always see a complete snapshot;
+    * state lives in the table, not the stream (restart-safe with the
+    * checkpoint), and each batch shuffles only its own rows.
+    */
+  def incrementalMaxCache(events: DataFrame, keyCol: String,
+      valueCol: String, tableRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.MergeUpsert
+    import graft.sources.VersionedTable
+    events
+      .groupBy(col(keyCol))
+      .agg(max(col(valueCol)).as("max_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VersionedTable.mergeInto(batch.sparkSession, tableRoot,
+          batch, Seq(keyCol),
+          Map("max_value" -> ((n, o) => greatest(n, o))))
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query to completion over the currently-available
     * input (Trigger.AvailableNow analog via processAllAvailable) and
     * return the result table.

@@ -52,6 +52,36 @@ class WatermarkSpec extends SparkSpec {
     assert(!out.contains(daySec - 48 * 3600))
   }
 
+  test("incremental max cache merges per batch into the versioned table") {
+    import graft.sources.VersionedTable
+    val landing = java.nio.file.Files.createTempDirectory("mc").toString
+    val root = java.nio.file.Files.createTempDirectory("mcroot").toString
+    val chk = java.nio.file.Files.createTempDirectory("mcchk").toString
+    val day = 1700006400L * 1000000000L
+    Seq((1L, day + 1, 1L, "view", 5.0, "{}"),
+        (2L, day + 2, 1L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = EventStreams.incrementalMaxCache(
+      EventStreams.readEvents(spark, landing), "event_type", "value",
+      root, chk)
+    q.processAllAvailable()
+    // batch 2: a higher view max, a lower click value, a new type
+    Seq((3L, day + 3, 1L, "view", 7.0, "{}"),
+        (4L, day + 4, 1L, "click", 2.0, "{}"),
+        (5L, day + 5, 1L, "save", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+    val got = VersionedTable.read(spark, root)
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // view max raised, click max kept (greatest semantics), save added
+    assert(got == Seq(("click", 9.0), ("save", 1.0), ("view", 7.0)))
+    assert(VersionedTable.currentVersion(spark, root).exists(_ >= 2L))
+  }
+
   test("streaming dedup keeps first occurrence within the horizon") {
     val landing = java.nio.file.Files.createTempDirectory("dd").toString
     val day = 1700006400L * 1000000000L
