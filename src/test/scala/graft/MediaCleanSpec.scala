@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.MediaClean
+
+/** Mirrors the reference's tests/dags/common/storage/test_media.py
+  * clean_media_metadata cases against the one-pass columnar form.
+  */
+class MediaCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(
+      fid: String = "fid-1",
+      landing: String = "https://landing.example.com",
+      url: String = "https://images.example.com/1.jpg",
+      thumb: String = null,
+      creatorUrl: String = null,
+      license: String = "by",
+      version: String = "4.0",
+      licenseUrl: String = "https://creativecommons.org/licenses/by/4.0/",
+      rawLicenseUrl: String = "raw_license",
+      meta: Map[String, String] = null,
+      category: String = null,
+      source: String = null): DataFrame =
+    Seq((fid, landing, url, thumb, creatorUrl, license, version,
+      licenseUrl, rawLicenseUrl, meta, category, source))
+      .toDF("foreign_identifier", "foreign_landing_url", "url",
+        "thumbnail_url", "creator_url", "license", "license_version",
+        "license_url", "raw_license_url", "meta_data", "category",
+        "source")
+
+  test("required fields unchanged; provider stamped; source defaults") {
+    val got = MediaClean.cleanMediaMetadata(record(), "test_provider")
+      .collect().head
+    assert(got.getAs[String]("url") == "https://images.example.com/1.jpg")
+    assert(got.getAs[String]("foreign_landing_url") ==
+      "https://landing.example.com")
+    assert(got.getAs[String]("provider") == "test_provider")
+    assert(got.getAs[String]("source") == "test_provider")
+  }
+
+  test("license url columns disappear, values land in meta_data") {
+    val out = MediaClean.cleanMediaMetadata(record(), "p")
+    assert(!out.columns.contains("license_url") &&
+      !out.columns.contains("raw_license_url"))
+    val meta = out.collect().head.getAs[Map[String, String]]("meta_data")
+    assert(meta("license_url") ==
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(meta("raw_license_url") == "raw_license")
+  }
+
+  test("stale meta license keys are overwritten, others survive") {
+    val meta = Map("license_url" -> "stale", "k" -> "v")
+    val got = MediaClean.cleanMediaMetadata(record(meta = meta), "p")
+      .collect().head.getAs[Map[String, String]]("meta_data")
+    assert(got("license_url") ==
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(got("k") == "v")
+  }
+
+  test("default category per source; explicit category kept") {
+    val defaulted = MediaClean.cleanMediaMetadata(
+      record(source = "clevelandmuseum"), "clevelandmuseum")
+      .collect().head
+    assert(defaulted.getAs[String]("category") == "digitized_artwork")
+    val kept = MediaClean.cleanMediaMetadata(
+      record(source = "clevelandmuseum", category = "photograph"),
+      "clevelandmuseum").collect().head
+    assert(kept.getAs[String]("category") == "photograph")
+    // unknown source -> stays null
+    val none = MediaClean.cleanMediaMetadata(record(source = "nobody"),
+      "nobody").collect().head
+    assert(none.getAs[String]("category") == null)
+  }
+
+  test("missing required field drops the record (batch form of raise)") {
+    for (kill <- Seq("foreign_identifier", "foreign_landing_url", "url")) {
+      val df = kill match {
+        case "foreign_identifier" => record(fid = null)
+        case "foreign_landing_url" => record(landing = null)
+        case _ => record(url = null)
+      }
+      assert(MediaClean.cleanMediaMetadata(df, "p").count() == 0, kill)
+    }
+  }
+
+  test("url trailing slashes strip only when the flag says so") {
+    val u = "https://www.example.com/"
+    val stripped = MediaClean.cleanMediaMetadata(
+      record(landing = u, url = u, thumb = u, creatorUrl = u), "p")
+      .collect().head
+    for (c <- Seq("foreign_landing_url", "url", "thumbnail_url",
+        "creator_url"))
+      assert(stripped.getAs[String](c) == "https://www.example.com", c)
+    val kept = MediaClean.cleanMediaMetadata(
+      record(landing = u, url = u, thumb = u, creatorUrl = u), "p",
+      stripUrlTrailingSlashes = false).collect().head
+    for (c <- Seq("foreign_landing_url", "url", "thumbnail_url",
+        "creator_url"))
+      assert(kept.getAs[String](c) == u, c)
+  }
+}
