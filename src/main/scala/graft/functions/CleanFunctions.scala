@@ -26,6 +26,43 @@ object CleanFunctions {
     ColumnBridge.column(SanitizeStringExpr(ColumnBridge.expression(c)))
   }
 
+  /** `media.py:17` exact-match banned tags. */
+  val tagBlacklist: Seq[String] = Seq("no person", "squareformat")
+
+  /** `media.py:21-32` substring-banned terms (note: "by" bans any tag
+    * CONTAINING it — "baby" dies too; exact reference semantics).
+    */
+  val tagContainsBlacklist: Seq[String] = Seq("flickriosapp", "uploaded",
+    ":", "=", "cc0", "by", "by-nc", "by-nd", "by-sa", "by-nc-nd",
+    "by-nc-sa")
+
+  /** `media.py:252-266` — exact or substring blacklist hit. */
+  def tagBlacklisted(name: Column): Column =
+    name.isin(tagBlacklist: _*) ||
+      tagContainsBlacklist.map(s => name.contains(s)).reduce(_ || _)
+
+  /** P10 — tag enrichment (`media.py:284-311`): blacklist filter, then
+    * each surviving raw string becomes {name, provider}. Non-list
+    * (null) input stays null.
+    */
+  def enrichRawTags(raw: Column, provider: Column): Column =
+    when(raw.isNull,
+      lit(null).cast(graft.core.Records.tagType))
+      .otherwise(transform(filter(raw, t => !tagBlacklisted(t)),
+        t => struct(t.as("name"), provider.as("provider"))))
+
+  /** P10 over already-typed tag structs: pre-enriched tags pass
+    * through with their provider; missing/empty providers fill from
+    * ours (`_format_raw_tag`'s keep-if-complete rule).
+    */
+  def enrichTypedTags(tags: Column, provider: Column): Column =
+    when(tags.isNull, lit(null).cast(graft.core.Records.tagType))
+      .otherwise(transform(
+        filter(tags, t => !tagBlacklisted(t.getField("name"))),
+        t => struct(t.getField("name").as("name"),
+          coalesce(nullif(t.getField("provider"), lit("")), provider)
+            .as("provider"))))
+
   /** P8 — JSON-value sanitization (columns.py:319-358,
     * `_sanitize_json_values`): the reference recursively walks raw
     * dict/list JSON (depth cap 100) applying the P4 string sanitize to

@@ -85,6 +85,37 @@ class MediaCleanSpec extends SparkSpec {
     }
   }
 
+  test("tag enrichment: provider stamp, blacklist, passthrough") {
+    import graft.functions.CleanFunctions
+    // raw string tags: blacklist filters, survivors get the provider
+    val raw = Seq((1L, Seq("sunset", "no person", "baby", "Nature",
+      "x:y", "cc0 art"))).toDF("id", "raw_tags")
+    val enriched = raw.select(CleanFunctions.enrichRawTags(
+        col("raw_tags"), lit("flickr")).as("tags"))
+      .collect().head.getAs[collection.Seq[org.apache.spark.sql.Row]]("tags")
+    // "no person" exact; "baby" contains "by"; "x:y" contains ":";
+    // "cc0 art" contains "cc0" -> all dropped
+    assert(enriched.map(_.getAs[String]("name")).toSeq ==
+      Seq("sunset", "Nature"))
+    assert(enriched.forall(_.getAs[String]("provider") == "flickr"))
+    // null (non-list) input stays null
+    val nulled = Seq((1L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "raw_tags")
+      .select(CleanFunctions.enrichRawTags(col("raw_tags"),
+        lit("p")).as("tags")).collect().head
+    assert(nulled.isNullAt(0))
+    // typed pre-enriched tags keep their provider; empty fills in
+    val typed = Seq((1L, Seq(("dog", "preenriched"), ("cat", null))))
+      .toDF("id", "tags")
+      .select(CleanFunctions.enrichTypedTags(
+        col("tags").cast("array<struct<name:string,provider:string>>"),
+        lit("mine")).as("tags"))
+      .collect().head.getAs[collection.Seq[org.apache.spark.sql.Row]]("tags")
+    assert(typed.map(r => (r.getAs[String]("name"),
+      r.getAs[String]("provider"))).toSeq ==
+      Seq(("dog", "preenriched"), ("cat", "mine")))
+  }
+
   test("url trailing slashes strip only when the flag says so") {
     val u = "https://www.example.com/"
     val stripped = MediaClean.cleanMediaMetadata(
