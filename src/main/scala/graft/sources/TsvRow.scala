@@ -125,6 +125,22 @@ object TsvRow {
       "set_thumbnail" -> when(setThumbnail.isNotNull,
         jsonStr(setThumbnail))))
 
+  /** Enriched tags JSON: `[{"name": "...", "provider": "..."}, ...]`
+    * (list-of-dicts through json.dumps; empty → null).
+    */
+  def tagsJson(tags: Column): Column = {
+    val objs = transform(tags, t => concat(lit("{"),
+      array_join(filter(array(
+        when(t.getField("name").isNotNull,
+          concat(lit("\"name\": "), jsonStr(t.getField("name")))),
+        when(t.getField("provider").isNotNull,
+          concat(lit("\"provider\": "), jsonStr(t.getField("provider"))))),
+        _.isNotNull), ", "),
+      lit("}")))
+    when(tags.isNull || size(tags) === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("["), array_join(objs, ", "), lit("]")))
+  }
+
   def intStr(c: Column): Column = c.cast("long").cast("string")
 
   def boolStr(c: Column): Column =

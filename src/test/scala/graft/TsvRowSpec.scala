@@ -85,6 +85,41 @@ class TsvRowSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("image row matches the reference's expected bytes") {
+    // test_image.py test_create_tsv_row_properly_places_entries:216-279
+    val tags = array(struct(lit("tag1").as("name"),
+      lit("testing").as("provider")))
+    val cols = Seq(
+      lit("foreign_id"),
+      lit("https://landing_page.com"),
+      lit("http://imageurl.com"),
+      lit("http://thumbnail.com"),
+      lit("png"),
+      lit(null).cast("string"),                     // filesize
+      lit("testlicense"), lit("1.0"),
+      lit("tyler"), lit("https://creatorurl.com"),
+      lit("agreatpicture"),
+      TsvRow.jsonFromMap(map(lit("description"), lit("cat picture"))),
+      TsvRow.tagsJson(tags),
+      lit("digitized_artwork"),
+      TsvRow.boolStr(lit(false)),
+      lit("testing_provider"), lit("testing_source"),
+      lit("provider_api"),
+      TsvRow.intStr(lit(200)), TsvRow.intStr(lit(500)))
+    val got = Seq(1).toDF("x").select(TsvRow.line(cols).as("row"))
+      .as[String].head()
+    val expected = Seq(
+      "foreign_id", "https://landing_page.com", "http://imageurl.com",
+      "http://thumbnail.com", "png", "\\N", "testlicense", "1.0",
+      "tyler", "https://creatorurl.com", "agreatpicture",
+      """{"description": "cat picture"}""",
+      """[{"name": "tag1", "provider": "testing"}]""",
+      "digitized_artwork", "f", "testing_provider", "testing_source",
+      "provider_api", "200", "500")
+      .mkString("\t")
+    assert(got == expected)
+  }
+
   test("tsv sanitize doubles backslashes and collapses whitespace") {
     val got = Seq("""a \ "b"   c""").toDF("s")
       .select(TsvRow.sanitizeTsv(col("s"))).as[String].head()
