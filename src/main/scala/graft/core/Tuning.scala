@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spill-aware sizing helpers (SCALING.md): pick shuffle parallelism
+  * from the optimizer's size estimate so a post-shuffle partition
+  * targets a spill-safe byte budget, instead of inheriting whatever
+  * `spark.sql.shuffle.partitions` happens to be. AQE coalesces DOWN
+  * from an over-partitioned shuffle but never splits an
+  * under-partitioned one (outside skew-join handling) — so the static
+  * number still matters at 100 TB, and it should come from data size,
+  * not a constant.
+  */
+object Tuning {
+
+  /** Partitions so each holds ~targetBytes of the frame's estimated
+    * size (Catalyst stats: file sizes + filter selectivity when CBO
+    * has them).
+    */
+  def shufflePartitionsFor(df: DataFrame,
+      targetBytes: Long = 128L << 20,
+      min: Int = 1, max: Int = 200000): Int = {
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val p = (size + targetBytes - 1) / targetBytes
+    math.max(min, math.min(max, p.toLong.toInt))
+  }
+
+  /** Run `f` with a temporary shuffle-partition setting, restoring the
+    * previous value afterwards (exception-safe).
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+}

@@ -93,6 +93,26 @@ class CoreSpec extends SparkSpec {
     assert(total == RecordMetrics(15, 1, 3, 1, 10))
   }
 
+  test("tuning: stats-driven shuffle sizing, scoped conf override") {
+    import graft.core.Tuning
+    val li = Tables(spark, sfDir, "lineitem")
+    // a tiny byte target wants several partitions, a huge target
+    // collapses to 1
+    val small = Tuning.shufflePartitionsFor(li, targetBytes = 64L << 10)
+    assert(small > 1)
+    assert(Tuning.shufflePartitionsFor(li, targetBytes = 1L << 40) == 1)
+    // estimate scales with column pruning
+    val pruned = Tuning.shufflePartitionsFor(
+      li.select("l_orderkey"), targetBytes = 64L << 10)
+    assert(pruned <= small)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val inside = Tuning.withShufflePartitions(spark, 7) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside == "7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
