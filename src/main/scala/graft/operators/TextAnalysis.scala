@@ -42,11 +42,13 @@ object TextAnalysis {
         explode(Dedupe.words(lower(col(textCol)))).as("word"))
       .join(broadcast(dim), Seq("word"))
       .groupBy("doc", "cand_lang").agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy("doc")
-      .orderBy(col("hits").desc, col("cand_lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc"), col("cand_lang").as("pred_lang"))
+    // argmax as ONE aggregation with map-side partials (the same
+    // min_by rewrite that de-weakened the IVF cell assignment) — no
+    // row_number sort over the hits
+    val best = hits.groupBy("doc").agg(
+      min_by(col("cand_lang"),
+        struct((-col("hits")).as("nh"), col("cand_lang")))
+        .as("pred_lang"))
     docs.select(col(idCol).as("doc"))
       .join(best, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
