@@ -209,6 +209,31 @@ class EnrichmentSpec extends SparkSpec {
       None -> None))
   }
 
+  test("EXHAUSTIVE: every forward path resolves to its pair") {
+    // all 67 canonical URLs through the resolve path at once
+    val df = LicenseMap.pathMap.zipWithIndex.map { case ((p, l, v), i) =>
+      (i.toLong, s"https://creativecommons.org/$p/", l, v)
+    }.toDF("id", "raw_url", "exp_license", "exp_version")
+    val got = LicenseMap.resolve(df, "raw_url")
+    assert(got.filter(col("license") =!= col("exp_license") ||
+      col("license_version") =!= col("exp_version") ||
+      col("license").isNull).count() == 0)
+  }
+
+  test("EXHAUSTIVE: every reverse pair derives a resolvable URL") {
+    val fwd = LicenseMap.pathMap.map { case (p, _, _) => p }.toSet
+    val df = LicenseMap.reverseMap.zipWithIndex.map {
+      case ((l, v, _), i) => (i.toLong, l, v)
+    }.toDF("id", "license", "version")
+    val got = LicenseMap.resolvePair(df, "license", "version")
+    // every pair resolves, and every derived URL's path is a known
+    // forward path (the 2.1 downgrades land on the unported 2.0 paths)
+    assert(got.filter(col("license_url").isNull).count() == 0)
+    val paths = got.select(LicenseMap.licensePath(col("license_url")))
+      .as[String].collect()
+    assert(paths.forall(fwd.contains), paths.filterNot(fwd.contains).toSeq)
+  }
+
   test("license pair fallback: float versions, 2.1 downgrade, specials") {
     // test_licenses.py get_license_info_from_license_pair cases
     val df = Seq(
