@@ -74,6 +74,31 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q53: shingle counting never windows over the exploded rows") {
+    val p = plan("q53_repetition")
+    assert(!p.contains("Window"))
+    // partial aggregation on the (doc, bigram) counts
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q54: token counting is one codegen'd projection") {
+    val p = plan("q54_bpe_tokens")
+    assert(p.contains("*(1)"))
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
+  test("q55: bounded top-k runs as a two-level aggregate, no window") {
+    val p = plan("q55_topk_agg")
+    assert(!p.contains("Window"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q52: gopher rules are one scan, aggregation-free") {
+    val p = plan("q52_gopher_rules")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
   test("CollapseSanitize collapses nested idempotent sanitizes") {
     import graft.functions.CleanFunctions
     spark.experimental.extraOptimizations =
