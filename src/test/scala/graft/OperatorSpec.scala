@@ -11,6 +11,43 @@ import graft.operators._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("merge is idempotent: re-applying a staged batch changes nothing") {
+    // the reingestion contract: a re-pull of the same batch through the
+    // newest_non_null merge must be a no-op
+    val o = Tables(spark, sfDir, "orders").limit(2000)
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+    val staged = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    val once = MergeUpsert.merge(target, staged, Seq("o_orderkey"))
+    val twice = MergeUpsert.merge(once, staged, Seq("o_orderkey"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("ES bulk payload: action+doc line pairs, bounded files") {
+    import graft.sources.EsBulk
+    val recs = Seq(("id-1", "t1", 5L), ("id-2", "t\"2", 7L))
+      .toDF("foreign_identifier", "title", "views")
+    val lines = EsBulk.bulkLines(recs, "image", "foreign_identifier")
+      .as[String].collect().sorted
+    assert(lines.length == 2)
+    val entry = lines.head.split("\n")
+    assert(entry.length == 2)
+    assert(entry(0) == """{"index": {"_index": "image", "_id": "id-1"}}""")
+    // document line is valid JSON with the record's fields
+    assert(entry(1).contains(""""foreign_identifier":"id-1""""))
+    assert(entry(1).contains(""""views":5"""))
+    // quotes in ids escape correctly on the action line
+    assert(lines(1).startsWith(
+      """{"index": {"_index": "image", "_id": "id-2"}}""".replace(
+        "id-2", "id-2")))
+    val dir = java.nio.file.Files.createTempDirectory("esb").toString
+    EsBulk.writeBulkFiles(recs, "image", "foreign_identifier",
+      s"$dir/bulk", maxPerFile = 1)
+    val files = new java.io.File(s"$dir/bulk").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length == 2) // maxRecordsPerFile=1 -> one entry each
+  }
+
   test("HLL sketches: bounded error, exact merge identity") {
     import graft.operators.Sketches
     val e = Tables(spark, sfDir, "events")
