@@ -22,7 +22,7 @@ object EsBulk {
     * through to_json's JSON composition).
     */
   def bulkLines(df: DataFrame, index: String, idCol: String): DataFrame = {
-    val docJson = to_json(struct(df.columns.map(col): _*))
+    val docJson = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     df.select(concat(
       actionLine(index, col(idCol)), lit("\n"), docJson).as("value"))
   }
