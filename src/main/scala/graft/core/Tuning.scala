@@ -22,7 +22,10 @@ object Tuning {
       min: Int = 1, max: Int = 200000): Int = {
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val p = (size + targetBytes - 1) / targetBytes
-    math.max(min, math.min(max, p.toLong.toInt))
+    // clamp BEFORE narrowing: stats default to Long.MaxValue for
+    // unknown-size plans, and a BigInt that large truncates to 0 via
+    // .toLong.toInt — the biggest inputs would get ONE partition
+    p.min(BigInt(max)).max(BigInt(min)).toInt
   }
 
   /** Run `f` with a temporary shuffle-partition setting, restoring the

@@ -29,12 +29,13 @@ object CleanFunctions {
   /** `media.py:17` exact-match banned tags. */
   val tagBlacklist: Seq[String] = Seq("no person", "squareformat")
 
-  /** `media.py:21-32` substring-banned terms (note: "by" bans any tag
-    * CONTAINING it — "baby" dies too; exact reference semantics).
+  /** `media.py:21-33` substring-banned terms — all 12 entries (note:
+    * "by" bans any tag CONTAINING it — "baby" dies too; exact reference
+    * semantics).
     */
   val tagContainsBlacklist: Seq[String] = Seq("flickriosapp", "uploaded",
     ":", "=", "cc0", "by", "by-nc", "by-nd", "by-sa", "by-nc-nd",
-    "by-nc-sa")
+    "by-nc-sa", "pdm")
 
   /** `media.py:252-266` — exact or substring blacklist hit. */
   def tagBlacklisted(name: Column): Column =

@@ -33,24 +33,18 @@ object TsvRow {
         "\\\\", "\\\\\\\\"),
       "\\s+", " "))
 
-  /** JSON string literal with json.dumps escaping: backslash, quote,
-    * and the control-char escapes (\b \f \n \r \t, ) — the TSV
-    * sanitize removes control chars before serialization in the store
-    * path, but the encoder must still be safe for arbitrary input.
+  /** JSON string literal with json.dumps(ensure_ascii=False)
+    * escaping (backslash, quote, ALL control chars below 0x20 — short
+    * forms for \\b \\f \\n \\r \\t, `\\u00xx` for the rest): one
+    * codegen'd pass via [[graft.functions.JsonEscapeExpr]] instead of a
+    * regexp_replace chain, and safe for arbitrary input (the old chain
+    * let U+0001-U+0007 / U+000E-U+001F through raw — invalid JSON,
+    * diverging from json.dumps).
     */
   def jsonStr(c: Column): Column = {
-    val escapes: Seq[(String, String)] = Seq(
-      "\\\\" -> "\\\\\\\\",        // backslash first
-      "\"" -> "\\\\\"",
-      "" -> "\\\\b",
-      "\f" -> "\\\\f",
-      "\n" -> "\\\\n",
-      "\r" -> "\\\\r",
-      "\t" -> "\\\\t",
-      "" -> "\\\\u000b")
-    val escaped = escapes.foldLeft(c) { case (acc, (pat, rep)) =>
-      regexp_replace(acc, pat, rep)
-    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val escaped = ColumnBridge.column(
+      graft.functions.JsonEscapeExpr(ColumnBridge.expression(c)))
     concat(lit("\""), escaped, lit("\""))
   }
 

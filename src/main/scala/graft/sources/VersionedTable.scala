@@ -92,17 +92,20 @@ object VersionedTable {
       maxStagedVersion(f, root)) + 1L
     val dir = versionDir(root, next)
     df.write.mode("errorifexists").parquet(dir.toString)
-    // publish: write pointer to a temp name, then rename over _LATEST —
-    // rename within a directory is the atomic primitive on HDFS-like
-    // filesystems (on S3 the pointer object PUT is itself atomic)
+    // publish: write pointer to a temp name, then rename over _LATEST
+    // with OVERWRITE — one atomic operation, so a concurrent reader
+    // always sees either the old pointer or the new one, never a
+    // missing-pointer window (a delete-then-rename pair would open one).
+    // Rename within a directory is the atomic primitive on HDFS-like
+    // filesystems; on S3 the pointer object PUT is itself atomic.
     val tmp = new Path(root, s".${Pointer}.tmp-$next")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(root, Pointer)
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new IllegalStateException(s"pointer publish failed for $root")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

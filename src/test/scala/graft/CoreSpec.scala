@@ -101,6 +101,15 @@ class CoreSpec extends SparkSpec {
     val small = Tuning.shufflePartitionsFor(li, targetBytes = 64L << 10)
     assert(small > 1)
     assert(Tuning.shufflePartitionsFor(li, targetBytes = 1L << 40) == 1)
+    // unknown stats (LogicalRDD defaults to Long.MaxValue sizeInBytes)
+    // must SATURATE at max, not truncate through toLong.toInt to 1 —
+    // the largest inputs are exactly the ones that need many partitions
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(Tuning.shufflePartitionsFor(unknown, max = 4096) == 4096)
     // estimate scales with column pruning
     val pruned = Tuning.shufflePartitionsFor(
       li.select("l_orderkey"), targetBytes = 64L << 10)

@@ -89,15 +89,20 @@ class MediaCleanSpec extends SparkSpec {
     import graft.functions.CleanFunctions
     // raw string tags: blacklist filters, survivors get the provider
     val raw = Seq((1L, Seq("sunset", "no person", "baby", "Nature",
-      "x:y", "cc0 art"))).toDF("id", "raw_tags")
+      "x:y", "cc0 art", "pdm tagged"))).toDF("id", "raw_tags")
     val enriched = raw.select(CleanFunctions.enrichRawTags(
         col("raw_tags"), lit("flickr")).as("tags"))
       .collect().head.getAs[collection.Seq[org.apache.spark.sql.Row]]("tags")
     // "no person" exact; "baby" contains "by"; "x:y" contains ":";
-    // "cc0 art" contains "cc0" -> all dropped
+    // "cc0 art" contains "cc0"; "pdm tagged" contains "pdm" -> dropped
     assert(enriched.map(_.getAs[String]("name")).toSeq ==
       Seq("sunset", "Nature"))
     assert(enriched.forall(_.getAs[String]("provider") == "flickr"))
+    // parity with the reference's full TAG_CONTAINS_BLACKLIST
+    // (media.py:21-33) — all 12 entries, both directions
+    assert(CleanFunctions.tagContainsBlacklist.toSet == Set(
+      "flickriosapp", "uploaded", ":", "=", "cc0", "by", "by-nc",
+      "by-nd", "by-sa", "by-nc-nd", "by-nc-sa", "pdm"))
     // null (non-list) input stays null
     val nulled = Seq((1L, null.asInstanceOf[Seq[String]]))
       .toDF("id", "raw_tags")

@@ -137,4 +137,20 @@ class TsvRowSpec extends SparkSpec {
     assert(r.getString(1) == "{}") // empty list -> {} (columns.py:556)
     assert(r.isNullAt(2))
   }
+
+  test("jsonStr escapes exactly like json.dumps(ensure_ascii=False)") {
+    // python3: json.dumps('a\x01b\x1fc\n"d\\e\u000b', ensure_ascii=False)
+    //   == '"a\\u0001b\\u001fc\\n\\"d\\\\e\\u000b"'
+    val input = "a\u0001b\u001fc\n\"d\\e\u000b"
+    val got = Seq(input).toDF("s")
+      .select(TsvRow.jsonStr(col("s"))).as[String].head()
+    assert(got == "\"a\\u0001b\\u001fc\\n\\\"d\\\\e\\u000b\"")
+    // non-ASCII passes through raw (ensure_ascii=False), 0x7f untouched
+    val uni = Seq("caf\u00e9 \u007f").toDF("s")
+      .select(TsvRow.jsonStr(col("s"))).as[String].head()
+    assert(uni == "\"caf\u00e9 \u007f\"")
+    // all short-form control escapes
+    assert(graft.functions.JsonEscapeExpr.escape("\b\t\n\f\r") ==
+      "\\b\\t\\n\\f\\r")
+  }
 }
