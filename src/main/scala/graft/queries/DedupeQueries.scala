@@ -44,8 +44,8 @@ object DedupeQueries extends QueryPack {
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
-             FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
-             WHERE i <= len(ws) - 3),
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM w) t),
       hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
              FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
       sig AS (SELECT doc, i,
@@ -88,8 +88,8 @@ object DedupeQueries extends QueryPack {
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
-             FROM w CROSS JOIN (SELECT unnest(range(600)) AS i) ii
-             WHERE i <= len(ws) - 3),
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM w) t),
       hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
              FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
       sig AS (SELECT doc, i,

@@ -79,10 +79,10 @@ object TextQueries extends QueryPack {
     (s, dir) => TextAnalysis.winnowFingerprints(
       Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 4),
     Some("""
-      WITH pos AS (SELECT doc_id AS doc, text AS t, i + 1 AS p
-                   FROM documents
-                   CROSS JOIN (SELECT unnest(range(600)) AS i) ii
-                   WHERE length(text) >= 11 AND i + 1 <= length(text) - 7),
+      WITH pos AS (SELECT doc, t, i + 1 AS p
+                   FROM (SELECT doc_id AS doc, text AS t,
+                           unnest(range(length(text) - 7)) AS i
+                         FROM documents WHERE length(text) >= 11) z),
       hs AS (SELECT doc, t, p, (CAST(ord(substr(t, p + 0, 1)) AS BIGINT) * 27512614111) + (CAST(ord(substr(t, p + 1, 1)) AS BIGINT) * 887503681) + (CAST(ord(substr(t, p + 2, 1)) AS BIGINT) * 28629151) + (CAST(ord(substr(t, p + 3, 1)) AS BIGINT) * 923521) + (CAST(ord(substr(t, p + 4, 1)) AS BIGINT) * 29791) + (CAST(ord(substr(t, p + 5, 1)) AS BIGINT) * 961) + (CAST(ord(substr(t, p + 6, 1)) AS BIGINT) * 31) + (CAST(ord(substr(t, p + 7, 1)) AS BIGINT) * 1) AS h
              FROM pos),
       mins AS (SELECT doc, t, p,
@@ -159,8 +159,8 @@ object TextQueries extends QueryPack {
         FROM documents),
       m AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM src),
       g AS (SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS bigram
-            FROM m CROSS JOIN (SELECT unnest(range(1000)) AS i) ii
-            WHERE i <= len(ws) - 2),
+            FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                  FROM m) t),
       c AS (SELECT doc_id, bigram, COUNT(*) AS cnt
             FROM g GROUP BY doc_id, bigram),
       top AS (SELECT doc_id, bigram AS top_bigram, cnt AS top_count
