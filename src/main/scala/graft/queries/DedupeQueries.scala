@@ -41,7 +41,9 @@ object DedupeQueries extends QueryPack {
       Dedupe.minhashCandidates(sig, numHashes = 16, rowsPerBand = 4)
     },
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -85,7 +87,9 @@ object DedupeQueries extends QueryPack {
       Dedupe.verifyJaccardShingled(cand, sh, minJaccard = 0.5)
     },
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -120,7 +124,7 @@ object DedupeQueries extends QueryPack {
     (s, dir) => Dedupe.simhash(Tables(s, dir, "documents"), "doc_id", "text"),
     Some("""
       WITH wd AS (SELECT DISTINCT doc_id AS doc,
-                    unnest(string_split(text, ' ')) AS word
+                    unnest(string_split(substr(text, 1, 1048576), ' ')) AS word
                   FROM documents),
       h AS (SELECT doc, md5(word) AS h FROM wd),
       bits AS (SELECT doc, j,

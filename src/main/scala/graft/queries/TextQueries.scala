@@ -79,10 +79,11 @@ object TextQueries extends QueryPack {
     (s, dir) => TextAnalysis.winnowFingerprints(
       Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 4),
     Some("""
-      WITH pos AS (SELECT doc, t, i + 1 AS p
-                   FROM (SELECT doc_id AS doc, text AS t,
-                           unnest(range(length(text) - 7)) AS i
-                         FROM documents WHERE length(text) >= 11) z),
+      WITH cap AS (SELECT doc_id AS doc, substr(text, 1, 1048576) AS t
+                   FROM documents),
+      pos AS (SELECT doc, t, i + 1 AS p
+              FROM (SELECT doc, t, unnest(range(length(t) - 7)) AS i
+                    FROM cap WHERE length(t) >= 11) z),
       hs AS (SELECT doc, t, p, (CAST(ord(substr(t, p + 0, 1)) AS BIGINT) * 27512614111) + (CAST(ord(substr(t, p + 1, 1)) AS BIGINT) * 887503681) + (CAST(ord(substr(t, p + 2, 1)) AS BIGINT) * 28629151) + (CAST(ord(substr(t, p + 3, 1)) AS BIGINT) * 923521) + (CAST(ord(substr(t, p + 4, 1)) AS BIGINT) * 29791) + (CAST(ord(substr(t, p + 5, 1)) AS BIGINT) * 961) + (CAST(ord(substr(t, p + 6, 1)) AS BIGINT) * 31) + (CAST(ord(substr(t, p + 7, 1)) AS BIGINT) * 1) AS h
              FROM pos),
       mins AS (SELECT doc, t, p,
@@ -157,7 +158,9 @@ object TextQueries extends QueryPack {
           CASE WHEN doc_id % 5 = 0 THEN text || repeat(' spam ham', 30)
                ELSE text END AS t
         FROM documents),
-      m AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM src),
+      m AS (SELECT doc_id, t,
+              string_split(substr(t, 1, 1048576), ' ') AS ws
+            FROM src),
       g AS (SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS bigram
             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
                   FROM m) t),

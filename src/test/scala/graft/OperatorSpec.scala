@@ -313,4 +313,57 @@ class OperatorSpec extends SparkSpec {
       TextAnalysis.fingerprint(col("y")).as("fy")).head()
     assert(r.getString(0) == r.getString(1))
   }
+
+  test("winnow expression equals the window formulation on real docs") {
+    val docs = Tables(spark, sfDir, "documents").limit(200)
+    val fast = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+      k = 8, w = 4)
+    val slow = TextAnalysis.winnowFingerprintsWindowed(docs, "doc_id",
+      "text", k = 8, w = 4)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("winnow expression edges: short docs, exact-fit docs, ties") {
+    import graft.functions.WinnowFingerprintsExpr
+    def fps(s: String, k: Int = 8, w: Int = 4): Seq[Long] =
+      WinnowFingerprintsExpr.winnow(s, k, w).toLongArray().toSeq
+    // below k + w - 1 code points -> empty
+    assert(fps("0123456789").isEmpty)
+    // exactly k + w - 1 -> a single window, one fingerprint
+    assert(fps("0123456789a").size == 1)
+    // constant text: every k-gram hashes equal -> one distinct fp
+    assert(fps("aaaaaaaaaaaaaaaaaaaaaaaa").size == 1)
+    // dedup preserves the distinct SET: compare against brute force
+    val s = "the quick brown fox jumps over the lazy dog the quick brown"
+    val cps = s.codePoints().toArray
+    val k = 8; val w = 4
+    val hs = (0 to cps.length - k).map(i =>
+      (0 until k).foldLeft(0L)((h, j) => h * 31L + cps(i + j)))
+    val brute = (0 to hs.length - w).map(i =>
+      hs.slice(i, i + w).min).distinct.toSet
+    assert(fps(s).toSet == brute)
+  }
+
+  test("maxDocChars guard bounds a 10MB adversarial document") {
+    // one pathological giant doc next to normal rows: every text
+    // operator must do O(maxDocChars) work on it, not O(10MB), and
+    // results must equal running on the truncated prefix
+    val giant = ("badword " * (10 << 20 / 8)).take(10 << 20)
+    val docs = Seq((1L, giant), (2L, "a normal document of words"))
+      .toDF("doc_id", "text")
+    val cap = 4096
+    val capped = docs.select(col("doc_id"),
+      substring(col("text"), 1, cap).as("text"))
+    val fast = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocChars = cap)
+    val ref = TextAnalysis.winnowFingerprints(capped, "doc_id", "text",
+      k = 8, w = 4, maxDocChars = cap)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    val sh = Dedupe.shingleRows(docs, "doc_id", "text", 3,
+      maxDocChars = cap)
+    val shRef = Dedupe.shingleRows(capped, "doc_id", "text", 3)
+    assert(sh.exceptAll(shRef).isEmpty && shRef.exceptAll(sh).isEmpty)
+    // the guarded shingle count is bounded by the cap, not the doc
+    assert(sh.filter(col("doc") === 1L).count() <= cap)
+  }
 }

@@ -122,4 +122,14 @@ class PlanSpec extends SparkSpec {
           .filterNot(_ == graft.plans.CollapseSanitize)
     }
   }
+
+  test("q45: winnowing is explode-of-expression — no window, no shuffle") {
+    val p = plan("q45_winnow_fingerprint")
+    // the whole fingerprint set is computed inside each row by the
+    // codegen'd WinnowFingerprintsExpr; the only operators are scan,
+    // projection, and generate — a shuffle or window here means the
+    // per-char explode plan regressed back in
+    assert(!p.contains("Exchange") && !p.contains("Window"))
+    assert(p.contains("winnowfingerprints") || p.contains("Generate"))
+  }
 }
