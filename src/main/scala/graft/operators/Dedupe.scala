@@ -110,7 +110,11 @@ object Dedupe {
     */
   def minhashWide(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    minhashWideFromShingles(shingleRows(docs, idCol, textCol, shingleK),
+    // feed RAW shingle rows (with multiplicity): min() is
+    // duplicate-insensitive, so the signature is identical and the
+    // global distinct — a full shuffle of every shingle row before the
+    // aggregation — drops out of the plan entirely
+    minhashWideFromShingles(shingleRowsAll(docs, idCol, textCol, shingleK),
       numHashes)
 
   /** Signature from precomputed (doc, shingle) rows — callers that also
@@ -180,6 +184,26 @@ object Dedupe {
       textCol: String, shingleK: Int, minJaccard: Double): DataFrame =
     verifyJaccardShingled(candidates,
       shingleRows(docs, idCol, textCol, shingleK), minJaccard)
+
+  /** Exact Jaccard verification where the DISTINCT is pushed BELOW the
+    * candidate filter: only candidate documents' shingles are deduped
+    * and joined. At corpus scale the candidate set is orders of
+    * magnitude smaller than the corpus, so deduplicating every
+    * document's shingles globally (a full shuffle of all shingle rows)
+    * to verify a few pairs is the dominant waste — this semi-joins the
+    * raw shingle rows down to candidate docs first (broadcast of the
+    * candidate doc ids), then dedupes the small remainder. Results are
+    * identical: jaccard is over per-doc distinct shingle SETS either
+    * way. Pass `candidates` persisted — it is consumed three times
+    * (both doc-id sides and the intersection join).
+    */
+  def verifyJaccardForCandidates(candidates: DataFrame, shAll: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val candDocs = candidates.select(col("doc_a").as("doc"))
+      .union(candidates.select(col("doc_b").as("doc"))).distinct()
+    val sh = shAll.join(broadcast(candDocs), Seq("doc")).distinct()
+    verifyJaccardShingled(candidates, sh, minJaccard)
+  }
 
   /** Exact Jaccard from precomputed shingle rows (persist `sh` — it is
     * read three times: both intersection sides and the size table).

@@ -75,16 +75,20 @@ object DedupeQueries extends QueryPack {
   val q25 = Q("q25_ngram_jaccard",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // the shingle explode is the dominant cost — compute it ONCE and
-      // persist; it feeds the minhash signature, both intersection sides,
-      // and the size table (4 consumers). (An array-HOF shingle builder
-      // with no window shuffle was measured 5× SLOWER at sf0.1 — 3.6s vs
-      // 0.66s — the interpreted per-element lambda dominates; keep the
-      // posexplode + window-lead form.)
-      val sh = Dedupe.shingleRows(docs, "doc_id", "text", 3).persist()
-      val sig = Dedupe.minhashWideFromShingles(sh, 16)
-      val cand = Dedupe.minhashCandidates(sig, 16, 4)
-      Dedupe.verifyJaccardShingled(cand, sh, minJaccard = 0.5)
+      // Measured at sf0.1 (r3): this shape runs ~0.9s vs 2.4-7.3s for
+      // the previous persist-the-distinct-shingles form. Two things
+      // changed: (1) the signature consumes RAW shingle rows — min()
+      // ignores duplicates, so the global distinct (a full shuffle of
+      // ~3M shingle strings) and the persist that materialized them
+      // both drop out; (2) the exact-verify distinct happens AFTER the
+      // LSH prefilter, over candidate docs only (a few hundred rows at
+      // this sf). Only the tiny candidate-pair frame is persisted — it
+      // is read three times and recomputing it would redo the band
+      // self-join.
+      val shAll = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
+      val sig = Dedupe.minhashWideFromShingles(shAll, 16)
+      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
+      Dedupe.verifyJaccardForCandidates(cand, shAll, minJaccard = 0.5)
     },
     Some("""
       WITH w AS (SELECT doc_id,
