@@ -46,11 +46,6 @@ object Dedupe {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
-  /** Distinct (doc, shingle) rows via posexplode + window `lead` —
-    * deliberately NOT the array-lambda form: higher-order functions are
-    * interpreted (no codegen) and re-evaluate the `split` per element,
-    * which is quadratic per document. One narrow shuffle on doc instead.
-    */
   /** All k-word shingles WITH multiplicity (repetition metrics need the
     * counts; dedup/minhash want the distinct set — see [[shingleRows]]).
     *
