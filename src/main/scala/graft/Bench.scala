@@ -58,7 +58,11 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
+    // per-run detail goes on its OWN line, printed FIRST: the driver's
+    // tail capture must never truncate the summary line (BENCH_r04 lost
+    // `total` and q01-q08 when `runs` tripled the single line's length)
+    println(f"""{"metric":"runs","runs":$runsJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -14,7 +14,8 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     RelationalQueries, PopularityQueries, LoadQueries,
     CleaningQueries, DedupeQueries, TextQueries,
-    SimilarityQueries, EventQueries, EnrichmentQueries)
+    SimilarityQueries, EventQueries, EnrichmentQueries,
+    FunnelQueries)
 
   private val allQueries: Seq[Q] = packs.flatMap(_.all)
 

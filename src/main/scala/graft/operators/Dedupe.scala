@@ -196,7 +196,14 @@ object Dedupe {
       minJaccard: Double): DataFrame = {
     val candDocs = candidates.select(col("doc_a").as("doc"))
       .union(candidates.select(col("doc_b").as("doc"))).distinct()
-    val sh = shAll.join(broadcast(candDocs), Seq("doc")).distinct()
+    // persist the candidates-only shingle set: verifyJaccardShingled reads
+    // it THREE times (both intersection sides + the size table), and each
+    // unpersisted read would re-derive the FULL corpus shingle explode
+    // behind the semi-join. The frame is small (candidate docs only), so
+    // the cache cost is negligible; callers release it with
+    // spark.catalog.clearCache() (Bench does) or it ages out with the
+    // session.
+    val sh = shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist()
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
