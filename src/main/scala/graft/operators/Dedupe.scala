@@ -149,6 +149,15 @@ object Dedupe {
   def minhashCandidates(sigWide: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
+    // persist the banded signatures: the self-join below consumes this
+    // frame on BOTH sides, and because the two sides project different
+    // aliases (doc_a / doc_b) Catalyst does NOT reuse the exchange —
+    // unpersisted, the whole upstream signature aggregation (a
+    // corpus-scale shingle explode + md5 + minhash agg) executes twice
+    // (verified via executedPlan: 2 scans, 0 ReusedExchange). The frame
+    // is |docs| × nBands rows of (doc, sig, band, band_sig) — small at
+    // any corpus size that fits a cluster. Callers release it with
+    // clearCache() or it ages out with the session.
     val bands = sigWide
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
@@ -156,6 +165,7 @@ object Dedupe {
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")),
         "|"))
+      .persist()
     val a = bands.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
@@ -204,6 +214,29 @@ object Dedupe {
     // spark.catalog.clearCache() (Bench does) or it ages out with the
     // session.
     val sh = shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist()
+    verifyJaccardShingled(candidates, sh, minJaccard)
+  }
+
+  /** Exact Jaccard verification that re-derives shingles ONLY for the
+    * candidate documents, from the BASE table: the candidate doc ids
+    * (tiny) broadcast-semi-join `docs` first, and the shingle explode
+    * runs over that small remainder. Unlike
+    * [[verifyJaccardForCandidates]] — which filters an already-exploded
+    * corpus-scale shingle frame — this never touches a second
+    * corpus-scale pass at all: the one full explode feeds the
+    * signatures, and verification re-shingles only the few documents
+    * LSH actually flagged. The small distinct shingle set is persisted
+    * (verifyJaccardShingled reads it three times).
+    */
+  def verifyJaccardForCandidateDocs(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    val candDocs = candidates.select(col("doc_a").as(idCol))
+      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val candTexts = docs.select(col(idCol), col(textCol))
+      .join(broadcast(candDocs), Seq(idCol))
+    val sh = shingleRows(candTexts, idCol, textCol, shingleK, maxDocChars)
+      .persist()
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 

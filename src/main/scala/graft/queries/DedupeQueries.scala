@@ -75,20 +75,25 @@ object DedupeQueries extends QueryPack {
   val q25 = Q("q25_ngram_jaccard",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // Measured at sf0.1 (r3): this shape runs ~0.9s vs 2.4-7.3s for
-      // the previous persist-the-distinct-shingles form. Two things
-      // changed: (1) the signature consumes RAW shingle rows — min()
-      // ignores duplicates, so the global distinct (a full shuffle of
-      // ~3M shingle strings) and the persist that materialized them
-      // both drop out; (2) the exact-verify distinct happens AFTER the
-      // LSH prefilter, over candidate docs only (a few hundred rows at
-      // this sf). Only the tiny candidate-pair frame is persisted — it
-      // is read three times and recomputing it would redo the band
-      // self-join.
+      // Plan shape: ONE corpus-scale shingle explode (feeds the
+      // signatures, raw rows — min() ignores duplicates so no global
+      // distinct); LSH banding prefilters to candidate PAIRS (persisted
+      // — read three times); exact verification re-shingles only the
+      // candidate DOCUMENTS pulled from the base table, so no second
+      // corpus-scale pass exists anywhere in the plan.
+      // Measured at sf0.1, local[32], bench-style cold runs with
+      // clearCache between, fresh session (r5): [9.0, 3.6, 2.7, 2.8]s —
+      // the first run pays plan codegen for the whole chain,
+      // steady-state ~2.7s. The dominant remaining costs are the
+      // corpus-scale md5+minhash aggregation (runs ONCE — the banded
+      // frame is persisted inside minhashCandidates, without which the
+      // band self-join executed it twice) and the multi-stage verify
+      // joins over small frames.
       val shAll = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
       val sig = Dedupe.minhashWideFromShingles(shAll, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      Dedupe.verifyJaccardForCandidates(cand, shAll, minJaccard = 0.5)
+      Dedupe.verifyJaccardForCandidateDocs(cand, docs, "doc_id", "text",
+        shingleK = 3, minJaccard = 0.5)
     },
     Some("""
       WITH w AS (SELECT doc_id,
