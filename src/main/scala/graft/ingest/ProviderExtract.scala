@@ -445,4 +445,218 @@ object ProviderExtract {
         lit("cc0").as("license"), lit("1.0").as("license_version"),
         lit("smithsonian").as("provider"))
   }
+
+  // ---------------------------------------------------------------------
+  // Archetype 5: cursor pagination (europeana.py) — the response carries
+  // a `nextCursor` the fetcher must thread into the next request
+  // (europeana.py:205-218); batches are only usable when `success` is
+  // true (europeana.py:220-226). The Spark side is the stateless
+  // record-builder (EuropeanaRecordBuilder:55-160) gone columnar.
+  // ---------------------------------------------------------------------
+
+  val europeanaItemSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("guid", StringType),
+    StructField("title", ArrayType(StringType)),
+    StructField("rights", ArrayType(StringType)),
+    StructField("edmIsShownAt", ArrayType(StringType)),
+    StructField("edmIsShownBy", ArrayType(StringType)),
+    StructField("country", ArrayType(StringType)),
+    StructField("dataProvider", ArrayType(StringType)),
+    StructField("dcDescription", ArrayType(StringType)),
+    StructField("dcDescriptionLangAware", StructType(Seq(
+      StructField("en", ArrayType(StringType)),
+      StructField("def", ArrayType(StringType)))))))
+
+  val europeanaBatchSchema: StructType = StructType(Seq(
+    StructField("success", BooleanType),
+    StructField("nextCursor", StringType),
+    StructField("items", ArrayType(europeanaItemSchema))))
+
+  /** `EUROPEANA_SUB_PROVIDERS` (provider_details.py:68): source keyed by
+    * data-provider display name.
+    */
+  val europeanaSubProviders: Seq[(String, String)] =
+    Seq("wellcome_collection" -> "Wellcome Collection")
+
+  /** Per-batch continuation cursors (europeana.py:220-226
+    * `get_should_continue`): the fetcher pages until nextCursor is null.
+    */
+  def europeanaNextCursors(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame =
+    rawBatches.select(from_json(col("value"), europeanaBatchSchema).as("b"))
+      .select(col("b.nextCursor").as("next_cursor"))
+
+  /** Cursor-pagination archetype (europeana.py): failed responses are
+    * dropped whole, items explode one record each. Field logic mirrors
+    * EuropeanaRecordBuilder exactly: landing = edmIsShownAt[0] else
+    * guid; url = edmIsShownBy[0]; the license URL is the first `rights`
+    * entry containing "creativecommons"; the description prefers
+    * lang-aware en → def → plain dcDescription, first entry trimmed
+    * (europeana.py:139-160); meta_data keeps country/dataProvider as
+    * typed arrays (the reference keeps the raw lists). Sub-provider
+    * attribution checks dataProvider membership (the reference raises
+    * on >1 eligible match — impossible with the current 1-entry map, so
+    * the columnar form needs no error channel). `raise_if_empty`
+    * becomes the trailing required-field filter (empty string and
+    * empty-to-null coalescing included).
+    */
+  def europeanaish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val items = rawBatches
+      .select(from_json(col("value"), europeanaBatchSchema).as("b"))
+      .filter(col("b.success") === true)
+      .select(explode(col("b.items")).as("i"))
+    val la = col("i.dcDescriptionLangAware")
+    val langAware = when(size(la.getField("en")) > 0, la.getField("en"))
+      .when(size(la.getField("def")) > 0, la.getField("def"))
+    val descSource = when(size(langAware) > 0, langAware)
+      .otherwise(col("i.dcDescription"))
+    val description = when(size(descSource) > 0,
+      trim(element_at(descSource, 1))).otherwise(lit(""))
+    val ccRights = element_at(
+      filter(col("i.rights"), r => r.contains("creativecommons")), 1)
+    val subProv = europeanaSubProviders.foldLeft(lit("europeana")) {
+      case (acc, (key, display)) =>
+        when(array_contains(coalesce(col("i.dataProvider"),
+          array().cast("array<string>")), display), lit(key)).otherwise(acc)
+    }
+    val rec = items.select(
+      nullif(col("i.id"), lit("")).as("foreign_identifier"),
+      nullif(coalesce(element_at(col("i.edmIsShownAt"), 1), col("i.guid")),
+        lit("")).as("foreign_landing_url"),
+      nullif(element_at(col("i.edmIsShownBy"), 1), lit("")).as("url"),
+      nullif(element_at(col("i.title"), 1), lit("")).as("title"),
+      struct(
+        col("i.country").as("country"),
+        col("i.dataProvider").as("dataProvider"),
+        description.as("description")).as("meta_data"),
+      subProv.as("source"),
+      ccRights.as("raw_license_url"),
+      lit("europeana").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      // canonical form of the matched path (LicenseInfo.url)
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("foreign_identifier").isNotNull &&
+        col("foreign_landing_url").isNotNull && col("url").isNotNull &&
+        col("title").isNotNull && col("license").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // Archetype 6: page-number pagination, audio with alternate files
+  // (freesound.py). Two record fields come from driver-side HTTP the
+  // Spark engine cannot do (S2 boundary, like jamendo's offset state):
+  // the preview's HEAD content-length (freesound.py:171-188) and the
+  // pack endpoint's id/name (freesound.py:139-151, lru-cached) — the
+  // fetcher stamps them into the landing-zone JSON as
+  // `preview_filesize` / `pack_id` / `pack_name`.
+  // ---------------------------------------------------------------------
+
+  val freesoundPreviewsSchema: StructType = StructType(Seq(
+    StructField("preview-hq-mp3", StringType),
+    StructField("preview-lq-mp3", StringType),
+    StructField("preview-hq-ogg", StringType),
+    StructField("preview-lq-ogg", StringType)))
+
+  val freesoundItemSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("url", StringType),
+    StructField("name", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("description", StringType),
+    StructField("license", StringType),
+    StructField("type", StringType),
+    StructField("download", StringType),
+    StructField("filesize", LongType),
+    StructField("bitrate", LongType),
+    StructField("duration", DoubleType),
+    StructField("samplerate", DoubleType),
+    StructField("pack", StringType),
+    StructField("username", StringType),
+    StructField("num_downloads", LongType),
+    StructField("avg_rating", DoubleType),
+    StructField("num_ratings", LongType),
+    StructField("geotag", StringType),
+    StructField("previews", freesoundPreviewsSchema),
+    StructField("preview_filesize", LongType),
+    StructField("pack_id", StringType),
+    StructField("pack_name", StringType)))
+
+  val freesoundBatchSchema: StructType = StructType(Seq(
+    StructField("count", LongType),
+    StructField("next", StringType),
+    StructField("results", ArrayType(freesoundItemSchema))))
+
+  /** `freesound.preview_bitrates` (freesound.py:40-46). */
+  val freesoundPreviewBitrate: Long = 128000L
+
+  /** Page-number archetype with audio alt_files (freesound.py): the
+    * hq-mp3 preview is the playable main file (filetype from the
+    * preview key's last dash segment, fixed 128 kbps); the original
+    * upload becomes ONE alt_file with kbps→bps bit_rate and truncated
+    * sample rate (freesound.py:190-224). Records drop without a landing
+    * url, id, resolvable CC license, hq-mp3 preview, or stamped preview
+    * filesize — exactly the reference's early-return set
+    * (freesound.py:226-253 + test_freesound.py's missing-field cases).
+    * meta_data keeps only truthy values (_get_metadata:118-132): zero
+    * counts and empty strings drop like Python falsy values.
+    */
+  def freesoundish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), freesoundBatchSchema).as("b"))
+      .select(explode(col("b.results")).as("t"))
+      // the API sometimes returns literal nulls in results
+      // (freesound.py:104-108)
+      .filter(col("t").isNotNull)
+    val creator = trim(nullif(col("t.username"), lit("")))
+    val meta = map_filter(map(
+      lit("description"), nullif(col("t.description"), lit("")),
+      lit("num_downloads"), when(col("t.num_downloads") =!= 0,
+        col("t.num_downloads").cast("string")),
+      lit("avg_rating"), when(col("t.avg_rating") =!= 0.0,
+        col("t.avg_rating").cast("string")),
+      lit("num_ratings"), when(col("t.num_ratings") =!= 0,
+        col("t.num_ratings").cast("string")),
+      lit("geotag"), nullif(col("t.geotag"), lit("")),
+      lit("download"), nullif(col("t.download"), lit(""))),
+      (_, v) => v.isNotNull)
+    val rec = t.select(
+      col("t.id").cast("string").as("foreign_identifier"),
+      col("t.url").as("foreign_landing_url"),
+      col("t.previews").getField("preview-hq-mp3").as("url"),
+      lit("mp3").as("filetype"),
+      lit(freesoundPreviewBitrate).as("bit_rate"),
+      col("t.preview_filesize").as("filesize"),
+      (col("t.duration") * 1000).cast("long").as("duration"),
+      col("t.name").as("title"),
+      creator.as("creator"),
+      when(creator.isNotNull, concat(lit("https://freesound.org/people/"),
+        creator, lit("/"))).as("creator_url"),
+      col("t.license").as("raw_license_url"),
+      meta.as("meta_data"),
+      col("t.tags").as("tags"),
+      struct(
+        col("t.pack_id").as("set_foreign_id"),
+        col("t.pack_name").as("audio_set"),
+        col("t.pack").as("set_url")).as("audio_set"),
+      array(struct(
+        col("t.download").as("url"),
+        (col("t.bitrate") * 1000).as("bit_rate"),
+        col("t.samplerate").cast("long").as("sample_rate"),
+        col("t.type").as("filetype"),
+        col("t.filesize").as("filesize"))).as("alt_files"),
+      lit("freesound").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("foreign_identifier").isNotNull &&
+        col("foreign_landing_url").isNotNull && col("url").isNotNull &&
+        col("license").isNotNull && col("filesize").isNotNull)
+  }
 }

@@ -137,4 +137,176 @@ class ProviderGoldenSpec extends SparkSpec {
       Seq("id-1", "id-2"))
     assert(got.forall(_.getAs[String]("title") == "Two views"))
   }
+
+  // ---- europeana (cursor archetype) -----------------------------------
+
+  private def europeanaBatch(itemsJson: String,
+      cursor: String = "\"test_next_cursor\""): String =
+    s"""{"success": true, "nextCursor": $cursor, "items": [$itemsJson]}"""
+
+  test("europeanaish: reference image_data_example -> expected record") {
+    val batch = europeanaBatch(fixture("europeana/image_data_example.json"))
+    val got = ProviderExtract.europeanaish(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_europeana.py:106-139's expected record
+    assert(r.getAs[String]("foreign_identifier") ==
+      "/2022704/lod_oai_bibliotecadigital_jcyl_es_26229_ent1")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "http://bibliotecadigital.jcyl.es/i18n/consulta/registro.cmd?id=26229")
+    assert(r.getAs[String]("url") ==
+      "http://bibliotecadigital.jcyl.es/i18n/catalogo_imagenes/imagen_id.cmd?idImagen=102620362")
+    assert(r.getAs[String]("title") ==
+      "Claustro del Monasterio de S. Salvador en Oña [Material gráfico]= Cloître du Monastère de S. Salvador à Oña")
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/publicdomain/zero/1.0/")
+    assert(r.getAs[String]("raw_license_url") ==
+      "http://creativecommons.org/publicdomain/zero/1.0/")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta_data")
+    assert(meta.getAs[collection.Seq[String]]("country").toSeq ==
+      Seq("Spain"))
+    assert(meta.getAs[collection.Seq[String]]("dataProvider").toSeq ==
+      Seq("Biblioteca Digital de Castilla y León"))
+    assert(meta.getAs[String]("description") ==
+      "Sello en seco: España artística y monumental.")
+    assert(r.getAs[String]("source") == "europeana")
+    assert(r.getAs[String]("provider") == "europeana")
+  }
+
+  test("europeanaish: wellcome dataProvider -> sub-provider source") {
+    val batch = europeanaBatch(
+      fixture("europeana/image_data_sub_provider_example.json"))
+    val got = ProviderExtract.europeanaish(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("source") == "wellcome_collection")
+    assert(got.head.getAs[String]("license") == "by" &&
+      got.head.getAs[String]("license_version") == "4.0")
+  }
+
+  test("europeanaish: realistic 27-item response keeps every item") {
+    // test_europeana.py:100-103: all items of the realistic response
+    // survive record building
+    val whole = fixture("europeana/europeana_example.json")
+    val got = ProviderExtract.europeanaish(spark, Seq(whole).toDS())
+    assert(got.count() == 27)
+  }
+
+  test("europeanaish: failed response and missing requireds drop") {
+    val item = fixture("europeana/image_data_example.json")
+    assert(ProviderExtract.europeanaish(spark,
+      Seq(s"""{"success": false, "items": [$item]}""").toDS()).count() == 0)
+    // non-cc rights -> no license url -> drop (test_europeana.py:151-155)
+    val nonCc = item.replace(
+      "http://creativecommons.org/publicdomain/zero/1.0/",
+      "http://rightsstatements.org/vocab/InC/1.0/")
+    assert(ProviderExtract.europeanaish(spark,
+      Seq(europeanaBatch(nonCc)).toDS()).count() == 0)
+  }
+
+  test("europeanaNextCursors surfaces the continuation token") {
+    val batch = europeanaBatch(fixture("europeana/image_data_example.json"))
+    val done = europeanaBatch(fixture("europeana/image_data_example.json"),
+      cursor = "null")
+    val cursors = ProviderExtract.europeanaNextCursors(spark,
+      Seq(batch, done).toDS()).collect().map(_.getAs[String]("next_cursor"))
+    assert(cursors.toSeq == Seq("test_next_cursor", null))
+  }
+
+  // ---- freesound (page-number audio archetype) ------------------------
+
+  /** The reference test stamps driver-side enrichments via mocks
+    * (test_freesound.py:19-32: file size 16359, set info ("foo", url));
+    * our fetcher stamps the same fields into the landing-zone JSON.
+    */
+  private def freesoundStamp(recordJson: String): String =
+    recordJson.replaceFirst("\\{",
+      """{"preview_filesize": 16359, "pack_id": "foo",
+        | "pack_name": "https://freesound.org/apiv2/packs/23434/","""
+        .stripMargin.replaceAll("\n", ""))
+
+  test("freesoundish: reference audio_data_example -> expected record") {
+    val rec = freesoundStamp(fixture("freesound/audio_data_example.json"))
+    val batch = s"""{"count": 1, "next": null, "results": [$rec]}"""
+    val got = ProviderExtract.freesoundish(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "415362")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://freesound.org/people/owly-bee/sounds/415362/")
+    // main file = hq-mp3 preview (test_freesound.py:120-134)
+    assert(r.getAs[String]("url") ==
+      "https://freesound.org/data/previews/415/415362_6044691-hq.mp3")
+    assert(r.getAs[String]("filetype") == "mp3")
+    assert(r.getAs[Long]("bit_rate") == 128000L)
+    assert(r.getAs[Long]("filesize") == 16359L)
+    assert(r.getAs[Long]("duration") == 608L) // int(0.608754 * 1000)
+    assert(r.getAs[String]("title") == "Ehh disinterested.wav")
+    assert(r.getAs[String]("creator") == "owly-bee")
+    assert(r.getAs[String]("creator_url") ==
+      "https://freesound.org/people/owly-bee/")
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "3.0")
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    // truthy-only: avg_rating 0.0, num_ratings 0, geotag null all drop
+    assert(meta("description") ==
+      "A disinterested noise in a somewhat low tone.")
+    assert(meta("num_downloads") == "164")
+    assert(meta("download") ==
+      "https://freesound.org/apiv2/sounds/415362/download/")
+    assert(!meta.contains("avg_rating") && !meta.contains("num_ratings") &&
+      !meta.contains("geotag"))
+    assert(r.getAs[collection.Seq[String]]("tags").toSeq ==
+      Seq("eh", "disinterest", "low", "uh", "voice", "uncaring"))
+    val set = r.getAs[org.apache.spark.sql.Row]("audio_set")
+    assert(set.getAs[String]("set_foreign_id") == "foo")
+    assert(set.getAs[String]("audio_set") ==
+      "https://freesound.org/apiv2/packs/23434/")
+    assert(set.getAs[String]("set_url") ==
+      "https://freesound.org/apiv2/packs/23434/")
+    // one alt_file: the original upload (test_freesound.py:125-133)
+    val alts = r.getAs[collection.Seq[org.apache.spark.sql.Row]]("alt_files")
+    assert(alts.length == 1)
+    val alt = alts.head
+    assert(alt.getAs[String]("url") ==
+      "https://freesound.org/apiv2/sounds/415362/download/")
+    assert(alt.getAs[Long]("bit_rate") == 1381000L)
+    assert(alt.getAs[Long]("sample_rate") == 44100L)
+    assert(alt.getAs[String]("filetype") == "wav")
+    assert(alt.getAs[Long]("filesize") == 107592L)
+  }
+
+  test("freesoundish: reference page fixture keeps all six records") {
+    val stamped = fixture("freesound/page.json").trim
+      .stripPrefix("[").stripSuffix("]")
+    // stamp each record ONCE at its "id" key (every record has exactly
+    // one) with the driver-side enrichment fields
+    val records = stamped.replaceAll("\"id\":",
+      "\"preview_filesize\": 16359, \"id\":")
+    val batch = s"""{"count": 6, "next": null, "results": [$records]}"""
+    assert(ProviderExtract.freesoundish(spark, Seq(batch).toDS())
+      .count() == 6)
+  }
+
+  test("freesoundish: missing required fields drop the record") {
+    val base = fixture("freesound/audio_data_example.json")
+    // no preview_filesize stamp (HEAD failed / preview 404) -> drop
+    val batch = s"""{"count": 1, "next": null, "results": [$base]}"""
+    assert(ProviderExtract.freesoundish(spark, Seq(batch).toDS())
+      .count() == 0)
+    // missing hq-mp3 preview -> drop (test_freesound.py:143-147)
+    val noPreview = freesoundStamp(base).replace("preview-hq-mp3",
+      "preview-hq-mp3-absent")
+    assert(ProviderExtract.freesoundish(spark,
+      Seq(s"""{"count":1,"next":null,"results":[$noPreview]}""").toDS())
+      .count() == 0)
+    // non-cc license -> drop
+    val badLicense = freesoundStamp(base).replace(
+      "http://creativecommons.org/licenses/by/3.0/",
+      "http://example.com/all-rights-reserved")
+    assert(ProviderExtract.freesoundish(spark,
+      Seq(s"""{"count":1,"next":null,"results":[$badLicense]}""").toDS())
+      .count() == 0)
+  }
 }
