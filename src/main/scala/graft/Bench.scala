@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query wall seconds. `count()` forces the
@@ -50,6 +51,77 @@ object Bench {
       name -> times
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // ---- B3: the iNat transform batch, end-to-end, as a direct rows/s
+    // headline against BASELINE.md's 18 min / 2M rows (~1.8k rows/s)
+    // Postgres median (inaturalist.py:400-402). Inputs are the sf tables
+    // reshaped into the four iNat source tables (photos from lineitem
+    // keeps ~0.1% duplicate photo_ids like production, photos.sql:7-8);
+    // the timed section is the 5-way star join + dedup + record
+    // synthesis + upsert-merge into a pre-seeded target — the same work
+    // the reference's per-batch SQL does.
+    val b3 = {
+      import graft.inat.Inat
+      import graft.operators.MergeUpsert
+      val li = Tables(spark, sfDir, "lineitem")
+      val photos = li.select(
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber"))
+          .as("photo_uuid"),
+        // ~0.1% of ids collide -> the production dupe anti-join has work
+        when(col("l_orderkey") % 1000 === 0, (col("l_orderkey") / 2).cast("int"))
+          .otherwise(col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("int").as("photo_id"),
+        col("l_orderkey").cast("string").as("observation_uuid"),
+        col("l_suppkey").cast("int").as("observer_id"),
+        element_at(array(lit("jpeg"), lit("png"), lit("JPG")),
+          (col("l_linenumber") % 3 + 1).cast("int")).as("extension"),
+        element_at(array(lit("CC0"), lit("CC-BY"), lit("CC-BY-NC"),
+          lit("CC-BY-SA"), lit("PD")),
+          (col("l_orderkey") % 5 + 1).cast("int")).as("license"),
+        (col("l_quantity") * 100).cast("int").as("width"),
+        (col("l_quantity") * 80).cast("int").as("height"),
+        col("l_linenumber").cast("int").as("position"))
+      val orders = Tables(spark, sfDir, "orders")
+      val nTaxa = 2000
+      val observations = orders.select(
+        col("o_orderkey").cast("string").as("observation_uuid"),
+        col("o_custkey").cast("int").as("observer_id"),
+        lit(null).cast("decimal(15,10)").as("latitude"),
+        lit(null).cast("decimal(15,10)").as("longitude"),
+        lit(10).as("positional_accuracy"),
+        (col("o_orderkey") % nTaxa + 1).cast("int").as("taxon_id"),
+        lit("research").as("quality_grade"),
+        col("o_orderdate").cast("date").as("observed_on"))
+      val observers = Tables(spark, sfDir, "customer").select(
+        col("c_custkey").cast("int").as("observer_id"),
+        concat(lit("user"), col("c_custkey")).as("login"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"))
+      val taxa = spark.range(1, nTaxa + 1).select(
+        col("id").cast("int").as("taxon_id"),
+        // ancestry chains into lower taxon ids (all resolvable)
+        when(col("id") > 10, concat_ws("/",
+          (col("id") % 10 + 1).cast("string"),
+          (col("id") % 100 + 1).cast("string"))).as("ancestry"),
+        lit(10.0).as("rank_level"), lit("species").as("rank"),
+        concat(lit("Taxon "), col("id")).as("name"), lit(true).as("active"))
+      // pre-seeded live table (an earlier batch's survivors), built and
+      // materialized OUTSIDE the timed section
+      val target = Inat.transform(photos.filter(col("photo_id") % 7 === 0),
+        observations, observers, taxa).persist()
+      target.count()
+      val photoRows = photos.count()
+      val times = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        val recs = Inat.transform(photos, observations, observers, taxa)
+        val merged = MergeUpsert.merge(target, recs,
+          Seq("provider", "foreign_identifier"))
+        merged.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      target.unpersist()
+      val sec = median(times)
+      f""""b3_inat_e2e":{"rows":$photoRows,"sec":$sec%.3f,"rows_per_sec":${photoRows / sec}%.0f,"baseline_rows_per_sec":1852,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+    }
     val qs = results.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, ts) =>
@@ -62,7 +134,7 @@ object Bench {
     // tail capture must never truncate the summary line (BENCH_r04 lost
     // `total` and q01-q08 when `runs` tripled the single line's length)
     println(f"""{"metric":"runs","runs":$runsJson}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$b3,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+import graft.sources.VersionedTable
+
+/** The add_license_url one-shot (maintenance/add_license_url.py:59-132):
+  * pair-map backfill semantics plus the transactional write-back through
+  * VersionedTable.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table() = Seq(
+    // (identifier, license, version, meta present?)
+    ("a", "CC0", "1.0", false),   // uppercase + null meta -> backfilled
+    ("b", "by", "2", false),      // bare "2" -> 2.0 normalization
+    ("c", "by", "4.0", true),     // meta present -> untouched
+    ("d", "wrong", "1.0", false), // unknown pair -> untouched (invalid)
+    ("e", "pdm", "1.0", false))   // special-case path
+    .toDF("identifier", "license", "license_version", "has_meta")
+    .withColumn("meta_data", when(col("has_meta"),
+      map(lit("w"), lit("x"))).otherwise(
+      lit(null).cast("map<string,string>")))
+    .drop("has_meta")
+
+  test("addLicenseUrl backfills null-meta rows from the pair map") {
+    val out = Maintenance.addLicenseUrl(table())
+      .select(col("identifier"), col("license"),
+        element_at(col("meta_data"), "license_url").as("lu"),
+        col("meta_data").isNull.as("still_null"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out("a") == (("cc0",
+      "https://creativecommons.org/publicdomain/zero/1.0/", false)))
+    assert(out("b") == (("by",
+      "https://creativecommons.org/licenses/by/2.0/", false)))
+    // existing meta_data untouched (no license_url key added)
+    assert(out("c") == (("by", null, false)))
+    // unknown pair: left for the invalid-items report, license NOT lowered
+    assert(out("d") == (("wrong", null, true)))
+    assert(out("e") == (("pdm",
+      "https://creativecommons.org/publicdomain/mark/1.0/", false)))
+  }
+
+  test("backfill composes with the transactional table write-back") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint").toString
+    VersionedTable.commit(table(), root)
+    val fixed = Maintenance.addLicenseUrl(
+      VersionedTable.read(spark, root))
+    val v2 = VersionedTable.mergeInto(spark, root, fixed,
+      Seq("identifier"))
+    assert(v2 == 2L)
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == 5)
+    assert(after.filter(col("meta_data").isNull).count() == 1) // only "d"
+    // time travel: v1 still has the 4 null-meta rows
+    assert(VersionedTable.read(spark, root, Some(1L))
+      .filter(col("meta_data").isNull).count() == 4)
+  }
+}
