@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{DotProductExpr, HtmlToTextExpr,
-  PercentileDiscAgg, SanitizeStringExpr}
+  PercentileDiscAgg, SanitizeStringExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst pieces at session build time
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       exprs => DotProductExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      exprs => SimHashExpr(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }

@@ -280,28 +280,19 @@ object Dedupe {
     *
     * Bit j (j = 0..63, MSB-first over md5's first 16 hex chars) is 1 iff
     * the sum over words of (bit_j(md5(word)) ? +1 : -1) is positive.
+    *
+    * Computed by the codegen'd [[graft.functions.SimHashExpr]]: one
+    * per-row loop, zero shuffles. This replaced a word-explode ×
+    * 64-bit-explode plan (64 rows per distinct word through two shuffled
+    * aggregations) — hash-identical output, PlanSpec-guarded against the
+    * explode creeping back.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
-    val wordRows = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(words(
-        TextAnalysis.capDoc(col(textCol), maxDocChars)))).as("w"))
-      .withColumn("h", md5(col("w")))
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
-      // nibble value of hex char at position j/4 (0-based), bit (3 - j%4)
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1"))
-      .withColumn("contrib",
-        expr("2 * (cast(shiftright(nib, 3 - j % 4) as int) & 1) - 1"))
-    val bits = wordRows.groupBy("doc", "j")
-      .agg(when(sum("contrib") > 0, 1).otherwise(0).as("bit"))
-    val nibbles = bits
-      .groupBy(col("doc"), (col("j") / lit(4)).cast("int").as("nib_idx"))
-      .agg(sum(expr("shiftleft(bit, 3 - j % 4)")).as("nv"))
-      .withColumn("ch", expr("substring('0123456789abcdef', cast(nv as int) + 1, 1)"))
-    nibbles.groupBy("doc")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("nib_idx"), col("ch")))),
-          x => x.getField("ch")), "").as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.functions.SimHashExpr(
+        ColumnBridge.expression(
+          TextAnalysis.capDoc(col(textCol), maxDocChars)))).as("simhash"))
   }
 }

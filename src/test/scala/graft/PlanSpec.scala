@@ -132,4 +132,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Window"))
     assert(p.contains("winnowfingerprints") || p.contains("Generate"))
   }
+
+  test("q26: simhash is one per-row projection — no explode, no shuffle") {
+    val p = plan("q26_simhash")
+    // SimHashExpr reduces all 64 bit-counters inside the row; a Generate
+    // or Exchange here means the 64-rows-per-word explode plan is back
+    assert(!p.contains("Exchange") && !p.contains("Generate") &&
+      !p.contains("Window"))
+    assert(p.toLowerCase.contains("simhash"))
+  }
 }

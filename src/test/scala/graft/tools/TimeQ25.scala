@@ -14,7 +14,7 @@ object TimeQ25 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    for (qn <- Seq("q25_ngram_jaccard", "q24_minhash_lsh")) {
+    for (qn <- Seq("q26_simhash")) {
       val fn = graft.SparkEntry.queries(qn)
       (1 to 4).foreach { i =>
         spark.catalog.clearCache()
