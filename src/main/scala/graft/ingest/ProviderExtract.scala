@@ -659,4 +659,160 @@ object ProviderExtract {
         col("foreign_landing_url").isNotNull && col("url").isNotNull &&
         col("license").isNotNull && col("filesize").isNotNull)
   }
+
+  // ---------------------------------------------------------------------
+  // Concrete page-number providers over the same machinery: nappy.py
+  // (CC0-only, human-readable filesize strings) and cleveland_museum.py
+  // (offset/skip pagination, best-available image preference).
+  // ---------------------------------------------------------------------
+
+  val nappyItemSchema: StructType = StructType(Seq(
+    StructField("foreign_identifier", LongType),
+    StructField("foreign_landing_url", StringType),
+    StructField("url", StringType),
+    StructField("filesize", StringType),
+    StructField("filetype", StringType),
+    StructField("creator", StringType),
+    StructField("creator_url", StringType),
+    StructField("title", StringType),
+    StructField("tags", StringType),
+    StructField("views", LongType),
+    StructField("saves", LongType),
+    StructField("downloads", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType)))
+
+  val nappyBatchSchema: StructType = StructType(Seq(
+    StructField("images", ArrayType(nappyItemSchema)),
+    StructField("next_page", StringType)))
+
+  /** `nappy._convert_filesize:58-69` — "233.5kB" → 233500 bytes.
+    * Python round() is banker's rounding → bround (HALF_EVEN);
+    * unparsable numbers and unknown suffixes → null.
+    */
+  def nappyFilesize(raw: Column): Column = {
+    val stripped = trim(raw)
+    val mult = element_at(
+      map(lit("kB"), lit(1000.0d), lit("MB"), lit(1000000.0d),
+        lit("GB"), lit(1000000000.0d)),
+      substring(stripped, -2, 2))
+    val num = regexp_replace(stripped, "..$", "").cast("double")
+    when(length(raw) > 2 && mult.isNotNull && num.isNotNull,
+      bround(num * mult, 0).cast("long"))
+  }
+
+  /** Page-number provider, CC0-hardcoded (nappy.py): thumbnail is the
+    * image URL with the resize query appended (nappy.py:81), filesize
+    * parses from human-readable strings, meta_data carries the three
+    * engagement counters verbatim (no truthiness filter —
+    * nappy.py:88-92 keeps them unconditionally), raw tags split on
+    * commas. Records need landing + image URLs (nappy.py:74-79).
+    */
+  def nappyish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), nappyBatchSchema).as("b"))
+      .select(explode(col("b.images")).as("t"))
+    t.select(
+      col("t.foreign_identifier").cast("string").as("foreign_identifier"),
+      col("t.foreign_landing_url").as("foreign_landing_url"),
+      col("t.url").as("url"),
+      concat(col("t.url"), lit("?auto=format&w=600&q=75"))
+        .as("thumbnail_url"),
+      nappyFilesize(col("t.filesize")).as("filesize"),
+      col("t.filetype").as("filetype"),
+      col("t.creator").as("creator"),
+      col("t.creator_url").as("creator_url"),
+      col("t.title").as("title"),
+      map(lit("views"), col("t.views").cast("string"),
+        lit("saves"), col("t.saves").cast("string"),
+        lit("downloads"), col("t.downloads").cast("string"))
+        .as("meta_data"),
+      split(col("t.tags"), ",").as("tags"),
+      col("t.width").as("width"), col("t.height").as("height"),
+      lit("cc0").as("license"), lit("1.0").as("license_version"),
+      lit("https://creativecommons.org/publicdomain/zero/1.0/")
+        .as("license_url"),
+      lit("nappy").as("provider"))
+      .filter(col("foreign_landing_url").isNotNull && col("url").isNotNull)
+  }
+
+  private val clevelandImageSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("width", StringType),
+    StructField("height", StringType),
+    StructField("filesize", StringType),
+    StructField("filename", StringType)))
+
+  val clevelandItemSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("url", StringType),
+    StructField("title", StringType),
+    StructField("share_license_status", StringType),
+    StructField("accession_number", StringType),
+    StructField("technique", StringType),
+    StructField("creation_date", StringType),
+    StructField("creditline", StringType),
+    StructField("type", StringType),
+    StructField("tombstone", StringType),
+    StructField("culture", ArrayType(StringType)),
+    StructField("creators", ArrayType(StructType(Seq(
+      StructField("description", StringType))))),
+    StructField("images", StructType(Seq(
+      StructField("web", clevelandImageSchema),
+      StructField("print", clevelandImageSchema),
+      StructField("full", clevelandImageSchema))))))
+
+  val clevelandBatchSchema: StructType = StructType(Seq(
+    StructField("data", ArrayType(clevelandItemSchema))))
+
+  /** `cleveland._get_int_value:90-103` — digit strings and ints pass,
+    * anything else (including Python-falsy "" / 0) nulls out.
+    */
+  def clevelandInt(v: Column): Column =
+    when(v.rlike("^[0-9]+$") && v =!= "0", v.cast("long"))
+
+  /** Offset-pagination museum provider (cleveland_museum.py): CC0-only
+    * (share_license_status lowercased gate), best-available image via
+    * web → print → full preference (_get_image_data:74-85), int
+    * coercion through the digit gate, creator from the first creators
+    * entry defaulting to "" (cleveland_museum.py:56-59), meta_data
+    * non-null-only with comma-joined culture.
+    */
+  def clevelandish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), clevelandBatchSchema).as("b"))
+      .select(explode(col("b.data")).as("t"))
+    val img = coalesce(col("t.images.web"), col("t.images.print"),
+      col("t.images.full"))
+    val meta = map_filter(map(
+      lit("accession_number"), col("t.accession_number"),
+      lit("technique"), col("t.technique"),
+      lit("date"), col("t.creation_date"),
+      lit("credit_line"), col("t.creditline"),
+      lit("classification"), col("t.type"),
+      lit("tombstone"), col("t.tombstone"),
+      lit("culture"), nullif(array_join(
+        filter(coalesce(col("t.culture"), array().cast("array<string>")),
+          x => x.isNotNull), ","), lit(""))),
+      (_, v) => v.isNotNull)
+    t.filter(lower(coalesce(col("t.share_license_status"), lit(""))) === "cc0")
+      .filter(col("t.id").isNotNull)
+      .select(
+        col("t.id").cast("string").as("foreign_identifier"),
+        col("t.url").as("foreign_landing_url"),
+        img.getField("url").as("url"),
+        clevelandInt(img.getField("width")).as("width"),
+        clevelandInt(img.getField("height")).as("height"),
+        clevelandInt(img.getField("filesize")).as("filesize"),
+        when(size(col("t.creators")) > 0,
+          coalesce(element_at(col("t.creators"), 1).getField("description"),
+            lit(""))).otherwise(lit("")).as("creator"),
+        col("t.title").as("title"),
+        meta.as("meta_data"),
+        lit("cc0").as("license"), lit("1.0").as("license_version"),
+        lit("clevelandmuseum").as("provider"))
+      .filter(col("url").isNotNull)
+  }
 }

@@ -309,4 +309,118 @@ class ProviderGoldenSpec extends SparkSpec {
       Seq(s"""{"count":1,"next":null,"results":[$badLicense]}""").toDS())
       .count() == 0)
   }
+
+  // ---- nappy (page-number, CC0-hardcoded) -----------------------------
+
+  test("nappyish: reference single_item -> expected record") {
+    val batch = s"""{"images": [${fixture("nappy/single_item.json")}],
+      "next_page": null}""".replaceAll("\n", "")
+    val got = ProviderExtract.nappyish(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_nappy.py:92-131's expected record
+    assert(r.getAs[String]("foreign_identifier") == "9")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://nappy.co/photo/9/woman-with-tattoos")
+    assert(r.getAs[String]("url").endsWith("azaf.jpg"))
+    assert(r.getAs[String]("thumbnail_url") ==
+      r.getAs[String]("url") + "?auto=format&w=600&q=75")
+    assert(r.getAs[Long]("filesize") == 233500L) // "233.5kB"
+    assert(r.getAs[String]("filetype") == "jpg")
+    assert(r.getAs[String]("creator") == "iamconnorrm")
+    assert(r.getAs[String]("title") == "woman with tattoos")
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta == Map("views" -> "82692", "saves" -> "18",
+      "downloads" -> "1329"))
+    val tags = r.getAs[collection.Seq[String]]("tags")
+    assert(tags.length == 14 && tags.head == "indoor" && tags.last == "room")
+    assert(r.getAs[Long]("width") == 2048L &&
+      r.getAs[Long]("height") == 1361L)
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+  }
+
+  test("nappyish: full images fixture keeps all ten records") {
+    val batch = fixture("nappy/images.json")
+    assert(ProviderExtract.nappyish(spark, Seq(batch).toDS()).count() == 10)
+  }
+
+  test("nappy filesize conversion matches _convert_filesize") {
+    // test_nappy.py:140-154's parametrized cases
+    val cases = Seq(
+      ("233.5kB", Some(233500L)), ("233.5MB", Some(233500000L)),
+      ("233.5GB", Some(233500000000L)), ("garbagekB", None),
+      ("233.5", None), ("kB", None))
+    val df = cases.map(_._1).toDF("raw")
+      .select(ProviderExtract.nappyFilesize(col("raw")).as("bytes"))
+      .collect()
+    cases.zip(df).foreach { case ((raw, want), row) =>
+      val got = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      assert(got == want, s"filesize of $raw")
+    }
+  }
+
+  // ---- cleveland museum (offset pagination) ---------------------------
+
+  test("clevelandish: reference response_success -> expected record") {
+    val batch = fixture("clevelandmuseum/response_success.json")
+    val got = ProviderExtract.clevelandish(spark, Seq(batch).toDS())
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_cleveland_museum.py:173-206's expected image
+    assert(r.getAs[String]("foreign_identifier") == "96887")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://clevelandart.org/art/1916.586.a")
+    // web image preferred over print/full
+    assert(r.getAs[String]("url") ==
+      "https://openaccess-cdn.clevelandart.org/1916.586.a/1916.586.a_web.jpg")
+    assert(r.getAs[Long]("width") == 641L)
+    assert(r.getAs[Long]("height") == 900L)
+    assert(r.getAs[Long]("filesize") == 222248L)
+    assert(r.getAs[String]("creator") == "") // empty creators list
+    assert(r.getAs[String]("title") == "Scent Bottle")
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta("accession_number") == "1916.586.a")
+    assert(meta("classification") == "Miscellaneous")
+    assert(meta("credit_line") == "Gift of Mr. and Mrs. J. H. Wade")
+    assert(meta("culture") == "Germany, 18th century")
+    assert(meta("date") == "1700s")
+    assert(meta("technique") == "glass with enamel decoration")
+    assert(r.getAs[String]("license") == "cc0")
+  }
+
+  test("clevelandish: complete_data meta_data matches expect_metadata") {
+    val item = fixture("clevelandmuseum/complete_data.json")
+    val batch = s"""{"data": [$item]}"""
+    val got = ProviderExtract.clevelandish(spark, Seq(batch).toDS())
+      .collect()
+    assert(got.length == 1)
+    val meta = got.head.getAs[Map[String, String]]("meta_data")
+    // expect_metadata.json, the reference's own golden dict
+    assert(meta == Map(
+      "accession_number" -> "1335.1917",
+      "classification" -> "Painting",
+      "credit_line" -> "Hinman B. Hurlbut Collection",
+      "culture" -> "America, 19th century",
+      "date" -> "1838",
+      "technique" -> "oil on canvas",
+      "tombstone" -> ("View of Schroon Mountain, Essex County, New York, " +
+        "After a Storm, 1838. Thomas Cole (American, 1801-1848). Oil on " +
+        "canvas; framed: 132.5 x 193.5 x 13 cm (52 3/16 x 76 3/16 x 5 1/8 " +
+        "in.); unframed: 99.8 x 160.6 cm (39 5/16 x 63 1/4 in.). The " +
+        "Cleveland Museum of Art, Hinman B. Hurlbut Collection 1335.1917")))
+  }
+
+  test("clevelandish: 100-record batch survives whole, non-cc drops") {
+    val batch = fixture("clevelandmuseum/handle_response_data.json")
+    assert(ProviderExtract.clevelandish(spark, Seq(batch).toDS())
+      .count() == 100)
+    val item = fixture("clevelandmuseum/complete_data.json")
+    val nonCc = s"""{"data": [${item.replaceFirst(
+      "\"share_license_status\":\\s*\"CC0\"",
+      "\"share_license_status\": \"copyrighted\"")}]}"""
+    assert(ProviderExtract.clevelandish(spark, Seq(nonCc).toDS())
+      .count() == 0)
+  }
 }
