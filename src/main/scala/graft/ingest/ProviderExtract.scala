@@ -815,4 +815,170 @@ object ProviderExtract {
         lit("clevelandmuseum").as("provider"))
       .filter(col("url").isNotNull)
   }
+
+  // ---------------------------------------------------------------------
+  // stocksnap.py: path-segment pagination (page number in the URL, not
+  // a query param), CC0-hardcoded, title/slug synthesized from the
+  // first two keywords. The image filesize is a driver-side HEAD
+  // (stocksnap.py:153-158) stamped into the landing-zone JSON as
+  // `filesize`, like freesound's preview_filesize.
+  // ---------------------------------------------------------------------
+
+  val stocksnapItemSchema: StructType = StructType(Seq(
+    StructField("img_id", StringType),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("author_name", StringType),
+    StructField("author_website", StringType),
+    StructField("author_profile", StringType),
+    StructField("img_width", LongType),
+    StructField("img_height", LongType),
+    StructField("downloads_raw", LongType),
+    StructField("page_views_raw", LongType),
+    StructField("favorites_raw", LongType),
+    StructField("filesize", LongType)))
+
+  val stocksnapBatchSchema: StructType = StructType(Seq(
+    StructField("nextPage", LongType),
+    StructField("results", ArrayType(stocksnapItemSchema))))
+
+  /** stocksnap.py records: foreign_landing_url is a slug of the first
+    * two keywords plus the id (stocksnap.py:80-81), the image URL comes
+    * off the fixed CDN (stocksnap.py:113-118), the title is the same
+    * two keywords title-cased (required — no keywords, no record;
+    * stocksnap.py:138-148), creator_url prefers the author's own site
+    * unless it is one of the two placeholder profiles
+    * (stocksnap.py:120-136), meta_data keeps the three counters when
+    * present (zero INCLUDED — `is not None`, stocksnap.py:160-168).
+    */
+  def stocksnapish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), stocksnapBatchSchema).as("b"))
+      .select(explode(col("b.results")).as("t"))
+    val kw2 = slice(coalesce(col("t.keywords"),
+      array().cast("array<string>")), 1, 2)
+    val placeholderUrls = Seq("https://stocksnap.io/",
+      "https://stocksnap.io/author/undefined/")
+    val creatorUrl = when(col("t.author_name").isNull,
+      lit(null).cast("string"))
+      .when(col("t.author_website").isNull ||
+        col("t.author_website").isin(placeholderUrls: _*),
+        col("t.author_profile"))
+      .otherwise(col("t.author_website"))
+    t.select(
+      col("t.img_id").as("foreign_identifier"),
+      concat(lit("https://stocksnap.io/photo/"), array_join(kw2, "-"),
+        lit("-"), col("t.img_id")).as("foreign_landing_url"),
+      concat(lit("https://cdn.stocksnap.io/img-thumbs/960w/"),
+        col("t.img_id"), lit(".jpg")).as("url"),
+      when(size(kw2) > 0, initcap(array_join(kw2, " "))).as("title"),
+      col("t.author_name").as("creator"),
+      creatorUrl.as("creator_url"),
+      col("t.filesize").as("filesize"),
+      lit("jpg").as("filetype"),
+      col("t.img_width").as("width"),
+      col("t.img_height").as("height"),
+      map_filter(map(
+        lit("downloads_raw"), col("t.downloads_raw").cast("string"),
+        lit("page_views_raw"), col("t.page_views_raw").cast("string"),
+        lit("favorites_raw"), col("t.favorites_raw").cast("string")),
+        (_, v) => v.isNotNull).as("meta_data"),
+      col("t.keywords").as("tags"),
+      lit("cc0").as("license"), lit("1.0").as("license_version"),
+      lit("https://creativecommons.org/publicdomain/zero/1.0/")
+        .as("license_url"),
+      lit("stocksnap").as("provider"))
+      .filter(col("foreign_identifier").isNotNull && col("title").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // museum_victoria.py: per-license query sweep driver-side; each object
+  // row fans out one record per qualifying image in `media` (type ==
+  // image, creativecommons licence, id + uri present), with the object's
+  // landing page / title / metadata inherited — the smithsonian fan-out
+  // pattern with per-IMAGE licensing.
+  // ---------------------------------------------------------------------
+
+  private val victoriaSizeSchema = StructType(Seq(
+    StructField("uri", StringType),
+    StructField("height", LongType),
+    StructField("width", LongType),
+    StructField("size", LongType)))
+
+  val victoriaMediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType),
+    StructField("creators", ArrayType(StringType)),
+    StructField("licence", StructType(Seq(
+      StructField("uri", StringType)))),
+    StructField("large", victoriaSizeSchema),
+    StructField("medium", victoriaSizeSchema),
+    StructField("small", victoriaSizeSchema)))
+
+  val victoriaItemSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("displayTitle", StringType),
+    StructField("dateModified", StringType),
+    StructField("category", StringType),
+    StructField("physicalDescription", StringType),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("classifications", ArrayType(StringType)),
+    StructField("media", ArrayType(victoriaMediaSchema))))
+
+  /** museum_victoria.py record fan-out: objects dedupe on id first (the
+    * reference's cross-page RECORDS_IDS set, museum_victoria.py:44-69 —
+    * repeated API objects are identical payloads, so an id-distinct is
+    * the columnar image), then one record per image with the
+    * large → medium → small size preference (museum_victoria.py:124-137),
+    * the licence gated on a creativecommons URI (167-172), creators
+    * comma-joined when a list (139-144), and object metadata
+    * non-null-filtered with comma-joined keyword/classification lists
+    * (146-163).
+    */
+  def victoriaish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val objects = rawBatches
+      .select(from_json(col("value"), ArrayType(victoriaItemSchema)).as("b"))
+      .select(explode(col("b")).as("o"))
+      .select(col("o.*"))
+      .dropDuplicates("id")
+    val meta = map_filter(map(
+      lit("datemodified"), col("dateModified"),
+      lit("category"), col("category"),
+      lit("description"), col("physicalDescription"),
+      lit("keywords"), when(col("keywords").isNotNull,
+        array_join(col("keywords"), ",")),
+      lit("classifications"), when(col("classifications").isNotNull,
+        array_join(col("classifications"), ","))),
+      (_, v) => v.isNotNull)
+    val fanned = objects
+      .filter(col("media").isNotNull)
+      .select(
+        concat(lit("https://collections.museumsvictoria.com.au/"),
+          col("id")).as("foreign_landing_url"),
+        col("displayTitle").as("title"),
+        meta.as("meta_data"),
+        explode(col("media")).as("m"))
+      .filter(col("m.type") === "image")
+    val sized = coalesce(col("m.large"), col("m.medium"), col("m.small"))
+    val rec = fanned.select(
+      col("m.id").as("foreign_identifier"),
+      col("foreign_landing_url"),
+      sized.getField("uri").as("url"),
+      sized.getField("height").as("height"),
+      sized.getField("width").as("width"),
+      when(col("m.creators").isNotNull,
+        array_join(col("m.creators"), ",")).as("creator"),
+      col("title"), col("meta_data"),
+      when(col("m.licence.uri").contains("creativecommons"),
+        col("m.licence.uri")).as("raw_license_url"),
+      lit("museumsvictoria").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("foreign_identifier").isNotNull && col("url").isNotNull &&
+        col("license").isNotNull)
+  }
 }

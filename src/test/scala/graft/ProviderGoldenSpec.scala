@@ -423,4 +423,101 @@ class ProviderGoldenSpec extends SparkSpec {
     assert(ProviderExtract.clevelandish(spark, Seq(nonCc).toDS())
       .count() == 0)
   }
+
+  // ---- stocksnap (path-segment page counter, CC0) ---------------------
+
+  private def stocksnapBatch(itemJson: String): String =
+    s"""{"nextPage": 2, "results": [$itemJson]}"""
+
+  test("stocksnapish: reference full_item -> expected record") {
+    // driver stamps the HEAD content-length like the reference's
+    // filesize_mock (test_stocksnap.py:178-181)
+    val stamped = fixture("stocksnap/full_item.json")
+      .replaceFirst("\\{", """{"filesize": 123456,""")
+    val got = ProviderExtract.stocksnapish(spark,
+      Seq(stocksnapBatch(stamped)).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_stocksnap.py:182-206's expected record
+    assert(r.getAs[String]("foreign_identifier") == "7VAQUG1X3B")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://stocksnap.io/photo/female-fitness-7VAQUG1X3B")
+    assert(r.getAs[String]("url") ==
+      "https://cdn.stocksnap.io/img-thumbs/960w/7VAQUG1X3B.jpg")
+    assert(r.getAs[String]("title") == "Female Fitness")
+    assert(r.getAs[String]("creator") == "Matt Moloney")
+    assert(r.getAs[String]("creator_url") == "https://mjmolo.com/")
+    assert(r.getAs[Long]("filesize") == 123456L)
+    assert(r.getAs[Long]("width") == 6000L &&
+      r.getAs[Long]("height") == 4000L)
+    // zero counters KEPT (is-not-None filter, not truthiness)
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta == Map("downloads_raw" -> "0", "page_views_raw" -> "30",
+      "favorites_raw" -> "0"))
+    assert(r.getAs[String]("license") == "cc0")
+  }
+
+  test("stocksnapish: placeholder author site falls back to profile") {
+    val item = fixture("stocksnap/full_item.json").replace(
+      "https://mjmolo.com/", "https://stocksnap.io/")
+    val got = ProviderExtract.stocksnapish(spark,
+      Seq(stocksnapBatch(item)).toDS()).collect()
+    assert(got.head.getAs[String]("creator_url") ==
+      "https://stocksnap.io/author/111564")
+  }
+
+  test("stocksnapish: missing id or keywords drop; full page keeps 40") {
+    val noId = fixture("stocksnap/full_item.json")
+      .replaceFirst("\"img_id\":\\s*\"[^\"]*\"", "\"img_id\": null")
+    assert(ProviderExtract.stocksnapish(spark,
+      Seq(stocksnapBatch(noId)).toDS()).count() == 0)
+    val noKw = fixture("stocksnap/full_item.json")
+      .replaceFirst("\"keywords\":\\s*\\[[^\\]]*\\]", "\"keywords\": []")
+    assert(ProviderExtract.stocksnapish(spark,
+      Seq(stocksnapBatch(noKw)).toDS()).count() == 0)
+    assert(ProviderExtract.stocksnapish(spark,
+      Seq(fixture("stocksnap/full_response.json")).toDS()).count() == 40)
+  }
+
+  // ---- museum victoria (per-image licensing fan-out) ------------------
+
+  test("victoriaish: reference record_data fans out two CC images") {
+    val batch = s"""[${fixture("museumvictoria/record_data.json")}]"""
+    val got = ProviderExtract.victoriaish(spark, Seq(batch).toDS())
+      .orderBy("foreign_identifier").collect()
+    // test_museum_victoria.py:64-92: 2 of the 4 media qualify
+    assert(got.length == 2)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "media/488013")
+    assert(r.getAs[String]("url") ==
+      "https://collections.museumsvictoria.com.au/content/media/13/488013-large.jpg")
+    assert(r.getAs[Long]("height") == 1753L &&
+      r.getAs[Long]("width") == 3000L)
+    assert(r.getAs[String]("creator") == "") // empty creators list
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://collections.museumsvictoria.com.au/items/415715")
+    assert(r.getAs[String]("title") ==
+      "Baggage Label - ICEM, Sailing Details, 15 Mar 1957")
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "4.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(r.getAs[String]("raw_license_url") ==
+      "https://creativecommons.org/licenses/by/4.0")
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta("datemodified") == "2017-12-12T05:56:00Z")
+    assert(meta("category") == "History & Technology")
+    assert(meta("description") ==
+      "Rectangular white blue and grey cardboard baggage label.")
+    assert(meta("keywords") == "Immigrant Shipping,Immigrant Voyages," +
+      "Immigration,Shipping,Station Pier,Women's Work")
+    assert(meta("classifications") ==
+      "Migration,Processing - planning & departure,Luggage handling")
+  }
+
+  test("victoriaish: repeated object ids dedupe across batches") {
+    val obj = fixture("museumvictoria/record_data.json")
+    val twice = Seq(s"[$obj]", s"[$obj]")
+    assert(ProviderExtract.victoriaish(spark, twice.toDS()).count() == 2)
+  }
 }
