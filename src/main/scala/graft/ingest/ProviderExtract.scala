@@ -981,4 +981,153 @@ object ProviderExtract {
       .filter(col("foreign_identifier").isNotNull && col("url").isNotNull &&
         col("license").isNotNull)
   }
+
+  // ---------------------------------------------------------------------
+  // phylopic.py: build-token pagination (an initial request captures the
+  // API `build` snapshot id + totalPages — both driver-side planner
+  // state); HAL-style _links records with "WxH" size strings.
+  // ---------------------------------------------------------------------
+
+  private val phylopicLink = StructType(Seq(
+    StructField("href", StringType),
+    StructField("title", StringType),
+    StructField("sizes", StringType)))
+
+  val phylopicItemSchema: StructType = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("_links", StructType(Seq(
+      StructField("license", phylopicLink),
+      StructField("sourceFile", phylopicLink),
+      StructField("self", phylopicLink),
+      StructField("contributor", phylopicLink))))))
+
+  val phylopicBatchSchema: StructType = StructType(Seq(
+    StructField("build", LongType),
+    StructField("totalPages", LongType),
+    StructField("_embedded", StructType(Seq(
+      StructField("items", ArrayType(phylopicItemSchema)))))))
+
+  /** phylopic.py record extraction: uuid + the three required _links
+    * hrefs (license, sourceFile, self — empty strings are Python-falsy
+    * and drop, phylopic.py:96-105); landing and creator URLs are
+    * host-prefixed relative hrefs; width/height parse from the "WxH"
+    * sizes string through float (SVG sizes carry decimals) then
+    * truncate (phylopic.py:76-84).
+    */
+  def phylopicish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val host = "https://www.phylopic.org"
+    val t = rawBatches
+      .select(from_json(col("value"), phylopicBatchSchema).as("b"))
+      .select(explode(col("b._embedded.items")).as("t"))
+    val links = col("t._links")
+    val sizes = links.getField("sourceFile").getField("sizes")
+    val dims = split(sizes, "x")
+    val hasDims = sizes.isNotNull && sizes.contains("x")
+    val rec = t.select(
+      nullif(col("t.uuid"), lit("")).as("foreign_identifier"),
+      when(nullif(links.getField("self").getField("href"), lit(""))
+        .isNotNull, concat(lit(host),
+        links.getField("self").getField("href")))
+        .as("foreign_landing_url"),
+      nullif(links.getField("sourceFile").getField("href"), lit(""))
+        .as("url"),
+      links.getField("self").getField("title").as("title"),
+      links.getField("contributor").getField("title").as("creator"),
+      when(nullif(links.getField("contributor").getField("href"), lit(""))
+        .isNotNull, concat(lit(host),
+        links.getField("contributor").getField("href")))
+        .as("creator_url"),
+      when(hasDims, element_at(dims, 1).cast("double").cast("long"))
+        .as("width"),
+      when(hasDims, element_at(dims, 2).cast("double").cast("long"))
+        .as("height"),
+      nullif(links.getField("license").getField("href"), lit(""))
+        .as("raw_license_url"),
+      lit("phylopic").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("foreign_identifier").isNotNull &&
+        col("foreign_landing_url").isNotNull && col("url").isNotNull &&
+        col("raw_license_url").isNotNull && col("license").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // metropolitan_museum.py: the object-id list endpoint has no
+  // pagination (one list per metadataDate); the driver fetches each
+  // object document, and THIS side fans each public-domain object out
+  // into one record per image (primary first, then additionalImages).
+  // ---------------------------------------------------------------------
+
+  val metObjectSchema: StructType = StructType(Seq(
+    StructField("objectID", LongType),
+    StructField("isPublicDomain", BooleanType),
+    StructField("objectURL", StringType),
+    StructField("primaryImage", StringType),
+    StructField("additionalImages", ArrayType(StringType)),
+    StructField("title", StringType),
+    StructField("objectName", StringType),
+    StructField("artistDisplayName", StringType),
+    StructField("accessionNumber", StringType),
+    StructField("department", StringType),
+    StructField("medium", StringType),
+    StructField("culture", StringType),
+    StructField("classification", StringType),
+    StructField("objectDate", StringType),
+    StructField("creditLine", StringType),
+    StructField("period", StringType),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("term", StringType)))))))
+
+  /** metropolitan_museum.py object → records: public-domain gate, one
+    * record per truthy image URL with the primary image first
+    * (metropolitan_museum.py:93-99), foreign id = objectID + the image
+    * filename stem (135-137), title falls back from empty to objectName
+    * (172-175), meta_data only when an accession number exists
+    * (139-146), and the 9 descriptive fields + tag terms in order as
+    * raw tags (148-170). CC0 hardcoded. Input rows are the
+    * driver-fetched object documents.
+    */
+  def metish(spark: SparkSession, rawObjects: Dataset[String])
+      : DataFrame = {
+    val o = rawObjects
+      .select(from_json(col("value"), metObjectSchema).as("o"))
+      .select(col("o.*"))
+    val images = filter(
+      concat(array(col("primaryImage")),
+        coalesce(col("additionalImages"), array().cast("array<string>"))),
+      x => x.isNotNull && x =!= "")
+    val tagFields = Seq("department", "medium", "culture", "objectName",
+      "artistDisplayName", "classification", "objectDate", "creditLine",
+      "period")
+    val rawTags = concat(
+      filter(array(tagFields.map(col): _*),
+        x => x.isNotNull && x =!= ""),
+      transform(coalesce(col("tags"),
+        array().cast("array<struct<term:string>>")),
+        t => t.getField("term")))
+    o.filter(col("isPublicDomain") === true)
+      .filter(col("objectURL").isNotNull && col("objectURL") =!= "")
+      .withColumn("__img", explode(images))
+      .select(
+        concat(col("objectID").cast("string"), lit("-"),
+          element_at(split(element_at(split(col("__img"), "/"), -1),
+            "\\."), 1)).as("foreign_identifier"),
+        col("objectURL").as("foreign_landing_url"),
+        col("__img").as("url"),
+        coalesce(nullif(col("title"), lit("")), col("objectName"))
+          .as("title"),
+        col("artistDisplayName").as("creator"),
+        when(nullif(col("accessionNumber"), lit("")).isNotNull,
+          map(lit("accession_number"), col("accessionNumber")))
+          .as("meta_data"),
+        rawTags.as("tags"),
+        lit("cc0").as("license"), lit("1.0").as("license_version"),
+        lit("https://creativecommons.org/publicdomain/zero/1.0/")
+          .as("license_url"),
+        lit("met").as("provider"))
+  }
 }

@@ -520,4 +520,103 @@ class ProviderGoldenSpec extends SparkSpec {
     val twice = Seq(s"[$obj]", s"[$obj]")
     assert(ProviderExtract.victoriaish(spark, twice.toDS()).count() == 2)
   }
+
+  // ---- phylopic (build-token pagination, HAL links) -------------------
+
+  private def phylopicBatch(itemJson: String): String =
+    s"""{"build": 194, "totalPages": 2,
+       | "_embedded": {"items": [$itemJson]}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("phylopicish: reference sample_record -> expected record") {
+    val got = ProviderExtract.phylopicish(spark,
+      Seq(phylopicBatch(fixture("phylopic/sample_record.json"))).toDS())
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_phylopic.py:96-113's expected record
+    assert(r.getAs[String]("foreign_identifier") ==
+      "5b1e88b5-159d-495d-b8cb-04f9e28d2f02")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.phylopic.org/images/5b1e88b5-159d-495d-b8cb-04f9e28d2f02?build=194")
+    assert(r.getAs[String]("url") ==
+      "https://images.phylopic.org/images/5b1e88b5-159d-495d-b8cb-04f9e28d2f02/source.svg")
+    assert(r.getAs[String]("title") == "Hemaris tityus")
+    assert(r.getAs[String]("creator") == "Andy Wilson")
+    assert(r.getAs[String]("creator_url") ==
+      "https://www.phylopic.org/contributors/c3ac6939-e85a-4a10-99d1-4079537f34de?build=194")
+    assert(r.getAs[Long]("width") == 2048L &&
+      r.getAs[Long]("height") == 2048L)
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+  }
+
+  test("phylopicish: missing required links drop the record") {
+    val base = fixture("phylopic/sample_record.json")
+    for (broken <- Seq(
+        base.replaceFirst("\"uuid\":\\s*\"[^\"]*\"", "\"uuid\": \"\""),
+        base.replaceFirst("\"license\":\\s*\\{[^}]*\\}",
+          "\"license\": {\"href\": \"\"}"),
+        base.replaceFirst("\"sourceFile\":\\s*\\{[^}]*\\}",
+          "\"sourceFile\": {\"href\": null}"))) {
+      assert(broken != base, "fixture mutation failed")
+      assert(ProviderExtract.phylopicish(spark,
+        Seq(phylopicBatch(broken)).toDS()).count() == 0)
+    }
+  }
+
+  // ---- metropolitan museum (per-object documents, image fan-out) ------
+
+  test("metish: reference sample_response fans out all expected records") {
+    val obj = fixture("metropolitan_museum_of_art/sample_response.json")
+    val got = ProviderExtract.metish(spark, Seq(obj).toDS()).collect()
+    // sample_additional_image_data.json: primary + 2 additional images
+    assert(got.length == 3)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "45734-DP251139")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://wwwstg.metmuseum.org/art/collection/search/45734")
+    assert(r.getAs[String]("url") ==
+      "https://images.metmuseum.org/CRDImages/as/original/DP251139.jpg")
+    assert(r.getAs[String]("title") == "Quail and Millet")
+    assert(r.getAs[String]("creator") == "Kiyohara Yukinobu")
+    assert(r.getAs[Map[String, String]]("meta_data") ==
+      Map("accession_number" -> "36.100.45"))
+    val tags = r.getAs[collection.Seq[String]]("tags").toSeq
+    assert(tags.take(9) == Seq("Asian Art",
+      "Hanging scroll; ink and color on silk", "Japan", "Hanging scroll",
+      "Kiyohara Yukinobu", "Paintings", "late 17th century",
+      "The Howard Mansfield Collection, Purchase, Rogers Fund, 1936",
+      "Edo period (1615–1868)"))
+    assert(tags.drop(9) == Seq("Birds", "Leaves"))
+    assert(r.getAs[String]("license") == "cc0")
+    // all images share the object's landing page; ids differ by filename
+    assert(got.map(_.getAs[String]("foreign_identifier")).distinct.length
+      == got.length)
+  }
+
+  test("metish: single-image object and gates") {
+    val single =
+      fixture("metropolitan_museum_of_art/sample_response_without_additional.json")
+    val got = ProviderExtract.metish(spark, Seq(single).toDS()).collect()
+    // sample_image_data.json, the reference's expected single record
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "47533-79_2_414b_S1_sf")
+    assert(r.getAs[String]("url") ==
+      "https://images.metmuseum.org/CRDImages/as/original/79_2_414b_S1_sf.jpg")
+    assert(r.getAs[String]("creator") == "")
+    assert(r.getAs[String]("title") == "Cover")
+    assert(r.getAs[Map[String, String]]("meta_data") ==
+      Map("accession_number" -> "79.2.414b"))
+    assert(r.getAs[collection.Seq[String]]("tags").toSeq == Seq(
+      "Asian Art", "Porcelain painted in underglaze blue", "China",
+      "Cover", "Ceramics", "Purchase by subscription, 1879",
+      "Qing dynasty (1644–1911), Kangxi period (1662–1722)"))
+    val obj = fixture("metropolitan_museum_of_art/sample_response.json")
+    val nonPd = obj.replaceFirst("\"isPublicDomain\":\\s*true",
+      "\"isPublicDomain\": false")
+    assert(nonPd != obj)
+    assert(ProviderExtract.metish(spark, Seq(nonPd).toDS()).count() == 0)
+  }
 }
