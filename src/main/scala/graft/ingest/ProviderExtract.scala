@@ -1130,4 +1130,188 @@ object ProviderExtract {
           .as("license_url"),
         lit("met").as("provider"))
   }
+
+  // ---------------------------------------------------------------------
+  // smk.py (National Gallery of Denmark): offset pagination; IIIF-or-
+  // legacy image selection, English-site landing URLs built from
+  // percent-encoded object numbers.
+  // ---------------------------------------------------------------------
+
+  val smkItemSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("object_number", StringType),
+    StructField("rights", StringType),
+    StructField("created", StringType),
+    StructField("collection", ArrayType(StringType)),
+    StructField("techniques", ArrayType(StringType)),
+    StructField("colors", ArrayType(StringType)),
+    StructField("titles", ArrayType(StructType(Seq(
+      StructField("title", StringType))))),
+    StructField("production", ArrayType(StructType(Seq(
+      StructField("creator", StringType))))),
+    StructField("image_iiif_id", StringType),
+    StructField("image_native", StringType),
+    StructField("image_thumbnail", StringType),
+    StructField("image_height", LongType),
+    StructField("image_width", LongType),
+    StructField("image_size", LongType),
+    StructField("size", LongType)))
+
+  val smkBatchSchema: StructType = StructType(Seq(
+    StructField("items", ArrayType(smkItemSchema))))
+
+  /** smk.py records: IIIF-enabled images restrict to !2048 width
+    * (smk._get_image_url:67-72); legacy items without an iiif id fall
+    * back to the collection-DB id and the native image URL
+    * (smk._get_images:91-122 — rows with neither id yield nothing);
+    * the landing URL is the English site with the object number
+    * percent-encoded (spaces — smk.py:50-64); meta_data keeps
+    * created_date plus comma-joined list fields when present
+    * (smk._get_metadata:124-138). The reference KEEPS records whose
+    * rights URL does not resolve (get_license_info never returns None —
+    * licenses.py:30-85), so unresolved licenses stay null here and the
+    * store-level required-field filter drops them downstream.
+    */
+  def smkish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), smkBatchSchema).as("b"))
+      .select(explode(col("b.items")).as("t"))
+    val iiif = col("t.image_iiif_id")
+    val imageId = coalesce(iiif, col("t.id"))
+    val url = when(iiif.isNotNull,
+      concat(iiif, lit("/full/!2048,/0/default.jpg")))
+      .otherwise(col("t.image_native"))
+    val landing = when(col("t.object_number").isNotNull &&
+      col("t.object_number") =!= "",
+      concat(lit("https://open.smk.dk/en/artwork/image/"),
+        regexp_replace(col("t.object_number"), " ", "%20")))
+    val meta = map_filter(map(
+      lit("created_date"), col("t.created"),
+      lit("collection"), when(col("t.collection").isNotNull,
+        array_join(col("t.collection"), ",")),
+      lit("techniques"), when(col("t.techniques").isNotNull,
+        array_join(col("t.techniques"), ",")),
+      lit("colors"), when(col("t.colors").isNotNull,
+        array_join(col("t.colors"), ","))),
+      (_, v) => v.isNotNull)
+    val rec = t.filter(imageId.isNotNull).select(
+      imageId.as("foreign_identifier"),
+      landing.as("foreign_landing_url"),
+      url.as("url"),
+      col("t.image_thumbnail").as("thumbnail_url"),
+      element_at(col("t.titles"), 1).getField("title").as("title"),
+      element_at(col("t.production"), 1).getField("creator").as("creator"),
+      col("t.image_height").as("height"),
+      col("t.image_width").as("width"),
+      coalesce(col("t.image_size"), col("t.size")).as("filesize"),
+      meta.as("meta_data"),
+      col("t.rights").as("raw_license_url"),
+      lit("smk").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+  }
+
+  // ---------------------------------------------------------------------
+  // brooklyn_museum.py: offset pagination; the license URL is embedded
+  // in an HTML rights description and only counts when EXACTLY one CC
+  // link is present; per-image size lookup against the declared largest
+  // derivative.
+  // ---------------------------------------------------------------------
+
+  val brooklynImageSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("largest_derivative", StringType),
+    StructField("largest_derivative_url", StringType),
+    StructField("derivatives", ArrayType(StructType(Seq(
+      StructField("height", LongType),
+      StructField("width", LongType),
+      StructField("size", StringType)))))))
+
+  val brooklynObjectSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("title", StringType),
+    StructField("accession_number", StringType),
+    StructField("object_date", StringType),
+    StructField("description", StringType),
+    StructField("medium", StringType),
+    StructField("credit_line", StringType),
+    StructField("classification", StringType),
+    StructField("artists", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("rank", LongType))))),
+    StructField("rights_type", StructType(Seq(
+      StructField("description", StringType)))),
+    StructField("images", ArrayType(brooklynImageSchema))))
+
+  /** `brooklyn._get_license_url:52-61` — href links are pulled from the
+    * HTML rights description; a record is licensable only when EXACTLY
+    * one creativecommons link appears (ambiguity means no license).
+    */
+  def brooklynLicenseUrl(rightsDescription: Column): Column = {
+    val links = filter(
+      regexp_extract_all(rightsDescription, lit("href=\"([^\"]*)\""), lit(1)),
+      l => l.contains("https://creativecommons.org/"))
+    when(size(links) === 1, element_at(links, 1))
+  }
+
+  /** brooklyn_museum.py object fan-out: one record per image carrying
+    * an id and a largest-derivative URL (112-128); height/width come
+    * from the derivative whose size tag matches the image's declared
+    * `largest_derivative` (63-74); creator is the first rank-1 artist
+    * (89-100); meta_data drops nulls (76-87). Objects without a clean
+    * single CC link, an id, or any images yield nothing (139-153,
+    * 104-110). Input rows are the driver-fetched object documents.
+    */
+  def brooklynish(spark: SparkSession, rawObjects: Dataset[String])
+      : DataFrame = {
+    val o = rawObjects
+      .select(from_json(col("value"), brooklynObjectSchema).as("o"))
+      .select(col("o.*"))
+    val licenseUrl = brooklynLicenseUrl(col("rights_type.description"))
+    val meta = map_filter(map(
+      lit("accession_number"), col("accession_number"),
+      lit("date"), col("object_date"),
+      lit("description"), col("description"),
+      lit("medium"), col("medium"),
+      lit("credit_line"), col("credit_line"),
+      lit("classification"), col("classification")),
+      (_, v) => v.isNotNull)
+    val creator = element_at(transform(
+      filter(coalesce(col("artists"),
+        array().cast(brooklynObjectSchema("artists").dataType)),
+        a => a.getField("rank") === 1),
+      a => a.getField("name")), 1)
+    val rec = o
+      .filter(col("id").isNotNull && col("id") =!= 0)
+      .withColumn("__license_url", licenseUrl)
+      .filter(col("__license_url").isNotNull)
+      .filter(col("images").isNotNull)
+      .select(col("*"), explode(col("images")).as("m"))
+      .filter(col("m.id").isNotNull &&
+        col("m.largest_derivative_url").isNotNull)
+      .withColumn("__dims", element_at(filter(col("m.derivatives"),
+        d => d.getField("size") === col("m.largest_derivative")), 1))
+      .select(
+        col("m.id").cast("string").as("foreign_identifier"),
+        concat(lit("https://www.brooklynmuseum.org/opencollection/objects/"),
+          col("id").cast("string")).as("foreign_landing_url"),
+        col("m.largest_derivative_url").as("url"),
+        col("__dims").getField("height").as("height"),
+        col("__dims").getField("width").as("width"),
+        coalesce(col("title"), lit("")).as("title"),
+        creator.as("creator"),
+        meta.as("meta_data"),
+        col("__license_url").as("raw_license_url"),
+        lit("brooklynmuseum").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("license").isNotNull)
+  }
 }

@@ -619,4 +619,122 @@ class ProviderGoldenSpec extends SparkSpec {
     assert(nonPd != obj)
     assert(ProviderExtract.metish(spark, Seq(nonPd).toDS()).count() == 0)
   }
+
+  // ---- smk (IIIF / legacy image selection) ----------------------------
+
+  private def smkBatch(itemJson: String): String =
+    s"""{"items": [$itemJson]}"""
+
+  test("smkish: reference item -> main-image record") {
+    val got = ProviderExtract.smkish(spark,
+      Seq(smkBatch(fixture("smk/item.json"))).toDS()).collect()
+    // test_smk.py:130-134 expects exactly one image
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") ==
+      "https://iip.smk.dk/iiif/jp2/kks1615.tif.jp2")
+    assert(r.getAs[String]("url") ==
+      "https://iip.smk.dk/iiif/jp2/kks1615.tif.jp2/full/!2048,/0/default.jpg")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://open.smk.dk/en/artwork/image/KKS1615")
+    assert(r.getAs[String]("title") ==
+      "Jomfru Maria med barnet og Sankt Anne ved vuggen")
+    assert(r.getAs[String]("creator") == "Altdorfer, Albrecht")
+    assert(r.getAs[Long]("height") == 5141L &&
+      r.getAs[Long]("width") == 3076L)
+    assert(r.getAs[Long]("filesize") == 47466428L)
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    // test_smk.py:118-128's expected metadata (no colors key)
+    assert(meta == Map("created_date" -> "2020-03-21T10:18:17Z",
+      "collection" -> "Gammel bestand", "techniques" -> "Kobberstik"))
+  }
+
+  test("smkish: hq/legacy/partial image selection variants") {
+    // hq: IIIF id present -> restricted-size IIIF url, id = iiif id
+    // (expected_image_data_hq.json)
+    val hq = ProviderExtract.smkish(spark,
+      Seq(smkBatch(fixture("smk/image_data_hq.json"))).toDS()).collect()
+    assert(hq.length == 1)
+    assert(hq.head.getAs[String]("foreign_identifier") ==
+      "https://iip.smk.dk/iiif/jp2/KKSgb6458.tif.reconstructed.tif.jp2")
+    assert(hq.head.getAs[String]("url") ==
+      "https://iip.smk.dk/iiif/jp2/KKSgb6458.tif.reconstructed.tif.jp2/full/!2048,/0/default.jpg")
+    assert(hq.head.getAs[Long]("filesize") == 11784886L)
+    // legacy: no IIIF id -> collection id + native url
+    // (expected_image_data_legacy.json)
+    val legacy = ProviderExtract.smkish(spark,
+      Seq(smkBatch(fixture("smk/image_data_legacy.json"))).toDS()).collect()
+    assert(legacy.length == 1)
+    assert(legacy.head.getAs[String]("foreign_identifier") ==
+      "1170012466_object")
+    assert(legacy.head.getAs[String]("url") ==
+      "https://api.smk.dk/api/v1/thumbnail/52f00edc-936e-42a7-950b-d0cd0df3864b.jpg")
+    // partial: neither id -> nothing (openverse-catalog#875 regression)
+    assert(ProviderExtract.smkish(spark,
+      Seq(smkBatch(fixture("smk/image_data_partial.json"))).toDS())
+      .count() == 0)
+  }
+
+  test("smkish: object numbers with spaces percent-encode in landing url") {
+    // test_smk.py:57-66's parametrized cases
+    val item = """{"id": "x_object", "image_iiif_id": "https://iip.smk.dk/iiif/jp2/a.jp2",
+      | "object_number": "KSMB 25 106.5"}""".stripMargin.replaceAll("\n", "")
+    val got = ProviderExtract.smkish(spark,
+      Seq(smkBatch(item)).toDS()).collect()
+    assert(got.head.getAs[String]("foreign_landing_url") ==
+      "https://open.smk.dk/en/artwork/image/KSMB%2025%20106.5")
+  }
+
+  // ---- brooklyn museum (HTML-embedded license, derivative sizing) -----
+
+  test("brooklynish: reference object_data -> expected record") {
+    val got = ProviderExtract.brooklynish(spark,
+      Seq(fixture("brooklynmuseum/object_data.json")).toDS()).collect()
+    // test_brooklyn_museum.py:83-114's expected record
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "170425")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.brooklynmuseum.org/opencollection/objects/90636")
+    assert(r.getAs[String]("url") ==
+      "d1lfxha3ugu3d4.cloudfront.net/images/opencollection/objects/size4/CUR.66.242.29.jpg")
+    assert(r.getAs[Long]("height") == 1152L &&
+      r.getAs[Long]("width") == 1536L)
+    assert(r.getAs[String]("title") == "Caftan")
+    assert(r.getAs[String]("creator") == null) // empty artists list
+    assert(r.getAs[Map[String, String]]("meta_data") == Map(
+      "accession_number" -> "66.242.29", "classification" -> "Clothing",
+      "credit_line" -> "Gift of John C. Monks", "medium" -> "Silk"))
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "3.0")
+    assert(r.getAs[String]("raw_license_url") ==
+      "https://creativecommons.org/licenses/by/3.0/")
+  }
+
+  test("brooklyn license url needs exactly one CC link") {
+    // test_brooklyn_museum.py:144-161's parametrized cases
+    val cases = Seq(
+      fixture("brooklynmuseum/cc_license_info.json") ->
+        Some("https://creativecommons.org/licenses/by/3.0/"),
+      fixture("brooklynmuseum/public_license_info.json") ->
+        Some("https://creativecommons.org/publicdomain/zero/1.0/"),
+      fixture("brooklynmuseum/no_license_info.json") -> None)
+    cases.foreach { case (json, want) =>
+      val got = Seq(json).toDF("value")
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("description",
+              org.apache.spark.sql.types.StringType)))).as("r"))
+        .select(ProviderExtract.brooklynLicenseUrl(col("r.description"))
+          .as("u"))
+        .collect().head
+      assert((if (got.isNullAt(0)) None else Some(got.getString(0))) == want)
+    }
+  }
+
+  test("brooklynish: objects without images yield nothing") {
+    assert(ProviderExtract.brooklynish(spark,
+      Seq(fixture("brooklynmuseum/object_data_noimage.json")).toDS())
+      .count() == 0)
+  }
 }
