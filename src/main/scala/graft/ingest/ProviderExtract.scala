@@ -1314,4 +1314,123 @@ object ProviderExtract {
       .drop("license_path")
       .filter(col("license").isNotNull)
   }
+
+  // ---------------------------------------------------------------------
+  // wordpress.py (WordPress Photo Directory): page-number pagination
+  // bounded by a HEAD-derived X-WP-TotalPages (driver-side planner
+  // state); CC0-fixed; embedded featured-media size preference and
+  // term-taxonomy metadata.
+  // ---------------------------------------------------------------------
+
+  private val wpSizeSchema = StructType(Seq(
+    StructField("source_url", StringType),
+    StructField("height", LongType),
+    StructField("width", LongType),
+    StructField("filesize", LongType)))
+
+  val wordpressItemSchema: StructType = StructType(Seq(
+    StructField("slug", StringType),
+    StructField("link", StringType),
+    StructField("content", StructType(Seq(
+      StructField("rendered", StringType)))),
+    StructField("_embedded", StructType(Seq(
+      StructField("author", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("slug", StringType),
+        StructField("url", StringType),
+        StructField("link", StringType))))),
+      StructField("wp:featuredmedia", ArrayType(StructType(Seq(
+        StructField("media_details", StructType(Seq(
+          StructField("filesize", LongType),
+          StructField("sizes", StructType(Seq(
+            StructField("2048x2048", wpSizeSchema),
+            StructField("1536x1536", wpSizeSchema),
+            StructField("medium_large", wpSizeSchema),
+            StructField("large", wpSizeSchema),
+            StructField("full", wpSizeSchema)))),
+          StructField("image_meta", StructType(Seq(
+            StructField("aperture", StringType),
+            StructField("camera", StringType),
+            StructField("created_timestamp", StringType),
+            StructField("focal_length", StringType),
+            StructField("iso", StringType),
+            StructField("shutter_speed", StringType))))))))))),
+      StructField("wp:term", ArrayType(ArrayType(StructType(Seq(
+        StructField("taxonomy", StringType),
+        StructField("name", StringType)))))))))))
+
+  /** wordpress.py records: slug + link required; the image comes from
+    * the first preferred embedded size with a non-empty source_url
+    * (2048 → 1536 → medium_large → large → full, wordpress.py:137-156),
+    * full-size filesize read from media_details rather than the size
+    * entry, zero filesizes nulled (the reference falls back to a HEAD
+    * there); the title is the rendered content with HTML stripped
+    * (lxml text_content → the shared html-to-text pass); author name
+    * falls back to slug and url to link when empty (159-171); EXIF
+    * extras keep non-empty values and the term taxonomies contribute
+    * categories/colors/orientation metadata and photo_tag tags
+    * (173-196) — typed as a struct (categories/colors are lists).
+    */
+  def wordpressish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"),
+        ArrayType(wordpressItemSchema)).as("b"))
+      .select(explode(col("b")).as("t"))
+    val emb = col("t._embedded")
+    val md = element_at(emb.getField("wp:featuredmedia"), 1)
+      .getField("media_details")
+    val sizeNames = Seq("2048x2048", "1536x1536", "medium_large", "large",
+      "full")
+    val candidates = array(sizeNames.map { n =>
+      val e = md.getField("sizes").getField(n)
+      struct(
+        e.getField("source_url").as("source_url"),
+        e.getField("height").as("height"),
+        e.getField("width").as("width"),
+        (if (n == "full") md.getField("filesize")
+         else e.getField("filesize")).as("filesize"))
+    }: _*)
+    val chosen = element_at(filter(candidates,
+      c => c.getField("source_url").isNotNull &&
+        c.getField("source_url") =!= ""), 1)
+    val author = element_at(emb.getField("author"), 1)
+    val terms = flatten(emb.getField("wp:term"))
+    def termNames(taxonomy: String): Column = transform(
+      filter(terms, x => x.getField("taxonomy") === taxonomy),
+      x => x.getField("name"))
+    val im = md.getField("image_meta")
+    val metaStruct = struct(
+      nullif(im.getField("aperture"), lit("")).as("aperture"),
+      nullif(im.getField("camera"), lit("")).as("camera"),
+      nullif(im.getField("created_timestamp"), lit(""))
+        .as("created_timestamp"),
+      nullif(im.getField("focal_length"), lit("")).as("focal_length"),
+      nullif(im.getField("iso"), lit("")).as("iso"),
+      nullif(im.getField("shutter_speed"), lit("")).as("shutter_speed"),
+      element_at(termNames("photo_orientation"), 1).as("orientation"),
+      termNames("photo_category").as("categories"),
+      termNames("photo_color").as("colors"))
+    t.select(
+      col("t.slug").as("foreign_identifier"),
+      col("t.link").as("foreign_landing_url"),
+      chosen.getField("source_url").as("url"),
+      chosen.getField("height").as("height"),
+      chosen.getField("width").as("width"),
+      nullif(chosen.getField("filesize"), lit(0L)).as("filesize"),
+      when(nullif(col("t.content.rendered"), lit("")).isNotNull,
+        CleanFunctions.htmlToText(col("t.content.rendered"))).as("title"),
+      coalesce(nullif(author.getField("name"), lit("")),
+        author.getField("slug")).as("creator"),
+      coalesce(nullif(author.getField("url"), lit("")),
+        author.getField("link")).as("creator_url"),
+      metaStruct.as("meta_data"),
+      termNames("photo_tag").as("tags"),
+      lit("cc0").as("license"), lit("1.0").as("license_version"),
+      lit("https://creativecommons.org/publicdomain/zero/1.0/")
+        .as("license_url"),
+      lit("wordpress").as("provider"))
+      .filter(col("foreign_identifier").isNotNull &&
+        col("foreign_landing_url").isNotNull && col("url").isNotNull)
+  }
 }

@@ -737,4 +737,55 @@ class ProviderGoldenSpec extends SparkSpec {
       Seq(fixture("brooklynmuseum/object_data_noimage.json")).toDS())
       .count() == 0)
   }
+
+  // ---- wordpress photo directory (embedded media, term taxonomies) ----
+
+  test("wordpressish: reference full_item -> expected record") {
+    val batch = s"""[${fixture("wordpress/full_item.json")}]"""
+    val got = ProviderExtract.wordpressish(spark, Seq(batch).toDS())
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "203627f31f")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://wordpress.org/photos/photo/203627f31f/")
+    // preferred 2048x2048 size wins (test_wordpress.py:87-101)
+    assert(r.getAs[String]("url") ==
+      "https://pd.w.org/2022/05/203627f31f8770f03.61535278-2048x1366.jpg")
+    assert(r.getAs[Long]("height") == 1366L &&
+      r.getAs[Long]("width") == 2048L)
+    assert(r.getAs[Long]("filesize") == 544284L)
+    assert(r.getAs[String]("title") == "Coffee Bean with bags")
+    assert(r.getAs[String]("creator") == "Shusei Toda")
+    assert(r.getAs[String]("creator_url") == "https://shuseitoda.com")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta_data")
+    // test_wordpress.py:128-149's expected metadata
+    assert(meta.getAs[String]("aperture") == "4")
+    assert(meta.getAs[String]("camera") == "ILCE-7M4")
+    assert(meta.getAs[String]("created_timestamp") == "1652338105")
+    assert(meta.getAs[String]("focal_length") == "55")
+    assert(meta.getAs[String]("iso") == "6400")
+    assert(meta.getAs[String]("shutter_speed") == "0.008")
+    assert(meta.getAs[String]("orientation") == "landscape")
+    assert(meta.getAs[collection.Seq[String]]("categories").toSeq ==
+      Seq("food-drink"))
+    assert(meta.getAs[collection.Seq[String]]("colors").toSeq ==
+      Seq("brown", "orange"))
+    assert(r.getAs[collection.Seq[String]]("tags").toSeq ==
+      Seq("bean", "coffee"))
+    assert(r.getAs[String]("license") == "cc0")
+  }
+
+  test("wordpressish: missing slug/link/sizes drop the record") {
+    val base = fixture("wordpress/full_item.json")
+    for (broken <- Seq(
+        base.replaceFirst("\"slug\":\\s*\"203627f31f\"", "\"slug\": null"),
+        base.replaceFirst(
+          "\"link\":\\s*\"https://wordpress.org/photos/photo/203627f31f/\"",
+          "\"link\": null"))) {
+      assert(broken != base, "fixture mutation failed")
+      assert(ProviderExtract.wordpressish(spark,
+        Seq(s"[$broken]").toDS()).count() == 0, "record must drop")
+    }
+  }
 }
