@@ -1433,4 +1433,508 @@ object ProviderExtract {
       .filter(col("foreign_identifier").isNotNull &&
         col("foreign_landing_url").isNotNull && col("url").isNotNull)
   }
+
+  // ---------------------------------------------------------------------
+  // finnish_museums.py: time-delineated dated sweeps per building
+  // (driver-side — the TimeDelineatedProviderDataIngester splits a day
+  // into up to 20 timestamp slices when counts exceed thresholds; our
+  // IngestPlanner owns slicing); status-gated batches; multi-image
+  // records with Finnish-deed license URL normalization.
+  // ---------------------------------------------------------------------
+
+  private val finnishAuthorMap =
+    MapType(StringType, StructType(Seq(
+      StructField("role", ArrayType(StringType)))))
+
+  val finnishRecordSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("imageRights", StructType(Seq(
+      StructField("link", StringType)))),
+    // the API sends {} (dict keyed by author name) OR [] for empty;
+    // the list shape fails the map parse and nulls out — exactly the
+    // reference's `type(author) != dict` skip (finnish_museums.py:166-178)
+    StructField("authors", StructType(Seq(
+      StructField("primary", finnishAuthorMap),
+      StructField("secondary", finnishAuthorMap),
+      StructField("corporate", finnishAuthorMap)))),
+    StructField("buildings", ArrayType(StructType(Seq(
+      StructField("value", StringType))))),
+    StructField("images", ArrayType(StringType)),
+    StructField("subjects", ArrayType(ArrayType(StringType)))))
+
+  val finnishBatchSchema: StructType = StructType(Seq(
+    StructField("status", StringType),
+    StructField("resultCount", LongType),
+    StructField("records", ArrayType(finnishRecordSchema))))
+
+  /** `FINNISH_SUB_PROVIDERS` (provider_details.py:39-44). */
+  val finnishSubProviders: Seq[(String, String)] = Seq(
+    "national_museum_of_finland" -> "0/Suomen kansallismuseo/",
+    "finnish_heritage_agency" -> "0/Museovirasto/",
+    "finnish_satakunnan_museum" -> "0/SATMUSEO/",
+    "finnish_military_museum" -> "0/SA-kuva/")
+
+  /** finnish_museums.py records: batches count only when status is OK
+    * (finnish_museums.py:99-108); the license link is required with the
+    * Finnish deed suffix stripped (147-156); one record per image path,
+    * host-prefixed (158-163); creator joins author-name KEYS per author
+    * type with "; " (165-178); source attributes the first building
+    * against the sub-provider map (120-124); tags flatten the nested
+    * subject lists (126-129).
+    */
+  def finnishish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), finnishBatchSchema).as("b"))
+      .filter(lower(col("b.status")) === "ok")
+      .select(explode(col("b.records")).as("t"))
+    val licenseUrl = regexp_replace(col("t.imageRights.link"),
+      "deed\\.fi$", "")
+    val auth = col("t.authors")
+    val authorParts = filter(array(
+      Seq("primary", "secondary", "corporate").map { ty =>
+        when(auth.getField(ty).isNotNull,
+          array_join(map_keys(auth.getField(ty)), "; "))
+      }: _*), x => x.isNotNull)
+    val creator = nullif(array_join(authorParts, "; "), lit(""))
+    val building = element_at(col("t.buildings"), 1).getField("value")
+    val source = finnishSubProviders.foldLeft(lit("finnishmuseums")) {
+      case (acc, (key, value)) =>
+        when(lit(value).contains(building), lit(key)).otherwise(acc)
+    }
+    val rec = t
+      .filter(col("t.id").isNotNull &&
+        nullif(col("t.imageRights.link"), lit("")).isNotNull)
+      .select(
+        col("t.id").as("foreign_identifier"),
+        concat(lit("https://www.finna.fi/Record/"), col("t.id"))
+          .as("foreign_landing_url"),
+        col("t.title").as("title"),
+        creator.as("creator"),
+        source.as("source"),
+        when(col("t.subjects").isNotNull, flatten(col("t.subjects")))
+          .as("tags"),
+        licenseUrl.as("raw_license_url"),
+        explode(col("t.images")).as("img"))
+      .withColumn("url", concat(lit("https://api.finna.fi"), col("img")))
+      .drop("img")
+      .withColumn("provider", lit("finnishmuseums"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("license").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // science_museum.py: year-range sweeps (driver-side planner state —
+  // the API 400s past page 50, so ranges shrink toward the present);
+  // per-image "CC XX N.N" usage-terms parsing; pixel-unit dimension
+  // extraction.
+  // ---------------------------------------------------------------------
+
+  private val scienceImageSchema = StructType(Seq(
+    StructField("location", StringType),
+    StructField("format", StringType),
+    StructField("measurements", StructType(Seq(
+      StructField("dimensions", ArrayType(StructType(Seq(
+        StructField("dimension", StringType),
+        StructField("units", StringType),
+        StructField("value", LongType))))))))))
+
+  val scienceRecordSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("links", StructType(Seq(
+      StructField("self", StringType)))),
+    StructField("attributes", StructType(Seq(
+      StructField("summary_title", StringType),
+      StructField("lifecycle", StructType(Seq(
+        StructField("creation", ArrayType(StructType(Seq(
+          StructField("maker", ArrayType(StructType(Seq(
+            StructField("summary_title", StringType)))))))))))),
+      StructField("identifier", ArrayType(StructType(Seq(
+        StructField("value", StringType))))),
+      StructField("name", ArrayType(StructType(Seq(
+        StructField("value", StringType))))),
+      StructField("categories", ArrayType(StructType(Seq(
+        StructField("value", StringType))))),
+      StructField("description", ArrayType(StructType(Seq(
+        StructField("value", StringType))))),
+      StructField("legal", StructType(Seq(
+        StructField("credit_line", StringType)))),
+      StructField("multimedia", ArrayType(StructType(Seq(
+        StructField("admin", StructType(Seq(
+          StructField("uid", StringType)))),
+        StructField("processed", StructType(Seq(
+          StructField("large", scienceImageSchema),
+          StructField("medium", scienceImageSchema)))),
+        StructField("source", StructType(Seq(
+          StructField("legal", StructType(Seq(
+            StructField("rights", ArrayType(StructType(Seq(
+              StructField("usage_terms", StringType))))))))))))))))))))
+
+  val scienceBatchSchema: StructType = StructType(Seq(
+    StructField("data", ArrayType(scienceRecordSchema))))
+
+  /** science_museum.py record fan-out: records dedupe on id (the
+    * RECORD_IDS set), need a self link, attributes and multimedia
+    * (science_museum.py:110-127); each media item needs an admin uid, a
+    * large-else-medium processed image whose relative location prefixes
+    * onto the images CDN (176-212), and a parseable "CC XX N.N" usage
+    * terms — lowercased, the leading cc stripped, exactly one space
+    * between license and version or the image is skipped (243-257);
+    * dimensions only count in pixel units, last entry per dimension
+    * name winning (183-198); meta_data takes the first value of each
+    * list attribute plus the credit line (215-241); the creator is the
+    * first maker of the first creation (164-173).
+    */
+  def sciencemuseumish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val recs = rawBatches
+      .select(from_json(col("value"), scienceBatchSchema).as("b"))
+      .select(explode(col("b.data")).as("t"))
+      .select(col("t.*"))
+      .dropDuplicates("id")
+    val a = col("attributes")
+    def firstValue(key: String): Column =
+      element_at(a.getField(key), 1).getField("value")
+    val meta = map_filter(map(
+      lit("accession number"), firstValue("identifier"),
+      lit("name"), firstValue("name"),
+      lit("category"), firstValue("categories"),
+      lit("description"), firstValue("description"),
+      lit("creditline"), a.getField("legal").getField("credit_line")),
+      (_, v) => v.isNotNull)
+    val creator = element_at(
+      element_at(a.getField("lifecycle").getField("creation"), 1)
+        .getField("maker"), 1).getField("summary_title")
+    val fanned = recs
+      .filter(col("links.self").isNotNull && a.isNotNull)
+      .select(
+        col("links.self").as("foreign_landing_url"),
+        a.getField("summary_title").as("title"),
+        creator.as("creator"),
+        meta.as("meta_data"),
+        explode(a.getField("multimedia")).as("m"))
+    val img = coalesce(col("m.processed.large"), col("m.processed.medium"))
+    val loc = img.getField("location")
+    val url = when(loc.isNull || loc === "", lit(null).cast("string"))
+      .when(loc.startsWith("http"), loc)
+      .otherwise(concat(
+        lit("https://coimages.sciencemuseumgroup.org.uk/images/"), loc))
+    val dims = img.getField("measurements").getField("dimensions")
+    def pixelDim(name: String): Column = {
+      val last = element_at(filter(dims,
+        d => d.getField("dimension") === name), -1)
+      when(last.getField("units") === "pixels", last.getField("value"))
+    }
+    val terms = lower(element_at(
+      col("m.source.legal.rights"), 1).getField("usage_terms"))
+    val stripped = regexp_replace(terms, "^cc[ -]", "")
+    val pairOk = nullif(stripped, lit("")).isNotNull &&
+      size(split(stripped, " ", -1)) === 2
+    val rec = fanned
+      .filter(col("m.admin.uid").isNotNull && url.isNotNull && pairOk)
+      .select(
+        col("m.admin.uid").as("foreign_identifier"),
+        col("foreign_landing_url"),
+        url.as("url"),
+        pixelDim("height").as("height"),
+        pixelDim("width").as("width"),
+        img.getField("format").as("filetype"),
+        element_at(split(stripped, " ", -1), 1).as("license"),
+        element_at(split(stripped, " ", -1), 2).as("license_version"),
+        col("title"), col("creator"), col("meta_data"),
+        lit("sciencemuseum").as("provider"))
+    LicenseMap.resolvePair(rec, "license", "license_version")
+      .drop("license_version_n", "license_path")
+  }
+
+  // ---------------------------------------------------------------------
+  // rawpixel.py: HMAC-signed search requests (the signature is fetcher
+  // state — rawpixel.py:85-127); style-URI templated image sizes;
+  // marketing-suffix title/description scrubbing.
+  // ---------------------------------------------------------------------
+
+  val rawpixelItemSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("url", StringType),
+    StructField("artist_names", StringType),
+    StructField("name_ext", StringType),
+    StructField("download_count", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("display_image_width", LongType),
+    StructField("display_image_height", LongType),
+    StructField("style_uri", StringType),
+    StructField("metadata", StructType(Seq(
+      StructField("licenseUrl", StringType),
+      StructField("title", StringType),
+      StructField("description_text", StringType),
+      StructField("popular_keywords", ArrayType(StringType)))))))
+
+  val rawpixelBatchSchema: StructType = StructType(Seq(
+    StructField("total", LongType),
+    StructField("results", ArrayType(rawpixelItemSchema))))
+
+  /** The documented subset of html.unescape the rawpixel titles actually
+    * carry (rawpixel.py:171-186's examples); extend as new entities
+    * appear in fixtures.
+    */
+  private def htmlUnescapeLite(c: Column): Column = {
+    val entities = Seq("&ndash;" -> "–", "&mdash;" -> "—",
+      "&Eacute;" -> "É", "&eacute;" -> "é",
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+    entities.foldLeft(c) { case (acc, (e, ch)) =>
+      regexp_replace(acc, e, ch)
+    }
+  }
+
+  /** `rawpixel._clean_text:164-178`: strip, full marketing-suffix
+    * removal, partial-suffix removal, HTML unescape, strip, trailing
+    * comma removal.
+    */
+  def rawpixelCleanText(c: Column): Column = {
+    val t1 = regexp_replace(trim(c),
+      "(?i)(?:Free public domain CC0 (?:image|photo)|Digitally enhanced by rawpixel)[.,!?]?$",
+      "")
+    val t2 = regexp_replace(t1,
+      "(?i)(?:free ?|original ?)?(?:public(?: domain(?: CC0 (?:image|photo))?)?)?[.,!?]?$",
+      "")
+    regexp_replace(trim(htmlUnescapeLite(t2)), ",$", "")
+  }
+
+  /** rawpixel.py records: id, landing url, metadata and a resolvable
+    * license required (rawpixel.py:246-262); the image URL formats the
+    * style_uri template with the 1300-width option (129-152); width and
+    * height take the max of raw and display values, (0, 0) meaning
+    * unknown (154-161); the title drops the "| Free Photo - rawpixel"
+    * tail then the marketing suffixes and trailing period (180-201);
+    * meta_data keeps the scrubbed description and the download count
+    * (203-213); the creator drops the "(Source)" suffix (215-219);
+    * tags exclude license-y keywords and the category derives from
+    * keyword membership (221-244).
+    */
+  def rawpixelish(spark: SparkSession, rawBatches: Dataset[String])
+      : DataFrame = {
+    val t = rawBatches
+      .select(from_json(col("value"), rawpixelBatchSchema).as("b"))
+      .select(explode(col("b.results")).as("t"))
+    val m = col("t.metadata")
+    val wv = greatest(coalesce(col("t.width"), lit(0L)),
+      coalesce(col("t.display_image_width"), lit(0L)))
+    val hv = greatest(coalesce(col("t.height"), lit(0L)),
+      coalesce(col("t.display_image_height"), lit(0L)))
+    val unknownDims = wv === 0 && hv === 0
+    val titleBase = trim(element_at(split(m.getField("title"), "\\|", 2), 1))
+    val title = nullif(regexp_replace(rawpixelCleanText(titleBase),
+      "\\.$", ""), lit(""))
+    val description = nullif(
+      rawpixelCleanText(coalesce(m.getField("description_text"), lit(""))),
+      lit(""))
+    val kw = m.getField("popular_keywords")
+    val tags = filter(coalesce(kw, array().cast("array<string>")),
+      k => !(k.contains("cc0") || k.contains("creative commons") ||
+        k.contains("public domain")))
+    val category = when(array_contains(kw, "public domain art"),
+        lit("digitized_artwork"))
+      .when(array_contains(kw, "image") || array_contains(kw, "photo"),
+        lit("photograph"))
+      .when(array_contains(kw, "clipart"), lit("illustration"))
+    val rec = t
+      .filter(col("t.id").isNotNull && col("t.id") =!= 0 &&
+        nullif(col("t.url"), lit("")).isNotNull && m.isNotNull &&
+        nullif(col("t.style_uri"), lit("")).isNotNull)
+      .select(
+        col("t.id").cast("string").as("foreign_identifier"),
+        col("t.url").as("foreign_landing_url"),
+        regexp_replace(col("t.style_uri"), "\\{\\}", "image_1300").as("url"),
+        when(unknownDims, lit(null).cast("long")).otherwise(wv).as("width"),
+        when(unknownDims, lit(null).cast("long")).otherwise(hv).as("height"),
+        title.as("title"),
+        map_filter(map(
+          lit("description"), description,
+          lit("download_count"), col("t.download_count").cast("string")),
+          (_, v) => v.isNotNull).as("meta_data"),
+        tags.as("tags"),
+        nullif(trim(regexp_replace(coalesce(col("t.artist_names"), lit("")),
+          "\\(Source\\)$", "")), lit("")).as("creator"),
+        col("t.name_ext").as("filetype"),
+        category.as("category"),
+        m.getField("licenseUrl").as("raw_license_url"),
+        lit("rawpixel").as("provider"))
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("license").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // nypl.py: per-item metadata documents (driver fetches item_details
+  // per search uuid) in XML-converted JSON where many fields are
+  // dict-OR-list. The columnar translation parses the document TWICE —
+  // once with list-shaped fields, once with dict-shaped — and
+  // coalesces per extracted value (from_json yields partial results,
+  // nulling only the mismatched field). The rarely-seen subject-as-dict
+  // shape is not modeled.
+  // ---------------------------------------------------------------------
+
+  private val nyplDollar = StructType(Seq(StructField("$", StringType)))
+
+  private val nyplCaptureSchema = StructType(Seq(
+    StructField("imageID", nyplDollar),
+    StructField("itemLink", nyplDollar),
+    StructField("rightsStatementURI", nyplDollar),
+    StructField("imageLinks", StructType(Seq(
+      StructField("imageLink", ArrayType(StructType(Seq(
+        StructField("$", StringType),
+        StructField("description", StringType))))))))))
+
+  private def nyplModsSchema(listShaped: Boolean): StructType = {
+    def poly(inner: DataType): DataType =
+      if (listShaped) ArrayType(inner) else inner
+    StructType(Seq(
+      StructField("titleInfo", poly(StructType(Seq(
+        StructField("title", nyplDollar))))),
+      StructField("name", poly(StructType(Seq(
+        StructField("usage", StringType),
+        StructField("namePart", nyplDollar))))),
+      StructField("typeOfResource", poly(StructType(Seq(
+        StructField("usage", StringType),
+        StructField("$", StringType))))),
+      StructField("genre", nyplDollar),
+      StructField("originInfo", StructType(Seq(
+        StructField("dateIssued", nyplDollar),
+        StructField("dateCreated", poly(StructType(Seq(
+          StructField("point", StringType),
+          StructField("$", StringType))))),
+        StructField("publisher", nyplDollar)))),
+      StructField("physicalDescription", StructType(Seq(
+        StructField("note", nyplDollar)))),
+      StructField("subject", ArrayType(StructType(Seq(
+        StructField("topic", poly(nyplDollar))))))))
+  }
+
+  private def nyplItemSchema(listShaped: Boolean): StructType =
+    StructType(Seq(StructField("nyplAPI", StructType(Seq(
+      StructField("response", StructType(Seq(
+        StructField("mods", nyplModsSchema(listShaped)),
+        StructField("sibling_captures", StructType(Seq(
+          StructField("capture",
+            if (listShaped) ArrayType(nyplCaptureSchema)
+            else nyplCaptureSchema))))))))))))
+
+  /** The size preference over the image URL's `t` query parameter,
+    * largest first (nypl.py:54-58).
+    */
+  val nyplImageDimensions: Seq[String] = Seq("g", "v", "q", "w", "r")
+
+  /** nypl.py item documents → one record per sibling capture: the image
+    * is the largest available `t` dimension with the download query
+    * stripped (nypl.py:168-198), filetype parsed from the link
+    * description (" .jpeg "/" .gif ", 147-160); captures need an
+    * imageID, an image link, an item link and a rights URI
+    * (118-134); the creator is the primary name's namePart (200-206),
+    * the title the first titleInfo's (96-101); meta_data mirrors
+    * _get_metadata (218-273: primary type_of_resource, genre,
+    * date_issued, dict-or-approximate-range date_created, publisher,
+    * physical-description note, comma-joined subject topics); category
+    * is photograph only for the Photographs genre (108-111).
+    */
+  def nyplish(spark: SparkSession, rawItems: Dataset[String]): DataFrame = {
+    val parsed = rawItems.select(
+      from_json(col("value"), nyplItemSchema(true)).as("L"),
+      from_json(col("value"), nyplItemSchema(false)).as("D"))
+    val mL = col("L.nyplAPI.response.mods")
+    val mD = col("D.nyplAPI.response.mods")
+    val title = when(
+      mL.getField("titleInfo").isNull && mD.getField("titleInfo").isNull,
+      lit("")).otherwise(coalesce(
+      element_at(mL.getField("titleInfo"), 1)
+        .getField("title").getField("$"),
+      mD.getField("titleInfo").getField("title").getField("$")))
+    val creator = coalesce(
+      element_at(transform(filter(mL.getField("name"),
+        n => n.getField("usage") === "primary"),
+        n => n.getField("namePart").getField("$")), 1),
+      when(mD.getField("name").getField("usage") === "primary",
+        mD.getField("name").getField("namePart").getField("$")))
+    val typeOfResource = coalesce(
+      element_at(transform(filter(mL.getField("typeOfResource"),
+        t => t.getField("usage") === "primary"),
+        t => t.getField("$")), 1),
+      mD.getField("typeOfResource").getField("$"))
+    val oiL = mL.getField("originInfo")
+    val dcList = oiL.getField("dateCreated")
+    val dcStart = element_at(transform(filter(dcList,
+      d => d.getField("point") === "start"), d => d.getField("$")), 1)
+    val dcEnd = element_at(transform(filter(dcList,
+      d => d.getField("point") === "end"), d => d.getField("$")), 1)
+    val dateCreated = coalesce(
+      when(dcStart.isNotNull, concat(dcStart,
+        when(dcEnd.isNotNull, concat(lit("-"), dcEnd)).otherwise(lit("")))),
+      mD.getField("originInfo").getField("dateCreated").getField("$"))
+    // topic is dict-or-list PER SUBJECT: the list shape comes from the
+    // L parse, the dict shape from D (filter/transform of a null array
+    // stay null, so the absent variant simply drops out)
+    val topicsL = flatten(transform(
+      filter(mL.getField("subject"), s => s.getField("topic").isNotNull),
+      s => transform(s.getField("topic"), t => t.getField("$"))))
+    val topicsD = transform(
+      filter(mD.getField("subject"), s => s.getField("topic").isNotNull),
+      s => s.getField("topic").getField("$"))
+    val tags = nullif(array_join(coalesce(
+      when(size(topicsL) > 0, topicsL),
+      when(size(topicsD) > 0, topicsD)), ", "), lit(""))
+    val meta = map_filter(map(
+      lit("type_of_resource"), typeOfResource,
+      lit("genre"), mL.getField("genre").getField("$"),
+      lit("date_issued"), oiL.getField("dateIssued").getField("$"),
+      lit("date_created"), dateCreated,
+      lit("publisher"), oiL.getField("publisher").getField("$"),
+      lit("physical_description"),
+      mL.getField("physicalDescription").getField("note").getField("$"),
+      lit("tags"), tags),
+      (_, v) => v.isNotNull)
+    val category = when(
+      mL.getField("genre").getField("$") === "Photographs",
+      lit("photograph"))
+    val captures = coalesce(
+      col("L.nyplAPI.response.sibling_captures.capture"),
+      array(col("D.nyplAPI.response.sibling_captures.capture")))
+    val fanned = parsed.select(
+      title.as("title"), creator.as("creator"), meta.as("meta_data"),
+      category.as("category"), explode(captures).as("c"))
+    val links = col("c.imageLinks.imageLink")
+    // per dimension: the LAST link carrying t=<dim> (dict-comprehension
+    // last-wins), overall preferring the largest dimension
+    val chosen = coalesce(nyplImageDimensions.map { dim =>
+      element_at(filter(links,
+        l => l.getField("$").rlike(s"[?&]t=$dim(&|$$)")), -1)
+    }: _*)
+    fanned
+      .filter(col("c.imageID.$").isNotNull)
+      .filter(chosen.isNotNull)
+      .filter(nullif(col("c.itemLink.$"), lit("")).isNotNull &&
+        col("c.rightsStatementURI.$").isNotNull)
+      .select(
+        col("c.imageID.$").as("foreign_identifier"),
+        col("c.itemLink.$").as("foreign_landing_url"),
+        regexp_replace(chosen.getField("$"), "&download=1", "").as("url"),
+        nullif(regexp_extract(chosen.getField("description"),
+          " .(jpeg|gif) ", 1), lit("")).as("filetype"),
+        col("title"), col("creator"), col("meta_data"), col("category"),
+        col("c.rightsStatementURI.$").as("raw_license_url"),
+        lit("nypl").as("provider"))
+      .transform(LicenseMap.resolve(_, "raw_license_url"))
+      .withColumn("license_url", when(col("license").isNotNull,
+        concat(lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+  }
 }

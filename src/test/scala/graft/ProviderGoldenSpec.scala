@@ -788,4 +788,200 @@ class ProviderGoldenSpec extends SparkSpec {
         Seq(s"[$broken]").toDS()).count() == 0, "record must drop")
     }
   }
+
+  // ---- finnish museums (dated building sweeps, multi-image) -----------
+
+  private def finnishBatch(recordJson: String): String =
+    s"""{"status": "OK", "resultCount": 1, "records": [$recordJson]}"""
+
+  test("finnishish: reference object_complete_example -> expected record") {
+    val got = ProviderExtract.finnishish(spark,
+      Seq(finnishBatch(fixture("finnishmuseums/object_complete_example.json")))
+        .toDS()).collect()
+    // test_finnish_museums.py:115-135's expected record
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "sa-kuva.sa-kuva-1835")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.finna.fi/Record/sa-kuva.sa-kuva-1835")
+    assert(r.getAs[String]("url") ==
+      "https://api.finna.fi/Cover/Show?source=Solr&id=sa-kuva.sa-kuva-1835&index=0&size=large")
+    assert(r.getAs[String]("title") == "Vuokkiniemen koulu")
+    // military museum sub-provider from building "0/SA-kuva/"
+    assert(r.getAs[String]("source") == "finnish_military_museum")
+    // author-name KEY of the primary dict; empty-list types skipped
+    assert(r.getAs[String]("creator") == "Uomala, valokuvaaja")
+    assert(r.getAs[collection.Seq[String]]("tags").toSeq ==
+      Seq("1942-03-02"))
+    // deed.fi suffix stripped before resolution
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "4.0")
+    assert(r.getAs[String]("raw_license_url") ==
+      "http://creativecommons.org/licenses/by/4.0/")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by/4.0/")
+  }
+
+  test("finnishish: non-OK batches and missing license drop") {
+    val rec = fixture("finnishmuseums/object_complete_example.json")
+    val bad = s"""{"status": "ERROR", "records": [$rec]}"""
+    assert(ProviderExtract.finnishish(spark, Seq(bad).toDS()).count() == 0)
+    val noLicense = rec.replaceFirst(
+      "\"link\":\\s*\"[^\"]*\"", "\"link\": null")
+    assert(noLicense != rec)
+    assert(ProviderExtract.finnishish(spark,
+      Seq(finnishBatch(noLicense)).toDS()).count() == 0)
+  }
+
+  test("finnishish: full API response example parses whole") {
+    val whole = fixture("finnishmuseums/finna_full_response_example.json")
+    assert(ProviderExtract.finnishish(spark, Seq(whole).toDS()).count() > 0)
+  }
+
+  // ---- science museum (year-range sweeps, usage-terms parsing) --------
+
+  test("sciencemuseumish: reference object_data -> 12 expected records") {
+    val batch = s"""{"data": [${fixture("sciencemuseum/object_data.json")}]}"""
+    val got = ProviderExtract.sciencemuseumish(spark, Seq(batch).toDS())
+      .collect()
+    // test_science_museum.py:118-144
+    assert(got.length == 12)
+    val r = got.find(_.getAs[String]("foreign_identifier") == "i4453").get
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://collection.sciencemuseumgroup.org.uk/objects/co56202/telescope-by-galileo-replica-telescope-galilean-telescope-refracting-replica")
+    assert(r.getAs[String]("url") ==
+      "https://coimages.sciencemuseumgroup.org.uk/images/4/453/large_1923_0668__0002_.jpg")
+    assert(r.getAs[Long]("height") == 1151L &&
+      r.getAs[Long]("width") == 1536L)
+    assert(r.getAs[String]("filetype") == "jpeg")
+    assert(r.getAs[String]("license") == "by-sa" &&
+      r.getAs[String]("license_version") == "4.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by-sa/4.0/")
+    assert(r.getAs[String]("creator") == "Galileo Galilei")
+    assert(r.getAs[String]("title") ==
+      "Telescope by Galileo (replica) (telescope - Galilean; telescope - refracting; replica)")
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta("accession number") == "1923-668")
+    assert(meta("category") == "SCM - Astronomy")
+    assert(meta("name") == "telescope - refracting")
+    assert(meta("description").startsWith(
+      "Facsimile of telescope by Galileo"))
+  }
+
+  test("sciencemuseumish: unparseable usage terms skip the image") {
+    val base = fixture("sciencemuseum/object_data.json")
+    // replace every usage_terms with a non-CC phrase of three words
+    val broken = base.replaceAll(
+      "\"usage_terms\":\\s*\"[^\"]*\"",
+      "\"usage_terms\": \"All rights reserved\"")
+    assert(broken != base)
+    val batch = s"""{"data": [$broken]}"""
+    assert(ProviderExtract.sciencemuseumish(spark, Seq(batch).toDS())
+      .count() == 0)
+    // repeated record ids dedupe (the RECORD_IDS set)
+    val twice = s"""{"data": [${fixture("sciencemuseum/object_data.json")},
+      ${fixture("sciencemuseum/object_data.json")}]}"""
+    assert(ProviderExtract.sciencemuseumish(spark, Seq(twice).toDS())
+      .count() == 12)
+  }
+
+  // ---- rawpixel (signed search, marketing-suffix scrubbing) -----------
+
+  test("rawpixelish: reference public_domain_response -> expected record") {
+    val got = ProviderExtract.rawpixelish(spark,
+      Seq(fixture("rawpixel/public_domain_response.json")).toDS())
+      .orderBy("foreign_identifier").collect()
+    assert(got.length == 2)
+    val r = got.find(_.getAs[String]("foreign_identifier") == "4032668").get
+    // test_rawpixel.py:284-321's expected record
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.rawpixel.com/image/4032668/photo-image-background-nature-mountain")
+    assert(r.getAs[String]("url") ==
+      "https://images.rawpixel.com/image_1300/cHJpdmF0ZS9sci9pbWFnZXMvd2Vic2l0ZS8yMDIyLTA1L2ZsNDY0NDU5OTQ2MjQtaW1hZ2Uta3UyY21zcjUuanBn.jpg")
+    assert(r.getAs[Long]("width") == 8272L &&
+      r.getAs[Long]("height") == 5515L)
+    assert(r.getAs[String]("title") == "Bull elk searches for food")
+    assert(r.getAs[String]("creator") == "National Park Service")
+    assert(r.getAs[String]("filetype") == "jpg")
+    assert(r.isNullAt(r.fieldIndex("category")))
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta("description") ==
+      "Bull elk searches for food beneath the snow. Frank. Original public domain image from Flickr")
+    assert(meta("download_count") == "0")
+    val tags = r.getAs[collection.Seq[String]]("tags").toSeq
+    assert(tags.take(3) == Seq("animal", "deer", "winter"))
+    assert(tags.contains("national park") && tags.contains("yellowstone"))
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+  }
+
+  test("rawpixel title scrubbing matches the reference cases") {
+    // test_rawpixel.py:115-152's parametrized cases
+    val cases = Seq(
+      "Bull elk searches for food | Free Photo - rawpixel" ->
+        "Bull elk searches for food",
+      "Desktop wallpaper summer beach landscape, | Free Photo - rawpixel" ->
+        "Desktop wallpaper summer beach landscape",
+      "Japanese autumn tree color drawing. | Free Photo - rawpixel" ->
+        "Japanese autumn tree color drawing",
+      "Open hand, palm reading. Original | Free Photo Illustration - rawpixel" ->
+        "Open hand, palm reading",
+      "Claude Monet's The Magpie (1868&ndash;1869) | Free Photo Illustration - rawpixel" ->
+        "Claude Monet's The Magpie (1868–1869)",
+      "Red poppy field. Free public | Free Photo - rawpixel" ->
+        "Red poppy field",
+      "Free public domain CC0 photo. | Free Photo - rawpixel" -> null,
+      "Floral glasses. Free public domain | Free Photo - rawpixel" ->
+        "Floral glasses",
+      "Claude Monet's The Cliffs at &Eacute;tretat | Free Photo Illustration - rawpixel" ->
+        "Claude Monet's The Cliffs at Étretat")
+    val df = cases.map(_._1).toDF("raw").select(
+      nullif(regexp_replace(ProviderExtract.rawpixelCleanText(
+        trim(element_at(split(col("raw"), "\\|", 2), 1))),
+        "\\.$", ""), lit("")).as("cleaned")).collect()
+    cases.zip(df).foreach { case ((raw, want), row) =>
+      val got = if (row.isNullAt(0)) null else row.getString(0)
+      assert(got == want, s"title of <$raw>")
+    }
+  }
+
+  // ---- nypl (dict-or-list XML-JSON, per-capture fan-out) --------------
+
+  test("nyplish: reference item details -> 7 captures, expected first") {
+    val item = fixture("nypl/response_itemdetails_success.json")
+    val got = ProviderExtract.nyplish(spark, Seq(item).toDS()).collect()
+    // test_nypl.py:109-138
+    assert(got.length == 7)
+    val r = got.find(_.getAs[String]("foreign_identifier") == "56738462").get
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "http://digitalcollections.nypl.org/items/0cabe3d0-3d50-0134-a8e0-00505686a51c")
+    // largest dimension (t=g) with the download query stripped
+    assert(r.getAs[String]("url") ==
+      "http://images.nypl.org/index.php?id=56738462&t=g&suffix=0cabe3d0-3d50-0134-a8e0-00505686a51c.001")
+    assert(r.getAs[String]("filetype") == "jpeg")
+    assert(r.getAs[String]("title") ==
+      "1900 census enumeration districts, Manhattan and Bronx")
+    assert(r.getAs[String]("creator") == "Hillman, Barbara")
+    assert(r.isNullAt(r.fieldIndex("category"))) // genre Maps, not Photographs
+    val meta = r.getAs[Map[String, String]]("meta_data")
+    assert(meta("date_issued") == "1981")
+    assert(meta("genre") == "Maps")
+    assert(meta("publisher") ==
+      "New York Public Library, Local History and Genealogy Division")
+    assert(meta("tags") == "Census districts")
+    assert(meta("type_of_resource") == "cartographic")
+    assert(meta("physical_description").startsWith(
+      "4 polyester film encapsulations"))
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+  }
+
+  test("nyplish: captures without required links drop") {
+    val item = fixture("nypl/response_itemdetails_success.json")
+    val noRights = item.replaceAll(
+      "\"rightsStatementURI\":\\s*\\{[^}]*\\}", "\"rightsStatementURI\": {}")
+    assert(noRights != item)
+    assert(ProviderExtract.nyplish(spark, Seq(noRights).toDS()).count() == 0)
+  }
 }
