@@ -275,6 +275,60 @@ object Dedupe {
     verifyJaccardShingled(pairs, sh, minJaccard)
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node's label converges to the SMALLEST
+    * node id reachable from it, so the label doubles as the cluster's
+    * deterministic keeper (the surviving document of a near-dup group).
+    *
+    * This is the missing last stage of the dedup pipeline: LSH finds
+    * candidate PAIRS, exact Jaccard verifies them — but duplicates come
+    * in GROUPS (a≈b, b≈c ⇒ drop two of {a,b,c}), and pairwise keep-min
+    * would wrongly keep b. Components resolve the transitive closure.
+    *
+    * Scale shape: each round is one join (labels onto edge endpoints) +
+    * one min-aggregation — two key shuffles over |edges| rows; rounds =
+    * component diameter. Near-dup clusters are overwhelmingly tiny
+    * (pairs/triples), so 3–5 rounds converge in practice; `maxIter`
+    * bounds adversarial chains. Every round ends in `localCheckpoint()`
+    * to truncate lineage — without it the plan tree (and codegen time)
+    * grows per iteration. The per-round `count()` is a scalar
+    * convergence probe, not a data collect. For graphs with huge
+    * diameters prefer alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), which converges in
+    * O(log²) rounds; for near-dup workloads the simple propagation does
+    * fewer total shuffles.
+    *
+    * Output: (node, label) for every node that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // doubled edge list: propagation must flow both directions
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("node"), col("src").as("label"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // pull every neighbor's current label onto this node, keep the min
+      val viaNeighbor = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any strictly smaller" = "changed"
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over distinct words, emitted as a 16-char hex string
     * (portable across engines; no signed-shift pitfalls).
     *

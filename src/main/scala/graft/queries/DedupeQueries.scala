@@ -128,6 +128,73 @@ object DedupeQueries extends QueryPack {
       JOIN sizes sb ON sb.doc = doc_b
       WHERE CAST(n_inter AS BIGINT) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= CAST(0.5 AS DOUBLE)"""))
 
+  /** Near-dup CLUSTER resolution — the stage after pair verification:
+    * verified pairs (the q25 output) become edges of an undirected
+    * graph; connected components assign every involved document the
+    * smallest reachable doc id as its cluster / keeper. Pairwise
+    * keep-min is wrong for transitive groups (a≈b, b≈c never compares
+    * a,c); components close the transitivity. Oracle = the same edge
+    * derivation + a recursive transitive-closure CTE (exact at oracle
+    * scale; the Spark side is the iterative O(diameter) propagation
+    * that survives 100 TB).
+    */
+  val q59 = Q("q59_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val shAll = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
+      val sig = Dedupe.minhashWideFromShingles(shAll, 16)
+      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
+      val pairs = Dedupe.verifyJaccardForCandidateDocs(
+        cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b")
+      val sizes = labels.groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc"), col("label").as("cluster"),
+          col("cluster_size"))
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents),
+      sh AS (SELECT DISTINCT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM w) t),
+      hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
+             FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
+      sig AS (SELECT doc, i,
+                MIN(((2 * i + 1) * h + (104729 * i + 12345)) % 2147483647) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+              GROUP BY doc, i),
+      bs AS (SELECT doc, i // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_sig
+             FROM sig GROUP BY doc, i // 4),
+      cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+               FROM bs a JOIN bs b ON a.band = b.band
+                AND a.band_sig = b.band_sig AND a.doc < b.doc),
+      sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+      inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc = c.doc_a
+                JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+                GROUP BY c.doc_a, c.doc_b),
+      pairs AS (SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE CAST(n_inter AS BIGINT) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= CAST(0.5 AS DOUBLE)),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT e.src AS node, reach.r AS r
+                FROM edges e JOIN reach ON reach.node = e.dst),
+      lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+      cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT lab.node AS doc, lab.cluster, cs.cluster_size
+      FROM lab JOIN cs ON cs.cluster = lab.cluster"""))
+
   /** 64-bit SimHash as a 16-hex-char string per document. */
   val q26 = Q("q26_simhash",
     (s, dir) => Dedupe.simhash(Tables(s, dir, "documents"), "doc_id", "text"),
@@ -151,5 +218,5 @@ object DedupeQueries extends QueryPack {
       SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
       FROM hx GROUP BY doc"""))
 
-  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26)
+  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59)
 }
