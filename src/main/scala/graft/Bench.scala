@@ -30,8 +30,13 @@ object Bench {
     // Per-run times are emitted alongside the median so noise is
     // visible in the artifact itself.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional query-name args restrict the run (local iteration; the
+    // driver passes none). b3 runs only on full suites.
+    val only = args.toSet
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         // clear persisted frames BEFORE timing (no run may hit a cache
         // left by a previous run of the same query)
@@ -59,7 +64,7 @@ object Bench {
     // the timed section is the 5-way star join + dedup + record
     // synthesis + upsert-merge into a pre-seeded target — the same work
     // the reference's per-batch SQL does.
-    val b3 = {
+    val b3 = if (only.nonEmpty) """"b3_inat_e2e":null""" else {
       import graft.inat.Inat
       import graft.operators.MergeUpsert
       val li = Tables(spark, sfDir, "lineitem")

@@ -94,23 +94,30 @@ object Dedupe {
     (lit(2L * i + 1) * h + lit(104729L * i + 12345L)) % lit(MinhashP)
 
   /** One row per doc: (doc, sig array<long> of `numHashes` minhashes,
-    * index order).
+    * index order). Docs shorter than `shingleK` words emit no row.
     *
-    * Cost shape: ONE md5 per distinct shingle (28-bit numeric base hash
-    * from its hex prefix), then `numHashes` affine permutations
-    * (a_i·h+b_i mod p) — codegen'd integer arithmetic, not numHashes
-    * string hashes. The whole signature reduces in ONE aggregation
-    * pass: the shuffle carries |docs| rows with a small array, never
-    * |shingles| × numHashes rows.
+    * Computed by the codegen'd [[graft.functions.MinHashSigExpr]]: the
+    * whole signature is ONE per-row loop over the text's byte slices —
+    * zero explode, zero shuffle. This replaced the shingle-explode +
+    * groupBy-doc plan (still available as [[minhashWideFromShingles]]
+    * for callers with precomputed shingle frames): at sf0.1 the explode
+    * form materialized ~3M (doc, shingle) rows and shuffled a
+    * corpus-scale aggregation just to reduce per-document minima.
+    * Hash-identical output (spec-asserted against the explode form).
     */
   def minhashWide(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int): DataFrame =
-    // feed RAW shingle rows (with multiplicity): min() is
-    // duplicate-insensitive, so the signature is identical and the
-    // global distinct — a full shuffle of every shingle row before the
-    // aggregation — drops out of the plan entirely
-    minhashWideFromShingles(shingleRowsAll(docs, idCol, textCol, shingleK),
-      numHashes)
+      shingleK: Int, numHashes: Int,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("doc"),
+        ColumnBridge.column(graft.functions.MinHashSigExpr(
+          ColumnBridge.expression(
+            TextAnalysis.capDoc(col(textCol), maxDocChars)),
+          shingleK, numHashes)).as("sig"))
+      // the groupBy form emits no row for docs with < k words; the
+      // expression returns an empty array for them — drop for parity
+      .filter(size(col("sig")) > 0)
+  }
 
   /** Signature from precomputed (doc, shingle) rows — callers that also
     * need the shingle frame elsewhere (e.g. exact verification) compute
@@ -240,6 +247,47 @@ object Dedupe {
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
+  /** Exact Jaccard verification with the candidate docs' distinct
+    * shingle SETS held as in-row arrays: candidate doc ids (tiny)
+    * broadcast-semi-join the base table, the codegen'd shingle explode
+    * runs over that small remainder and `collect_set` folds each doc's
+    * distinct shingles back into ONE array row, and the per-pair
+    * jaccard is an in-row `array_intersect` after two joins of the
+    * (small) set frame onto the pair list. (The set is NOT built with
+    * the [[shingles]] array column: higher-order lambdas are
+    * interpreted and re-evaluate the embedded split() per element —
+    * O(words²) per doc, measured 3× slower than this explode+fold.)
+    * Stage count is ~4 vs the exploded join form's ~8 — at local scale
+    * that is the entire cost, and at cluster scale the verify joins
+    * shuffle |candidates| rows instead of |candidate shingle rows|.
+    * Row width is bounded by `maxDocChars` (a capped doc's distinct
+    * 3-shingle array is a few MB worst-case); for corpora of
+    * pathological giant documents prefer
+    * [[verifyJaccardForCandidateDocs]], which keeps shingles exploded.
+    */
+  def verifyJaccardBySets(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    val candDocs = candidates.select(col("doc_a").as(idCol))
+      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val candTexts = docs.select(col(idCol), col(textCol))
+      .join(broadcast(candDocs), Seq(idCol))
+    val sets = shingleRowsAll(candTexts, idCol, textCol, shingleK,
+        maxDocChars)
+      .groupBy("doc").agg(collect_set(col("shingle")).as("shset"))
+    candidates.select("doc_a", "doc_b")
+      .join(sets.select(col("doc").as("doc_a"), col("shset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("shset").as("set_b")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact Jaccard from precomputed shingle rows (persist `sh` — it is
     * read three times: both intersection sides and the size table).
     */
@@ -301,28 +349,44 @@ object Dedupe {
     * Output: (node, label) for every node that appears in an edge.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
-    // doubled edge list: propagation must flow both directions
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      maxIter: Int = 25, distinctEdges: Boolean = false): DataFrame = {
+    // doubled edge list: propagation must flow both directions. Callers
+    // whose pairs are already distinct with aCol < bCol (any groupBy
+    // output, e.g. verified near-dup pairs) pass distinctEdges = true —
+    // the doubled union then has no duplicates by construction and the
+    // dedup shuffle drops out of the plan.
+    val doubled = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+    val und = (if (distinctEdges) doubled else doubled.distinct()).persist()
     var labels = und.select(col("src").as("node"), col("src").as("label"))
       .distinct().localCheckpoint()
+    // convergence probe: the node set is fixed and labels only ever
+    // decrease, so the label SUM strictly decreases until the fixed
+    // point — comparing one scalar per round replaces a join + count
+    // over the label frame (one aggregation job instead of a join job
+    // per round; decimal accumulation cannot overflow). Round 0 always
+    // changes labels unless every node is its own component, so the
+    // initial sum is folded into the loop (null sentinel = no probe
+    // job before the first round).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // pull every neighbor's current label onto this node, keep the min
       val viaNeighbor = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
+      // lazy checkpoint: the convergence aggregation right below is the
+      // round's ONE materializing action (eager would run a separate
+      // job first); later consumers read the checkpointed partitions
       val next = labels.union(viaNeighbor)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any strictly smaller" = "changed"
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label")).limit(1).count()
+        .localCheckpoint(false)
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     und.unpersist()

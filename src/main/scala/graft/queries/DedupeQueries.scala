@@ -75,24 +75,19 @@ object DedupeQueries extends QueryPack {
   val q25 = Q("q25_ngram_jaccard",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // Plan shape: ONE corpus-scale shingle explode (feeds the
-      // signatures, raw rows — min() ignores duplicates so no global
-      // distinct); LSH banding prefilters to candidate PAIRS (persisted
-      // — read three times); exact verification re-shingles only the
-      // candidate DOCUMENTS pulled from the base table, so no second
-      // corpus-scale pass exists anywhere in the plan.
-      // Measured at sf0.1, local[32], bench-style cold runs with
-      // clearCache between, fresh session (r5): [9.0, 3.6, 2.7, 2.8]s —
-      // the first run pays plan codegen for the whole chain,
-      // steady-state ~2.7s. The dominant remaining costs are the
-      // corpus-scale md5+minhash aggregation (runs ONCE — the banded
-      // frame is persisted inside minhashCandidates, without which the
-      // band self-join executed it twice) and the multi-stage verify
-      // joins over small frames.
-      val shAll = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
-      val sig = Dedupe.minhashWideFromShingles(shAll, 16)
+      // Plan shape: the corpus-scale stage is ONE narrow map — the
+      // codegen'd per-row MinHashSigExpr loop (no shingle explode, no
+      // signature shuffle); LSH banding prefilters to candidate PAIRS
+      // (persisted inside minhashCandidates — the aliased band
+      // self-join would otherwise run the signature scan twice);
+      // exact verification re-shingles only the candidate DOCUMENTS
+      // pulled from the base table — as in-row distinct-shingle sets
+      // (jaccard = one array_intersect per pair) — so no second
+      // corpus-scale pass and no per-shingle join exists anywhere in
+      // the plan.
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      Dedupe.verifyJaccardForCandidateDocs(cand, docs, "doc_id", "text",
+      Dedupe.verifyJaccardBySets(cand, docs, "doc_id", "text",
         shingleK = 3, minJaccard = 0.5)
     },
     Some("""
@@ -141,12 +136,12 @@ object DedupeQueries extends QueryPack {
   val q59 = Q("q59_dedup_clusters",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val shAll = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
-      val sig = Dedupe.minhashWideFromShingles(shAll, 16)
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      val pairs = Dedupe.verifyJaccardForCandidateDocs(
+      val pairs = Dedupe.verifyJaccardBySets(
         cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
-      val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b")
+      val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
+        distinctEdges = true)
       val sizes = labels.groupBy("label")
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")

@@ -238,6 +238,26 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("minhash expression form is hash-identical to the explode form") {
+    // the codegen'd MinHashSigExpr must reproduce the shingle-explode +
+    // groupBy plan exactly — same docs emitted (short docs dropped),
+    // same signature arrays — on real corpus text including multi-byte
+    // UTF-8, repeated shingles, and consecutive spaces
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq(
+        (-1L, "a b"),                        // < k words: no row
+        (-2L, "é ü 文 é ü 文 é ü"),          // multi-byte + repeats
+        (-3L, "a  b   c a  b")               // empty tokens
+      ).toDF("doc_id", "text"))
+    val viaExpr = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      .orderBy("doc").as[(Long, Seq[Long])].collect().toSeq
+    val viaExplode = Dedupe.minhashWideFromShingles(
+        Dedupe.shingleRowsAll(docs, "doc_id", "text", 3), 16)
+      .orderBy("doc").as[(Long, Seq[Long])].collect().toSeq
+    assert(viaExpr.nonEmpty && viaExpr == viaExplode)
+  }
+
   test("ngram jaccard is exact") {
     val docs = Seq(
       (1L, "a b c d e"),                       // shingles: abc bcd cde

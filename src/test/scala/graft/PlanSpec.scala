@@ -133,6 +133,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("winnowfingerprints") || p.contains("Generate"))
   }
 
+  test("minhash signature stage is one per-row projection — no explode, no shuffle") {
+    // MinHashSigExpr computes the whole signature inside the row; a
+    // Generate or Exchange here means the corpus-scale shingle explode
+    // + groupBy-doc aggregation crept back into q24/q25/q59's hot stage
+    val p = graft.operators.Dedupe.minhashWide(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Generate") &&
+      !p.contains("Window"))
+    assert(p.toLowerCase.contains("minhashsig"))
+  }
+
   test("q26: simhash is one per-row projection — no explode, no shuffle") {
     val p = plan("q26_simhash")
     // SimHashExpr reduces all 64 bit-counters inside the row; a Generate
