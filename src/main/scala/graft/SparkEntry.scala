@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries, PopularityQueries, LoadQueries,
     CleaningQueries, DedupeQueries, TextQueries,
     SimilarityQueries, EventQueries, EnrichmentQueries,
-    FunnelQueries, MaintenanceQueries)
+    FunnelQueries, MaintenanceQueries, SamplingQueries)
 
   private val allQueries: Seq[Q] = packs.flatMap(_.all)
 

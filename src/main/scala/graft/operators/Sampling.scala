@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data-budget packing for training-data
+  * pipelines.
+  *
+  * `rand()`-based sampling is neither reproducible across runs nor
+  * verifiable against an oracle, and Spark's `sample()` changes with
+  * partitioning. These operators hash a STABLE id instead: a row
+  * survives iff the first 8 hex chars of md5(id) fall below a
+  * rate-derived threshold — a pure narrow filter (no shuffle, no RNG
+  * state), the same rows survive at any partitioning and in any engine
+  * that computes md5, and re-running over a grown corpus keeps every
+  * previously-kept row (incremental-friendly). The comparison is plain
+  * ASCII-lexicographic on the hex prefix, portable across engines.
+  *
+  * Scale shape: bernoulli/stratified are single-scan projections —
+  * they pipeline into whatever reads the sample with zero extra cost.
+  * quotaPack is one hash-partition + per-group sort (the q06 running-
+  * total shape); a pathologically hot group sorts on one node, so cap
+  * group cardinality upstream if a group can exceed executor memory.
+  */
+object Sampling {
+
+  private val HexDigits = 8
+
+  /** Lexicographic hex threshold for a keep-rate: an md5's first 8 hex
+    * chars are uniform over [0, 16^8) as a hex integer; keep iff
+    * prefix < threshold. rate >= 1 returns "g" — lexicographically
+    * above every hex string, so everything survives; rate <= 0 yields
+    * "00000000" — nothing sorts below it, so nothing survives.
+    */
+  def thresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else {
+      val t = math.max(0L, math.floor(rate * (1L << 32)).toLong)
+      f"$t%08x"
+    }
+
+  /** The keep predicate on a stable id column. */
+  def keep(id: Column, rate: Double): Column =
+    substring(md5(id.cast("string")), 1, HexDigits) <
+      lit(thresholdHex(rate))
+
+  /** Deterministic Bernoulli(rate) sample keyed on `idCol`. */
+  def bernoulli(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(keep(col(idCol), rate))
+
+  /** Stratified sample: each stratum keeps its own rate (data-mixing
+    * quotas — downsample the dominant language, keep the rare ones
+    * whole). Rows whose stratum is absent from `rates` are dropped.
+    * The rates dim broadcasts; the corpus scan stays narrow.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = rates.toSeq.map { case (k, r) => (k, thresholdHex(r)) }
+      .toDF(strataCol, "thr")
+    df.join(broadcast(dim), Seq(strataCol))
+      .filter(substring(md5(col(idCol).cast("string")), 1, HexDigits) <
+        col("thr"))
+      .drop("thr")
+  }
+
+  /** Token-budget quota packing: per group, keep the largest documents
+    * (ties broken by id — fully deterministic) until the group's
+    * cumulative token count exceeds `budget`. The data-mixing step of
+    * corpus assembly: every source gets at most `budget` tokens.
+    * Output adds `n_tokens` and the inclusive running `cum_tokens`.
+    */
+  def quotaPack(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("n_tokens").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

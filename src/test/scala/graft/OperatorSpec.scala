@@ -258,6 +258,51 @@ class OperatorSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaExplode)
   }
 
+  test("hash sampling: threshold math, determinism, rate accuracy") {
+    import graft.operators.Sampling
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(1.0) == "g")    // > any hex: keep all
+    assert(Sampling.thresholdHex(0.0) == "00000000") // keep nothing
+    val ids = spark.range(0, 4000).toDF("id")
+    val kept = Sampling.bernoulli(ids, "id", 0.25)
+    val n = kept.count()
+    // uniform md5 prefix: 4000 trials at p=0.25 → ±5σ ≈ ±137
+    assert(n > 860 && n < 1140, s"kept $n of 4000 at rate 0.25")
+    // deterministic: identical result on re-run and any partitioning
+    assert(Sampling.bernoulli(ids.repartition(7), "id", 0.25).count() == n)
+    // monotone in rate: the 25% sample nests inside the 50% sample
+    val kept50 = Sampling.bernoulli(ids, "id", 0.5)
+    assert(kept.join(kept50, "id").count() == n)
+  }
+
+  test("stratified sampling keeps per-stratum rates, drops unmapped strata") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 3000)
+      .select(col("id"), element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("s"))
+    val got = Sampling.stratified(df, "id", "s", Map("a" -> 1.0, "b" -> 0.2))
+    val byS = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS("a") == 1000)                 // rate 1.0 keeps everything
+    assert(byS("b") > 120 && byS("b") < 280) // ~200
+    assert(!byS.contains("c"))               // unmapped stratum dropped
+  }
+
+  test("quota pack keeps largest docs per group within the token budget") {
+    import graft.operators.Sampling
+    val df = Seq(
+      (1L, "g1", "a b c d e f"),  // 6 tokens
+      (2L, "g1", "a b c d"),      // 4
+      (3L, "g1", "a b c"),        // 3
+      (4L, "g2", "a b")           // 2
+    ).toDF("id", "g", "text")
+    val got = Sampling.quotaPack(df, "g", "id",
+        size(split(col("text"), " ")), budget = 10L)
+      .select("id", "cum_tokens").orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    // g1 packs 6 then 4 (=10, within budget); 3 would overflow; g2 fits
+    assert(got == Seq((1L, 6L), (2L, 10L), (4L, 2L)))
+  }
+
   test("ngram jaccard is exact") {
     val docs = Seq(
       (1L, "a b c d e"),                       // shingles: abc bcd cde
