@@ -358,19 +358,26 @@ object Dedupe {
     val doubled = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     val und = (if (distinctEdges) doubled else doubled.distinct()).persist()
-    var labels = und.select(col("src").as("node"), col("src").as("label"))
-      .distinct().localCheckpoint()
+    // round 0 folded into initialization: every node's first label is
+    // min(self, direct neighbors) — ONE aggregation over the edge list,
+    // where the generic round needs a join + an aggregation (and the
+    // separate identity-label init needs its own distinct). The loop
+    // below starts at round 1.
+    var labels = und.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(false)
     // convergence probe: the node set is fixed and labels only ever
     // decrease, so the label SUM strictly decreases until the fixed
     // point — comparing one scalar per round replaces a join + count
     // over the label frame (one aggregation job instead of a join job
-    // per round; decimal accumulation cannot overflow). Round 0 always
-    // changes labels unless every node is its own component, so the
-    // initial sum is folded into the loop (null sentinel = no probe
-    // job before the first round).
+    // per round; decimal accumulation cannot overflow). Probing the
+    // folded round 0 here both materializes the lazy checkpoint and
+    // lets a diameter-1 graph (pairs/stars — the common near-dup case)
+    // converge after a single joined round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum: java.math.BigDecimal = null
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -385,7 +392,7 @@ object Dedupe {
         .localCheckpoint(false)
       val s = labelSum(next)
       labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }

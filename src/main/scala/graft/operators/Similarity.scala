@@ -203,6 +203,67 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id")
   }
 
+  /** Deterministic ±1 hyperplane components for signed-random-projection
+    * LSH: component (p, d) is +1 iff md5("p,d")'s first hex digit is
+    * even. Engine-independent and reproducible — the planes are derived,
+    * not sampled, so an oracle (or a re-run over a grown corpus) buckets
+    * identically.
+    */
+  def srpSigns(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        md.reset()
+        val h = md.digest(s"$p,$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** SRP-LSH near-duplicate candidate pairs + exact cosine verify — the
+    * UNSUPERVISED analog of [[nearDupPairsSalted]] (which needs a
+    * blocking label) and the embedding twin of MinHash+LSH banding:
+    * bit p of a vector's signature is sign(v · h_p) for the fixed ±1
+    * hyperplanes h_p; two vectors are candidates iff ALL bits of at
+    * least one band agree (collision probability (1 − θ/π)^rowsPerBand
+    * per band — close vectors collide, the |corpus|² product never
+    * materializes); candidates are then exactly verified against the
+    * cosine threshold.
+    *
+    * Scale shape: the signature is `planes` codegen'd dot products — a
+    * narrow map, recomputed on each side of the band join rather than
+    * cached (persisting a corpus-scale vector table costs more memory
+    * than two scans; the join shuffle dominates either way). The band
+    * join shuffles (band, band_bits) keys only; each side carries its
+    * vector so the verify is in-row — no re-join of the corpus.
+    * Output: (vec_a, vec_b) with vec_a < vec_b, ids only (fp-robust).
+    */
+  def srpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      signs: Seq[Seq[Double]], rowsPerBand: Int, threshold: Double)
+      : DataFrame = {
+    val nBands = signs.size / rowsPerBand
+    val bits = concat(signs.map(s =>
+      when(dotNative(col(vecCol), typedLit(s)) > 0, lit("1"))
+        .otherwise(lit("0"))): _*)
+    val sig = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        bits.as("bits"))
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bb",
+        col("bits").substr(col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+    val a = sig.select(col("vid").as("vec_a"), col("v").as("va"),
+      col("band"), col("bb"))
+    val b = sig.select(col("vid").as("vec_b"), col("v").as("vb"),
+      col("band"), col("bb"))
+    a.join(b, Seq("band", "bb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b")
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+      .filter(dotNative(col("va"), col("vb")) /
+        (sqrt(dotNative(col("va"), col("va"))) *
+         sqrt(dotNative(col("vb"), col("vb")))) >= lit(threshold))
+      .select("vec_a", "vec_b")
+  }
+
   /** IVF top-k: restrict the brute-force search to corpus vectors whose
     * cell is among the query's `nprobe` closest cells.
     */

@@ -148,5 +148,49 @@ object SimilarityQueries extends QueryPack {
         FROM scored)
       WHERE rn <= 5"""))
 
-  override def all: Seq[Q] = Seq(q30, q31, q44, q46)
+  /** The 16 ±1 hyperplanes (dim 64) for SRP-LSH, derived from md5 in
+    * Scala and emitted as LITERALS into both the Spark plan and the
+    * oracle SQL — single source of truth, no hash math in SQL.
+    */
+  private val srpSigns = Similarity.srpSigns(planes = 16, dim = 64)
+
+  private val srpValues = srpSigns.zipWithIndex.map { case (s, p) =>
+    s"($p, [${s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+  }.mkString(", ")
+
+  /** SRP-LSH (random-hyperplane) bucketed near-dup pairs + exact cosine
+    * verify — the unsupervised LSH-bucketed ANN scale path (no blocking
+    * label needed, unlike q44): 16 sign bits, 4 bands × 4 bits,
+    * candidates collide on a full band, verified at cosine ≥ 0.35.
+    */
+  val q62 = Q("q62_srp_lsh",
+    (s, dir) => Similarity.srpNearDupPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      srpSigns, rowsPerBand = 4, threshold = 0.35),
+    Some(s"""
+      WITH hp(p, sv) AS (VALUES $srpValues),
+      bits AS (SELECT vec_id,
+          string_agg(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), sv) > 0
+                          THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
+        FROM embeddings CROSS JOIN hp GROUP BY vec_id),
+      bands AS (SELECT e.vec_id, e.embedding, band,
+          substr(b.bits, band * 4 + 1, 4) AS bb
+        FROM embeddings e JOIN bits b USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(4)) AS band) bd),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bb = b.bb
+          AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(ea.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[]))))
+            >= CAST(0.35 AS DOUBLE)"""))
+
+  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62)
 }

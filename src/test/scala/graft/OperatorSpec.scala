@@ -258,6 +258,41 @@ class OperatorSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaExplode)
   }
 
+  test("SRP-LSH: identical vectors always collide; orthogonal ones verify out") {
+    import graft.operators.Similarity
+    val signs = Similarity.srpSigns(16, 4)
+    assert(signs.size == 16 && signs.forall(_.size == 4))
+    assert(signs == Similarity.srpSigns(16, 4))       // deterministic
+    assert(signs.flatten.forall(v => v == 1.0 || v == -1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.2f, 0.0f, 0.0f)),   // identical to 1: must pair
+      (3L, Seq(0.0f, 0.0f, 1.0f, -0.3f))   // ~orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding",
+        signs, rowsPerBand = 4, threshold = 0.9)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("connected components: chains, triangles, pairs, duplicate edges") {
+    // 10-9-8-7 chain (diameter 3 — needs >1 propagation round),
+    // 1-2-3 triangle, 20-21 pair; edge 1-2 duplicated and reversed
+    val edges = Seq((9L, 10L), (8L, 9L), (7L, 8L), (1L, 2L), (2L, 3L),
+      (1L, 3L), (20L, 21L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    val got = Dedupe.connectedComponents(edges, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L))
+    // distinctEdges fast path: same answer when pairs are pre-distinct
+    val clean = Seq((9L, 10L), (8L, 9L), (7L, 8L), (1L, 2L), (2L, 3L),
+      (1L, 3L), (20L, 21L)).toDF("a", "b")
+    val got2 = Dedupe.connectedComponents(clean, "a", "b",
+        distinctEdges = true)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got2 == got)
+  }
+
   test("hash sampling: threshold math, determinism, rate accuracy") {
     import graft.operators.Sampling
     assert(Sampling.thresholdHex(0.5) == "80000000")
