@@ -57,6 +57,30 @@ class PropertySpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("minhash expression == explode form on generated word soups") {
+    // adversarial tokenizations: empty tokens (consecutive spaces),
+    // multi-byte words, repeated shingles, docs hovering around the
+    // k-word minimum — the per-row loop must match the explode+groupBy
+    // aggregation on every one of them
+    val word: Gen[String] = Gen.frequency(
+      5 -> Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+        .map(_.mkString),
+      1 -> Gen.const(""),                     // consecutive-space token
+      1 -> Gen.oneOf("é", "中文", "ß", "ü"),
+      1 -> Gen.oneOf("a", "b"))               // force repeats
+    val docGen: Gen[String] = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = sample(docGen, 400).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    import graft.operators.Dedupe
+    val viaExpr = Dedupe.minhashWide(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc").as[(Long, Seq[Long])].collect().toSeq
+    val viaExplode = Dedupe.minhashWideFromShingles(
+        Dedupe.shingleRowsAll(docs, "doc_id", "text", 3), 8)
+      .orderBy("doc").as[(Long, Seq[Long])].collect().toSeq
+    assert(viaExpr == viaExplode)
+  }
+
   test("PG array literal round-trips 300 generated arrays") {
     val arrGen = Gen.listOfN(3, nastyString.map(_.take(20)))
       .map(_.toSeq)
