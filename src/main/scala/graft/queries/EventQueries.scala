@@ -75,5 +75,60 @@ object EventQueries extends QueryPack {
       Tables(s, dir, "events"), Seq("event_type"), "user_id"),
     None)
 
-  override def all: Seq[Q] = Seq(q32, q33, q56)
+  /** As-of join (TemporalJoins.asOfJoin): attribute every purchase to
+    * the user's most recent view at or before it — the classic
+    * attribution shape. One tagged union + keyed shuffle-sort + running
+    * last-non-null; the oracle is DuckDB's native ASOF JOIN, so the
+    * sorted-window rewrite is checked against a reference
+    * implementation of the semantics, not against itself.
+    */
+  val q63 = Q("q63_asof_join",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.TemporalJoins.asOfJoin(
+          purchases, views, Seq("user_id"), "ts", Seq("view_id"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof").getField("view_id").as("view_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts"""))
+
+  /** Binned range join (TemporalJoins.pointInIntervals): events matched
+    * into recurring 90-minute windows every 7 hours — the
+    * point-in-interval join as a bin equi-join + exact re-filter, vs
+    * DuckDB's native inequality join as the oracle. Epoch-micro
+    * integer comparisons only.
+    */
+  val q64 = Q("q64_range_join",
+    (s, dir) => {
+      val baseUs = 1704067200000000L            // 2024-01-01 00:00:00 UTC
+      val stepUs = 25200000000L                 // 7 h
+      val lenUs = 5400000000L                   // 90 min
+      val windows = s.range(0, 48).select(
+        col("id").as("window_id"),
+        (lit(baseUs) + col("id") * stepUs).as("lo_us"),
+        (lit(baseUs) + col("id") * stepUs + lenUs).as("hi_us"))
+      val pts = Tables(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      graft.operators.TemporalJoins.pointInIntervals(
+          pts, "us", windows, "lo_us", "hi_us", binWidth = lenUs)
+        .select("event_id", "window_id")
+    },
+    Some("""
+      WITH w AS (SELECT k AS window_id,
+          1704067200000000 + k * 25200000000 AS lo_us,
+          1704067200000000 + k * 25200000000 + 5400000000 AS hi_us
+        FROM (SELECT unnest(range(48)) AS k)),
+      e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+      SELECT e.event_id, w.window_id
+      FROM e JOIN w ON e.us >= w.lo_us AND e.us < w.hi_us"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64)
 }

@@ -258,6 +258,40 @@ class OperatorSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaExplode)
   }
 
+  test("as-of join: inclusive at equal ts, most recent wins, outer keeps misses") {
+    import graft.operators.TemporalJoins
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, "u1", t(100)), (2L, "u1", t(50)), (3L, "u2", t(10)))
+      .toDF("id", "key", "ts")
+    val right = Seq(("u1", t(40), 940L), ("u1", t(100), 990L),
+      ("u2", t(11), 911L)).toDF("key", "ts", "pay")
+    val inner = TemporalJoins.asOfJoin(left, right, Seq("key"), "ts",
+        Seq("pay"))
+      .select(col("id"), col("asof").getField("pay"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // id=1: right@100 ties left@100 → inclusive, newest (990) wins over 940
+    // id=2: right@40 is the latest <= 50; id=3: right@11 > 10 → no match
+    assert(inner == Seq((1L, 990L), (2L, 940L)))
+    val outer = TemporalJoins.asOfJoin(left, right, Seq("key"), "ts",
+      Seq("pay"), leftOuter = true)
+    assert(outer.count() == 3 &&
+      outer.filter(col("asof").isNull).select("id").as[Long].head() == 3L)
+  }
+
+  test("range join: [lo, hi) boundaries exact, intervals spanning bins match") {
+    import graft.operators.TemporalJoins
+    val pts = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 1050L))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, 100L, 200L),   // [100,200): gets 1,2 not 3
+      (11L, 950L, 1100L)               // spans bins at width 100: gets 4
+    ).toDF("iid", "lo", "hi")
+    val got = TemporalJoins.pointInIntervals(pts, "p", ivs, "lo", "hi",
+        binWidth = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 10L), (4L, 11L)))
+  }
+
   test("SRP-LSH: identical vectors always collide; orthogonal ones verify out") {
     import graft.operators.Similarity
     val signs = Similarity.srpSigns(16, 4)

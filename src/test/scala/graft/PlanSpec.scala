@@ -146,6 +146,19 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("minhashsig"))
   }
 
+  test("q63: as-of join is one sorted shuffle — no nested-loop product") {
+    val p = plan("q63_asof_join")
+    // the tagged-union + running-window rewrite: a theta-join here
+    // (BroadcastNestedLoop/Cartesian) means the pair product is back
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
+  test("q64: range join equi-joins on bins — no nested-loop product") {
+    val p = plan("q64_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("q26: simhash is one per-row projection — no explode, no shuffle") {
     val p = plan("q26_simhash")
     // SimHashExpr reduces all 64 bit-counters inside the row; a Generate
