@@ -122,6 +122,30 @@ object MergeUpsert {
       "left_anti")
   }
 
+  /** J7 at catalog scale: the TARGET side of the url-conflict anti-join
+    * is the 100 TB side, and shuffling all of it to reject a batch's
+    * few conflicts is the dominant cost. This variant builds a Bloom
+    * filter over the (small) staged batch's urls — one aggregation
+    * pass, runs eagerly — broadcasts it, and prefilters the target
+    * scan with a codegen'd probe BEFORE the shuffle: a target row
+    * whose url the filter rejects cannot equal any staged url, so
+    * dropping it never changes the anti-join's result (no false
+    * negatives); false positives merely survive into the exact join.
+    * Result is row-identical to [[urlConflictFilter]] — the filter
+    * prunes the shuffle, never decides membership.
+    */
+  def urlConflictFilterBloom(staged: DataFrame, target: DataFrame,
+      urlCol: String, fidCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloom = staged.stat.bloomFilter(urlCol, expectedItems, fpp)
+    val bc = staged.sparkSession.sparkContext.broadcast(bloom)
+    val pruned = target.filter(ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        ColumnBridge.expression(col(urlCol)), bc)))
+    urlConflictFilter(staged, pruned, urlCol, fidCol)
+  }
+
   /** Surrogate-key assignment (columns.py:417 `identifier uuid DEFAULT
     * uuid_generate_v4()`): rows without an identifier get a fresh v4
     * uuid; existing identifiers are stable across merges. Run AFTER

@@ -160,6 +160,39 @@ object LoadQueries extends QueryPack {
       WHERE NOT EXISTS (SELECT 1 FROM target t
                         WHERE t.url = s.url AND md5(t.fid) <> md5(s.fid))"""))
 
+  /** J7 with the 100 TB plan: identical semantics (and oracle) to q16,
+    * but the target side is pruned by a broadcast Bloom filter of the
+    * staged urls before the anti-join shuffle — the exact-result
+    * join-pruning pattern for a catalog-scale target. Hash-matching
+    * q16's oracle proves the pruned plan changes nothing.
+    */
+  val q65 = Q("q65_bloom_url_conflict",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val target = d.filter(col("doc_id") % 10 === 0).select(
+        concat(lit("k"), col("doc_id").cast("string")).as("fid"),
+        concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
+          .as("url"))
+      val staged = d.filter(col("doc_id") % 10 <= 1).select(
+        col("doc_id"),
+        concat(lit("k"), col("doc_id").cast("string")).as("fid"),
+        concat(lit("https://ex.com/"), (col("doc_id") % 149).cast("string"))
+          .as("url"))
+      MergeUpsert.urlConflictFilterBloom(staged, target, "url", "fid",
+          expectedItems = 100000L, fpp = 0.01)
+        .select("doc_id", "fid", "url")
+    },
+    Some("""
+      WITH target AS (SELECT 'k' || doc_id AS fid,
+               'https://ex.com/' || (doc_id % 149) AS url
+             FROM documents WHERE doc_id % 10 = 0),
+      staged AS (SELECT doc_id, 'k' || doc_id AS fid,
+               'https://ex.com/' || (doc_id % 149) AS url
+             FROM documents WHERE doc_id % 10 <= 1)
+      SELECT doc_id, fid, url FROM staged s
+      WHERE NOT EXISTS (SELECT 1 FROM target t
+                        WHERE t.url = s.url AND md5(t.fid) <> md5(s.fid))"""))
+
   /** W2 audio — the audioset_view (popularity/sql.py:329-359): audio
     * rows synthesized with JSON audio_set subrecords at the TSV
     * boundary, parsed typed (P8), duration overflow-guarded (P14,
@@ -273,5 +306,5 @@ object LoadQueries extends QueryPack {
              COUNT(DISTINCT sample_rate) AS n_rates
       FROM ex GROUP BY fmt"""))
 
-  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51)
+  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51, q65)
 }

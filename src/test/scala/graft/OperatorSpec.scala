@@ -258,6 +258,33 @@ class OperatorSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaExplode)
   }
 
+  test("bloom-prefiltered url-conflict == plain anti-join; probe has no false negatives") {
+    import graft.operators.MergeUpsert
+    val target = spark.range(0, 2000).select(
+      concat(lit("t"), col("id")).as("fid"),
+      concat(lit("https://ex.com/"), (col("id") % 331).cast("string"))
+        .as("url"))
+    val staged = spark.range(0, 3000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), col("id")).as("fid"),
+      concat(lit("https://ex.com/"), (col("id") % 997).cast("string"))
+        .as("url"))
+    val plain = MergeUpsert.urlConflictFilter(staged, target, "url", "fid")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = MergeUpsert.urlConflictFilterBloom(staged, target,
+        "url", "fid", expectedItems = 10000L, fpp = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain && plain.nonEmpty && plain.size < 3000)
+    // no false negatives: every inserted url must probe true
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = staged.stat.bloomFilter(col("url"), 10000L, 0.05)
+    val bc = spark.sparkContext.broadcast(bf)
+    val misses = staged.filter(!ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        ColumnBridge.expression(col("url")), bc))).count()
+    assert(misses == 0)
+  }
+
   test("as-of join: inclusive at equal ts, most recent wins, outer keeps misses") {
     import graft.operators.TemporalJoins
     import java.sql.Timestamp
