@@ -230,12 +230,26 @@ object Similarity {
     * materializes); candidates are then exactly verified against the
     * cosine threshold.
     *
-    * Scale shape: the signature is `planes` codegen'd dot products — a
-    * narrow map, recomputed on each side of the band join rather than
-    * cached (persisting a corpus-scale vector table costs more memory
-    * than two scans; the join shuffle dominates either way). The band
-    * join shuffles (band, band_bits) keys only; each side carries its
-    * vector so the verify is in-row — no re-join of the corpus.
+    * Scale shape (this is the load-bearing part):
+    *  - the banded frame carries IDS ONLY — (vid, band, band_bits) —
+    *    so no vector payload ever crosses the band-join exchange
+    *    (PlanSpec-guarded). The r7 form carried the full vector on both
+    *    join sides and through the pair-dedup aggregation: corpus-scale
+    *    payloads shuffled |candidates| times.
+    *  - the frame is persisted: the self-join consumes it on both
+    *    (differently-aliased) sides, and unpersisted the `planes` dot
+    *    products per vector would compute twice. It is |corpus|×nBands
+    *    rows of (long, int, short string) — negligible.
+    *  - candidate pairs are dedup'd BEFORE any vector re-join; the
+    *    exact verify then equi-joins the two vectors back per pair, so
+    *    vector bytes move |distinct pairs| times, not |band collisions|.
+    *  - signature width is the caller's recall/cost dial: use enough
+    *    planes that a band's bit pattern has real entropy. 4-bit bands
+    *    (16 values) collide ~6% of ALL pairs — a constant shaved off
+    *    quadratic — and give the join a 64-value key space (guaranteed
+    *    skew); 8-bit bands over 64 planes collide random pairs at
+    *    ~0.4%/band with a per-band key space of 256 (nBands× that
+    *    overall), which spreads across any shuffle width.
     * Output: (vec_a, vec_b) with vec_a < vec_b, ids only (fp-robust).
     */
   def srpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
@@ -245,19 +259,21 @@ object Similarity {
     val bits = concat(signs.map(s =>
       when(dotNative(col(vecCol), typedLit(s)) > 0, lit("1"))
         .otherwise(lit("0"))): _*)
-    val sig = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
-        bits.as("bits"))
+    val sig = df.select(col(idCol).as("vid"), bits.as("bits"))
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("bb",
-        col("bits").substr(col("band") * rowsPerBand + 1, lit(rowsPerBand)))
-    val a = sig.select(col("vid").as("vec_a"), col("v").as("va"),
-      col("band"), col("bb"))
-    val b = sig.select(col("vid").as("vec_b"), col("v").as("vb"),
-      col("band"), col("bb"))
-    a.join(b, Seq("band", "bb"))
+      .select(col("vid"), col("band"),
+        col("bits").substr(col("band") * rowsPerBand + 1, lit(rowsPerBand))
+          .as("bb"))
+      .persist()
+    val cand = sig.select(col("vid").as("vec_a"), col("band"), col("bb"))
+      .join(sig.select(col("vid").as("vec_b"), col("band"), col("bb")),
+        Seq("band", "bb"))
       .filter(col("vec_a") < col("vec_b"))
-      .groupBy("vec_a", "vec_b")
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+      .select("vec_a", "vec_b").distinct()
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("vid").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("vid").as("vec_b"), col("v").as("vb")), "vec_b")
       .filter(dotNative(col("va"), col("vb")) /
         (sqrt(dotNative(col("va"), col("va"))) *
          sqrt(dotNative(col("vb"), col("vb")))) >= lit(threshold))

@@ -82,9 +82,15 @@ object DedupeQueries extends QueryPack {
       // self-join would otherwise run the signature scan twice);
       // exact verification re-shingles only the candidate DOCUMENTS
       // pulled from the base table — as in-row distinct-shingle sets
-      // (jaccard = one array_intersect per pair) — so no second
-      // corpus-scale pass and no per-shingle join exists anywhere in
-      // the plan.
+      // (jaccard = one array_intersect per pair), persisted inside
+      // verifyJaccardBySets because the pair list joins it twice — so
+      // no second corpus-scale pass and no per-shingle join exists
+      // anywhere in the plan. Measured at sf0.1 (5,000 docs, r8): the
+      // candidate stage (q24) is ~1.0s and the whole query ~3.5s
+      // median cold — the verify adds ~2.5s across 5 small jobs
+      // (candidate-doc broadcast, set build, two pair joins), vs r7's
+      // 8.9s median / 78s outlier when the unpersisted set frame
+      // re-derived its shingle explode per consumer.
       val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
       Dedupe.verifyJaccardBySets(cand, docs, "doc_id", "text",
@@ -138,8 +144,14 @@ object DedupeQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
+      // persist the verified pairs: connectedComponents' edge-doubling
+      // union consumes this frame on BOTH arms — unpersisted, the whole
+      // minhash → banding → verify pipeline above materializes twice
+      // before round 0 even starts (the r7 regression: 38-187s for a
+      // ~50-edge graph). Pairs are tiny (verified near-dup edges).
       val pairs = Dedupe.verifyJaccardBySets(
         cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+        .persist()
       val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
         distinctEdges = true)
       val sizes = labels.groupBy("label")

@@ -148,11 +148,11 @@ object SimilarityQueries extends QueryPack {
         FROM scored)
       WHERE rn <= 5"""))
 
-  /** The 16 ±1 hyperplanes (dim 64) for SRP-LSH, derived from md5 in
+  /** The 64 ±1 hyperplanes (dim 64) for SRP-LSH, derived from md5 in
     * Scala and emitted as LITERALS into both the Spark plan and the
     * oracle SQL — single source of truth, no hash math in SQL.
     */
-  private val srpSigns = Similarity.srpSigns(planes = 16, dim = 64)
+  private val srpSigns = Similarity.srpSigns(planes = 64, dim = 64)
 
   private val srpValues = srpSigns.zipWithIndex.map { case (s, p) =>
     s"($p, [${s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
@@ -160,23 +160,26 @@ object SimilarityQueries extends QueryPack {
 
   /** SRP-LSH (random-hyperplane) bucketed near-dup pairs + exact cosine
     * verify — the unsupervised LSH-bucketed ANN scale path (no blocking
-    * label needed, unlike q44): 16 sign bits, 4 bands × 4 bits,
+    * label needed, unlike q44): 64 sign bits, 8 bands × 8 bits,
     * candidates collide on a full band, verified at cosine ≥ 0.35.
+    * (8-bit bands: random pairs collide ~0.4% per band and the join key
+    * space is 8×256 — r7's 4-bit bands put ~6% of ALL pairs through the
+    * verify over a 64-value key space: skew + a quadratic constant.)
     */
   val q62 = Q("q62_srp_lsh",
     (s, dir) => Similarity.srpNearDupPairs(
       Tables(s, dir, "embeddings"), "vec_id", "embedding",
-      srpSigns, rowsPerBand = 4, threshold = 0.35),
+      srpSigns, rowsPerBand = 8, threshold = 0.35),
     Some(s"""
       WITH hp(p, sv) AS (VALUES $srpValues),
       bits AS (SELECT vec_id,
           string_agg(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), sv) > 0
                           THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
         FROM embeddings CROSS JOIN hp GROUP BY vec_id),
-      bands AS (SELECT e.vec_id, e.embedding, band,
-          substr(b.bits, band * 4 + 1, 4) AS bb
-        FROM embeddings e JOIN bits b USING (vec_id)
-        CROSS JOIN (SELECT unnest(range(4)) AS band) bd),
+      bands AS (SELECT vec_id, band,
+          substr(bits, band * 8 + 1, 8) AS bb
+        FROM bits
+        CROSS JOIN (SELECT unnest(range(8)) AS band) bd),
       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bb = b.bb
           AND a.vec_id < b.vec_id)

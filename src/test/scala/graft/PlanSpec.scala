@@ -159,6 +159,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q62: no array column crosses the band-join exchanges") {
+    // the banded frame must be ids-only: a vector payload riding the
+    // (band, bb) shuffle means the r7 corpus-scale-bytes-per-candidate
+    // plan regressed back in. The verify-stage re-joins DO move vectors
+    // (by design, |pairs| of them) — so the assertion is scoped to
+    // exchanges that carry the band-signature column.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val exec = SparkEntry.queries("q62_srp_lsh")(spark, sfDir)
+      .queryExecution.executedPlan
+    val root: SparkPlan = exec match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // collect across InMemoryRelation boundaries too: the persisted
+    // banded frame's own plan hides behind the cache scan
+    val exchanges = root.collectWithSubqueries {
+      case e: ShuffleExchangeLike => e
+    }
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "bb"))
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"array column crosses the band-join exchange: ${e.output}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q26: simhash is one per-row projection — no explode, no shuffle") {
     val p = plan("q26_simhash")
     // SimHashExpr reduces all 64 bit-counters inside the row; a Generate
