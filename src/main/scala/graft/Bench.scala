@@ -33,6 +33,15 @@ object Bench {
     // optional query-name args restrict the run (local iteration; the
     // driver passes none). b3 runs only on full suites.
     val only = args.toSet
+    // cumulative GC milliseconds across all collectors — the delta
+    // around each run makes contention/GC episodes adjudicable from
+    // the artifact alone (a 30s run with 200ms of GC is machine
+    // contention; with 25s of GC it's memory pressure in THIS suite)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -41,6 +50,7 @@ object Bench {
         // clear persisted frames BEFORE timing (no run may hit a cache
         // left by a previous run of the same query)
         spark.catalog.clearCache()
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -48,14 +58,16 @@ object Bench {
             errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gc = gcMillis() - g0
         // ... and AFTER: a query that persist()ed mid-plan must not hold
         // executor memory while the next query runs
         spark.catalog.clearCache()
-        dt
+        (dt, gc)
       }
       name -> times
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    def medianOf(ts: Seq[(Double, Long)]): Double = median(ts.map(_._1))
     // ---- B3: the iNat transform batch, end-to-end, as a direct rows/s
     // headline against BASELINE.md's 18 min / 2M rows (~1.8k rows/s)
     // Postgres median (inaturalist.py:400-402). Inputs are the sf tables
@@ -116,30 +128,39 @@ object Bench {
       target.count()
       val photoRows = photos.count()
       val times = (1 to runsPerQuery).map { _ =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val recs = Inat.transform(photos, observations, observers, taxa)
         val merged = MergeUpsert.merge(target, recs,
           Seq("provider", "foreign_identifier"))
         merged.count()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
       }
       target.unpersist()
-      val sec = median(times)
-      f""""b3_inat_e2e":{"rows":$photoRows,"sec":$sec%.3f,"rows_per_sec":${photoRows / sec}%.0f,"baseline_rows_per_sec":1852,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+      val sec = medianOf(times)
+      f""""b3_inat_e2e":{"rows":$photoRows,"sec":$sec%.3f,"rows_per_sec":${photoRows / sec}%.0f,"baseline_rows_per_sec":1852,"runs":${times.map(t => f"${t._1}%.3f").mkString("[", ",", "]")},"gc_ms":${times.map(_._2).mkString("[", ",", "]")}}"""
     }
-    val qs = results.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
+    val qs = results.map { case (k, ts) => "\"" + k + f"\":${medianOf(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.sum
-    // per-run detail goes on its OWN line, printed FIRST: the driver's
-    // tail capture must never truncate the summary line (BENCH_r04 lost
-    // `total` and q01-q08 when `runs` tripled the single line's length)
-    println(f"""{"metric":"runs","runs":$runsJson}""")
+    val total = results.map { case (_, ts) => medianOf(ts) }.sum
+    // per-run detail (times + GC millis) goes in SMALL chunked lines
+    // AFTER the summary: the r4 artifact lost the summary when runs
+    // shared its line, and the r7 artifact lost the runs detail when it
+    // was one big line printed first (the driver keeps the output's
+    // tail). Chunks are self-describing (part/of), so partial capture
+    // is visible rather than silent.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$b3,"errors":$errs,"sf":"$sfDir"}""")
+    val chunks = results.grouped(10).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, ts) =>
+        "\"" + k + "\":{\"sec\":" +
+          ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]") +
+          ",\"gc_ms\":" + ts.map(_._2).mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"runs","part":${i + 1},"of":${chunks.size},"runs":$body}""")
+    }
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
