@@ -194,4 +194,125 @@ class IngestSpec extends SparkSpec {
     assert(df.filter(col("_corrupt").isNotNull).count() == 1)
     assert(df.filter(col("_corrupt").isNull).count() == 2)
   }
+
+  test("DelayGate sleeps only the remaining interval; first pass is free") {
+    import graft.ingest.Fetcher
+    var clock = 0L
+    val sleeps = collection.mutable.Buffer[Long]()
+    val gate = new Fetcher.DelayGate(100, () => clock,
+      ms => { sleeps += ms; clock += ms * 1000000L })
+    gate.pass()
+    assert(sleeps.isEmpty)                  // no delay before the first
+    clock += 30L * 1000000L
+    gate.pass()
+    assert(sleeps.toSeq == Seq(70))         // 100ms - 30ms elapsed
+    clock += 150L * 1000000L
+    gate.pass()
+    assert(sleeps.toSeq == Seq(70))         // already past the interval
+  }
+
+  test("getResponseJson retries non-200, error-key JSON, garbage; raises after") {
+    import graft.ingest.Fetcher
+    val gate = new Fetcher.DelayGate(0)
+    val script = Iterator(
+      Fetcher.Response(500, ""),
+      Fetcher.Response(200, """{"error": "boom"}"""),
+      Fetcher.Response(200, "definitely not json"),
+      Fetcher.Response(200, """{"ok": 1}"""))
+    val got = Fetcher.getResponseJson((_, _) => script.next(), gate,
+      "http://x", Map.empty, retries = 3)
+    assert(got == """{"ok":1}""")
+    // a null error key is NOT an error (requester.py checks `is not None`)
+    val nullErr = Fetcher.getResponseJson(
+      (_, _) => Fetcher.Response(200, """{"error": null, "v": 2}"""),
+      gate, "http://x", Map.empty, retries = 0)
+    assert(nullErr.contains("\"v\":2"))
+    intercept[Fetcher.RetriesExceeded] {
+      Fetcher.getResponseJson((_, _) => Fetcher.Response(500, ""), gate,
+        "http://x", Map.empty, retries = 2)
+    }
+  }
+
+  test("fetch loop e2e: plan → GET over a real socket → landing JSONL → extract") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.ingest.{FetchMain, Fetcher}
+    import java.time.{LocalDate, ZoneOffset}
+
+    val day = LocalDate.of(2026, 1, 2)
+    val dayStart = day.atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    // 5 photos uploaded in hour 0 (3 pages of 2), 2 in hour 1 (1 page),
+    // 22 empty hourly slices
+    val uploads = Seq.tabulate(7)(i =>
+      dayStart + (if (i < 5) 0L else 3600L) + i)
+    def photoJson(i: Int): String =
+      s"""{"id":"$i","owner":"o$i","title":"t$i","description":"d$i",
+         |"license_url":"https://creativecommons.org/licenses/by/4.0/",
+         |"url_l":"https://l/$i.jpg","url_m":null,"url_s":null,
+         |"height_l":10,"width_l":20,"tags":"a b","views":$i}"""
+        .stripMargin.replaceAll("\n", "")
+
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/services/rest", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty)
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val min = q("min_upload_date").toLong
+        val max = q("max_upload_date").toLong
+        val page = q.getOrElse("page", "1").toInt
+        val sel = uploads.zipWithIndex
+          .filter { case (ts, _) => ts >= min && ts < max }.map(_._2)
+        val pages = (sel.size + 1) / 2
+        // hour-0 page 2 fails ONCE with a 500: the retry must recover
+        // through the real socket
+        val body =
+          if (min == dayStart && page == 2 &&
+              failedOnce.compareAndSet(false, true)) {
+            ex.sendResponseHeaders(500, -1); ex.close(); return
+          } else {
+            val slice = sel.slice((page - 1) * 2, page * 2)
+            s"""{"page":$page,"pages":$pages,"photo":[${
+              slice.map(photoJson).mkString(",")}]}"""
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base =
+        s"http://127.0.0.1:${server.getAddress.getPort}/services/rest"
+      val outDir = java.nio.file.Files.createTempDirectory("fetch")
+      val t0 = System.nanoTime()
+      val outcomes = FetchMain.pullDay(Fetcher.httpTransport(),
+        new Fetcher.DelayGate(5), base, outDir.resolve("landing"), day,
+        estRecords = 2000, maxPerSlice = 1000, retries = 2,
+        limit = Long.MaxValue)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      // 24 hourly slices planned (estRecords 2000 > maxPerSlice 1000)
+      assert(outcomes.size == 24)
+      assert(outcomes.map(_.result.records).sum == 7)
+      assert(outcomes.flatMap(_.result.skipped).isEmpty)
+      // hour 0: pages 1,2,3; hour 1: page 1; 22 empties: 1 request each
+      assert(outcomes.map(_.result.requests).sum == 26)
+      assert(hits.get() == 27)              // + the one failed attempt
+      // the rate gate spaced 27 request starts ≥5ms apart
+      assert(elapsedMs >= 26 * 5)
+      // Spark side: landing JSONL → flickrish normalized records
+      val recs = FetchMain.extract(spark, outDir.resolve("landing"))
+      val rows = recs.collect()
+      assert(rows.length == 7)
+      assert(rows.map(_.getAs[String]("foreign_identifier")).sorted.toSeq ==
+        (0 until 7).map(_.toString).sorted)
+      assert(rows.forall(_.getAs[String]("license") == "by"))
+      assert(rows.forall(_.getAs[String]("url").startsWith("https://l/")))
+    } finally server.stop(0)
+  }
 }
