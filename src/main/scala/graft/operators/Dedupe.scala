@@ -418,6 +418,41 @@ object Dedupe {
     labels
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` of a benchmark document's distinct k-word shingles —
+    * the training-data hygiene pass that keeps evaluation suites out
+    * of the corpus (n-gram overlap is the standard published recipe).
+    *
+    * Scale shape: the benchmark suite is SMALL by definition, so its
+    * distinct shingle set broadcasts; the corpus-side shingle explode
+    * (with multiplicity — no corpus-wide distinct shuffle) joins it
+    * map-side, and the only shuffle in the plan carries HIT rows
+    * (corpus shingles that appear in some benchmark doc) into the
+    * per-(doc, bench) distinct count. A corpus with zero contamination
+    * shuffles zero rows.
+    *
+    * Output: (doc, bench_id, n_overlap, overlap_frac) for pairs at or
+    * above the threshold, overlap_frac = distinct shared shingles /
+    * benchmark doc's distinct shingles.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, minOverlap: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    val bsh = shingleRows(bench, idCol, textCol, shingleK, maxDocChars)
+      .select(col("doc").as("bench_id"), col("shingle"))
+    val bsz = bsh.groupBy("bench_id").agg(count(lit(1)).as("bench_sz"))
+    val csh = shingleRowsAll(corpus, idCol, textCol, shingleK, maxDocChars)
+    csh.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("doc"), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .withColumn("overlap_frac",
+        col("n_overlap") / col("bench_sz").cast("double"))
+      .filter(col("overlap_frac") >= lit(minOverlap))
+      .select(col("doc"), col("bench_id"), col("n_overlap"),
+        col("overlap_frac"))
+  }
+
   /** 64-bit SimHash over distinct words, emitted as a 16-char hex string
     * (portable across engines; no signed-shift pitfalls).
     *

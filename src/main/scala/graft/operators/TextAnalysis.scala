@@ -221,6 +221,39 @@ object TextAnalysis {
     * per-character explode + per-doc sort is the exact plan the rewrite
     * removed.
     */
+  /** PII redaction patterns — deliberately simple, and written in the
+    * regex subset Java and RE2 agree on (char classes, bounded
+    * repetition, no lookaround) so an external engine audits the same
+    * redactions. Emails first (their domains would otherwise feed the
+    * IP pattern), then IPv4, then +prefixed phone numbers.
+    */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  final val PhoneRe = "\\+[0-9][0-9\\-]{6,}[0-9]"
+
+  /** Text with emails/IPv4s/phones replaced by typed tokens — one
+    * codegen'd projection, no shuffle; the training-data scrubbing
+    * pass that runs inline with cleaning at corpus scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-category match counts on the ORIGINAL text (audit metric —
+    * counts are independent per category, so a string that is both an
+    * IP and part of a phone run counts in both).
+    */
+  def piiCounts(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc"),
+      redactPii(col(textCol)).as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"))
+
   private[graft] def winnowFingerprintsWindowed(docs: DataFrame,
       idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc").orderBy("p")

@@ -202,6 +202,45 @@ object DedupeQueries extends QueryPack {
       SELECT lab.node AS doc, lab.cluster, cs.cluster_size
       FROM lab JOIN cs ON cs.cluster = lab.cluster"""))
 
+  /** Benchmark decontamination: treat every 7th document as the held-out
+    * evaluation suite and flag corpus documents sharing ≥ 50% of a
+    * benchmark doc's distinct 5-word shingles. The benchmark shingle
+    * set broadcasts; the corpus never shuffles except for hit rows.
+    * (Calibrated on the synthetic corpus: near-dup partners overlap at
+    * ~0.95+, chance collisions at ≤ ~0.03 — the threshold separates
+    * cleanly.)
+    */
+  val q66 = Q("q66_contamination",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedupe.contamination(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", shingleK = 5, minOverlap = 0.5)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents),
+      csh AS (SELECT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM w WHERE doc_id % 7 <> 0) t),
+      bsh AS (SELECT DISTINCT doc_id AS bench_id,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM w WHERE doc_id % 7 = 0) t),
+      bsz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM bsh GROUP BY 1),
+      hits AS (SELECT c.doc, b.bench_id,
+                 COUNT(DISTINCT c.shingle) AS n_overlap
+               FROM csh c JOIN bsh b USING (shingle) GROUP BY 1, 2)
+      SELECT doc, bench_id, n_overlap,
+             CAST(n_overlap AS DOUBLE) / bench_sz AS overlap_frac
+      FROM hits JOIN bsz USING (bench_id)
+      WHERE CAST(n_overlap AS DOUBLE) / bench_sz >= CAST(0.5 AS DOUBLE)"""))
+
   /** 64-bit SimHash as a 16-hex-char string per document. */
   val q26 = Q("q26_simhash",
     (s, dir) => Dedupe.simhash(Tables(s, dir, "documents"), "doc_id", "text"),
@@ -225,5 +264,5 @@ object DedupeQueries extends QueryPack {
       SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
       FROM hx GROUP BY doc"""))
 
-  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59)
+  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59, q66)
 }

@@ -194,5 +194,44 @@ object TextQueries extends QueryPack {
         CAST(length(text) AS BIGINT) AS n_chars
       FROM documents"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54)
+  /** PII redaction + audit counts. The synthetic corpus carries no PII,
+    * so the query derives a deterministic PII-bearing column (doc-keyed
+    * email / IPv4 / phone appended to the text) IDENTICALLY on both
+    * sides, then redacts and counts — the hash check covers the full
+    * redacted strings, so the Java and RE2 engines must agree on every
+    * match boundary. One codegen'd projection, no shuffle.
+    */
+  val q67 = Q("q67_pii_redact",
+    (s, dir) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".1 call +1-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      TextAnalysis.piiCounts(
+        Tables(s, dir, "documents").withColumn("pii_text", pii),
+        "doc_id", "pii_text")
+    },
+    Some(s"""
+      WITH p AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+            '.1 call +1-555-01' ||
+            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+        FROM documents)
+      SELECT doc_id AS doc,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+          '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
+          '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}'))
+          AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}'))
+          AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}'))
+          AS BIGINT) AS n_phone
+      FROM p"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67)
 }

@@ -354,6 +354,41 @@ class OperatorSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("contamination: overlap fraction exact, below-threshold dropped") {
+    // bench doc 100: "a b c d e f" → 3-shingles {abc,bcd,cde,def} (4)
+    // corpus 1 copies it verbatim (4/4); corpus 2 shares abc,bcd via a
+    // prefix copy (2/4 = 0.5); corpus 3 disjoint; corpus 4 repeats a
+    // shared shingle (multiplicity must not inflate the DISTINCT count)
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u"),
+      (4L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val got = Dedupe.contamination(corpus, bench, "doc_id", "text",
+        shingleK = 3, minOverlap = 0.5)
+      .orderBy("doc").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 100L, 4L, 1.0), (2L, 100L, 2L, 0.5)))
+    // columns come back (bench_id, doc, ...) after the join reorders;
+    // assert by name too
+    val cols = Dedupe.contamination(corpus, bench, "doc_id", "text", 3, 0.5)
+      .columns.toSeq
+    assert(cols == Seq("doc", "bench_id", "n_overlap", "overlap_frac"))
+  }
+
+  test("redactPii: emails, IPv4s, phones replaced and counted") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@sub.example.org or call +1-555-0134 now"),
+      (2L, "servers 10.0.0.1 and 192.168.255.3 are fine, v1.2 is not"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiCounts(df, "doc_id", "text")
+      .orderBy("doc").as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, "write to [EMAIL] or call [PHONE] now", 1L, 0L, 1L)))
+    assert(got(1) == ((2L, "servers [IP] and [IP] are fine, v1.2 is not",
+      0L, 2L, 0L)))
+    assert(got(2) == ((3L, "no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("hash sampling: threshold math, determinism, rate accuracy") {
     import graft.operators.Sampling
     assert(Sampling.thresholdHex(0.5) == "80000000")
