@@ -188,6 +188,47 @@ object Dedupe {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Incremental cross-corpus LSH candidates: near-dup pairs between a
+    * NEW batch and the EXISTING corpus, from their (independently
+    * computed) wide signatures — the nightly-ingest shape, where the
+    * corpus signature table is materialized once and only the new
+    * batch's signatures are computed per run. Dedup-within-batch is
+    * [[minhashCandidates]]'s job; this finds new-vs-corpus collisions
+    * without re-banding or re-scanning corpus text.
+    *
+    * Scale shape: both sides explode to (doc, band, band_sig) keys and
+    * equi-join on the full band signature — work scales with true
+    * collisions, and the (usually small) new-batch side is the natural
+    * broadcast candidate, which AQE converts at runtime. No self-join,
+    * so no doc_a < doc_b filter: output is (new_doc, corpus_doc).
+    */
+  def minhashCandidatesAgainst(newSig: DataFrame, corpusSig: DataFrame,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    def banded(sig: DataFrame, docAs: String, sigAs: String): DataFrame =
+      sig
+        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+        .withColumn("band_sig", array_join(
+          transform(
+            slice(col("sig"), col("band") * rowsPerBand + 1,
+              lit(rowsPerBand)),
+            x => x.cast("string")),
+          "|"))
+        .select(col("doc").as(docAs), col("sig").as(sigAs), col("band"),
+          col("band_sig"))
+    // no persist: unlike the self-join in minhashCandidates, each
+    // side's signature pipeline executes exactly once here
+    banded(newSig, "new_doc", "sig_n")
+      .join(banded(corpusSig, "corpus_doc", "sig_c"),
+        Seq("band", "band_sig"))
+      .groupBy("new_doc", "corpus_doc")
+      .agg(first(col("sig_n")).as("sig_n"), first(col("sig_c")).as("sig_c"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_n"), col("sig_c"), _ === _), x => x))
+          / lit(numHashes.toDouble))
+      .select("new_doc", "corpus_doc", "est_jaccard")
+  }
+
   /** Exact n-gram Jaccard for a given set of candidate pairs
     * (doc_a, doc_b) — the LSH-prefilter + exact-verify scale path:
     * shingle sets are joined only for candidates.

@@ -202,6 +202,50 @@ object DedupeQueries extends QueryPack {
       SELECT lab.node AS doc, lab.cluster, cs.cluster_size
       FROM lab JOIN cs ON cs.cluster = lab.cluster"""))
 
+  /** Incremental dedup: LSH candidates between a NEW batch (every 4th
+    * document — a large nightly ingest) and the EXISTING corpus, from
+    * independently computed signatures. The corpus side is what a real
+    * pipeline materializes once; only the batch re-signs per run, and
+    * no corpus text is re-scanned. Cross-join shape (new_doc,
+    * corpus_doc) — within-batch dedup stays q24's self-join.
+    */
+  val q68 = Q("q68_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val newSig = Dedupe.minhashWide(
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", 3, 16)
+      val corpusSig = Dedupe.minhashWide(
+        docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text", 3, 16)
+      Dedupe.minhashCandidatesAgainst(newSig, corpusSig, 16, 4)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents),
+      sh AS (SELECT DISTINCT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                   FROM w) t),
+      hs AS (SELECT doc, CAST((((((((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1)) AS BIGINT) AS h
+             FROM (SELECT doc, md5(shingle) AS m FROM sh) t),
+      sig AS (SELECT doc, i,
+                MIN(((2 * i + 1) * h + (104729 * i + 12345)) % 2147483647) AS mh
+              FROM hs CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+              GROUP BY doc, i),
+      bs AS (SELECT doc, i // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_sig
+             FROM sig GROUP BY doc, i // 4),
+      cand AS (SELECT DISTINCT a.doc AS new_doc, b.doc AS corpus_doc
+               FROM bs a JOIN bs b ON a.band = b.band
+                AND a.band_sig = b.band_sig
+               WHERE a.doc % 4 = 1 AND b.doc % 4 <> 1)
+      SELECT c.new_doc, c.corpus_doc,
+             CAST(COUNT(*) AS BIGINT) / CAST(16 AS DOUBLE) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.new_doc
+      JOIN sig sb ON sb.doc = c.corpus_doc AND sb.i = sa.i AND sb.mh = sa.mh
+      GROUP BY c.new_doc, c.corpus_doc"""))
+
   /** Benchmark decontamination: treat every 7th document as the held-out
     * evaluation suite and flag corpus documents sharing ≥ 50% of a
     * benchmark doc's distinct 5-word shingles. The benchmark shingle
@@ -264,5 +308,5 @@ object DedupeQueries extends QueryPack {
       SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
       FROM hx GROUP BY doc"""))
 
-  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59, q66)
+  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59, q66, q68)
 }

@@ -376,6 +376,21 @@ class OperatorSpec extends SparkSpec {
     assert(cols == Seq("doc", "bench_id", "n_overlap", "overlap_frac"))
   }
 
+  test("incremental dedup: cross-corpus candidates, no within-side pairs") {
+    // new doc 1 duplicates corpus doc 10; new docs 1,2 are near-dups of
+    // EACH OTHER but within-batch pairs must NOT appear; corpus doc 11
+    // is disjoint
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val newB = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val corpus = Seq((10L, txt), (11L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val newSig = Dedupe.minhashWide(newB, "doc_id", "text", 3, 16)
+    val corpusSig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16)
+    val got = Dedupe.minhashCandidatesAgainst(newSig, corpusSig, 16, 4)
+      .orderBy("new_doc").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.0), (2L, 10L, 1.0)))
+  }
+
   test("redactPii: emails, IPv4s, phones replaced and counted") {
     val df = Seq(
       (1L, "write to jane.doe+x@sub.example.org or call +1-555-0134 now"),
