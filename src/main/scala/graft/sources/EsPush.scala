@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.ingest.Fetcher
+
+/** S12 — the runnable Elasticsearch push loop: POST each `_bulk`
+  * payload file (one well-formed request body per file, produced by
+  * [[EsBulk.writeBulkFiles]]) through a rate gate with retries, parse
+  * per-item failures out of the bulk response, then poll the index
+  * document count until ingestion is visible — the engine-side mirror
+  * of the reference's trigger-and-poll task
+  * (`data_refresh/data_refresh_task_factory.py:183-240`: POST the
+  * ingestion trigger, then wait_for_completion on a status endpoint).
+  *
+  * Only the real cluster stays external; everything up to the socket —
+  * batch shaping, pacing, retry, partial-failure accounting, readiness
+  * polling — is owned and e2e-tested here (same posture as
+  * [[graft.ingest.FetchMain]] on the pull side).
+  */
+object EsPush {
+
+  /** (url, ndjson body) => response; status -1 models transport error. */
+  type PostTransport = (String, String) => Fetcher.Response
+
+  def httpPostTransport(headers: Map[String, String] = Map.empty,
+      timeoutMillis: Long = 30000): PostTransport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+      .build()
+    (url, body) => {
+      try {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMillis))
+          .header("Content-Type", "application/x-ndjson")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        val resp = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        Fetcher.Response(resp.statusCode(), resp.body())
+      } catch {
+        case scala.util.control.NonFatal(_) => Fetcher.Response(-1, "")
+      }
+    }
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Ids of items the bulk response reports failed (status >= 300). */
+  def failedItemIds(bulkResponse: String): Seq[String] = {
+    val root = mapper.readTree(bulkResponse)
+    if (root == null || !root.has("items")) Seq.empty
+    else {
+      val items = root.get("items")
+      (0 until items.size()).flatMap { i =>
+        val op = items.get(i).fields().next().getValue
+        val status = if (op.has("status")) op.get("status").asInt(500) else 500
+        if (status >= 300 && op.has("_id")) Some(op.get("_id").asText)
+        else None
+      }
+    }
+  }
+
+  final case class PushResult(batches: Int, failedBatches: Seq[String],
+      failedIds: Seq[String])
+
+  /** POST every payload file under `dir` as one `_bulk` request.
+    * Transport-level failures retry through the gate (`retries`
+    * remaining, like get_response_json); a batch that exhausts retries
+    * is recorded and the push CONTINUES (skip-error accumulation) —
+    * the caller decides whether the aggregate is fatal. Item-level
+    * failures (per-doc status >= 300 in a 200 response) accumulate as
+    * failedIds — the bulk API's partial-failure contract.
+    */
+  def pushBulkDir(post: PostTransport, gate: Fetcher.DelayGate,
+      esUrl: String, dir: Path, retries: Int = 2): PushResult = {
+    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+    var batches = 0
+    val failedBatches = Seq.newBuilder[String]
+    val failedIds = Seq.newBuilder[String]
+    files.foreach { f =>
+      val raw = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      if (raw.nonEmpty) {
+        // the _bulk wire format requires a trailing newline
+        val body = if (raw.endsWith("\n")) raw else raw + "\n"
+        var remaining = retries
+        var done = false
+        while (!done) {
+          gate.pass()
+          val r = post(s"$esUrl/_bulk", body)
+          if (r.status == 200) {
+            failedIds ++= failedItemIds(r.body)
+            batches += 1
+            done = true
+          } else if (remaining <= 0) {
+            failedBatches += f.getFileName.toString
+            done = true
+          } else remaining -= 1
+        }
+      }
+    }
+    PushResult(batches, failedBatches.result(), failedIds.result())
+  }
+
+  /** Poll `GET <esUrl>/<index>/_count` through the gate until the
+    * index reports at least `expected` documents (the ingestion-
+    * visible readiness condition) or `maxPolls` attempts pass.
+    */
+  def awaitCount(get: Fetcher.Transport, gate: Fetcher.DelayGate,
+      esUrl: String, index: String, expected: Long, maxPolls: Int)
+      : Boolean = {
+    var polls = 0
+    while (polls < maxPolls) {
+      gate.pass()
+      val r = get(s"$esUrl/$index/_count", Map.empty)
+      if (r.status == 200) {
+        try {
+          val n = mapper.readTree(r.body).get("count").asLong(-1)
+          if (n >= expected) return true
+        } catch { case _: Exception => () }
+      }
+      polls += 1
+    }
+    false
+  }
+
+  /** Runnable push: payload dir → _bulk POSTs → readiness poll.
+    * Usage: EsPushMain <esUrl> <bulkDir> <index> <expectedCount>
+    *        [delayMs] [retries]
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: EsPush <esUrl> <bulkDir> <index> <expectedCount> " +
+        "[delayMs] [retries]")
+    val Array(esUrl, bulkDir, index, expected) = args.take(4)
+    val delayMs = if (args.length > 4) args(4).toLong else 500L
+    val retries = if (args.length > 5) args(5).toInt else 2
+    val gate = new Fetcher.DelayGate(delayMs)
+    val res = pushBulkDir(httpPostTransport(), gate, esUrl,
+      java.nio.file.Paths.get(bulkDir), retries)
+    println(s"PUSH batches=${res.batches} " +
+      s"failed_batches=${res.failedBatches.size} " +
+      s"failed_ids=${res.failedIds.size}")
+    val ready = awaitCount(Fetcher.httpTransport(), gate, esUrl, index,
+      expected.toLong, maxPolls = 60)
+    println(s"READY $ready")
+    if (res.failedBatches.nonEmpty || res.failedIds.nonEmpty || !ready)
+      sys.exit(1)
+  }
+}

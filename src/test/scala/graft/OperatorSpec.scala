@@ -48,6 +48,70 @@ class OperatorSpec extends SparkSpec {
     assert(files.length == 2) // maxRecordsPerFile=1 -> one entry each
   }
 
+  test("ES push e2e: _bulk POSTs over a real socket, retry, item errors, count poll") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.ingest.Fetcher
+    import graft.sources.{EsBulk, EsPush}
+    // 5 docs over 3 payload files (maxPerFile=2); doc "bad-4" is
+    // rejected item-level by the stub (status 400 in a 200 response)
+    val recs = Seq(("ok-1", "t1"), ("ok-2", "t2"), ("ok-3", "t3"),
+      ("bad-4", "t4"), ("ok-5", "t5")).toDF("foreign_identifier", "title")
+    val dir = java.nio.file.Files.createTempDirectory("espush")
+    EsBulk.writeBulkFiles(recs, "image", "foreign_identifier",
+      dir.resolve("bulk").toString, maxPerFile = 2)
+
+    val indexed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val body = new String(ex.getRequestBody.readAllBytes, "UTF-8")
+        val resp: (Int, String) =
+          if (path == "/_bulk") {
+            // first bulk POST fails transport-level once: retry must
+            // recover through the real socket
+            if (failedOnce.compareAndSet(false, true)) (503, "busy")
+            else {
+              val ids = body.split("\n").filter(_.contains("\"_index\""))
+                .map(l => l.split("\"_id\": \"")(1).takeWhile(_ != '"'))
+              val items = ids.map { id =>
+                val st = if (id.startsWith("bad")) 400 else 201
+                if (st == 201) indexed.add(id)
+                s"""{"index": {"_id": "$id", "status": $st}}"""
+              }.mkString(",")
+              (200, s"""{"errors": true, "items": [$items]}""")
+            }
+          } else if (path == "/image/_count")
+            (200, s"""{"count": ${indexed.size}}""")
+          else (404, "{}")
+        val bytes = resp._2.getBytes("UTF-8")
+        ex.sendResponseHeaders(resp._1, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val es = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val gate = new Fetcher.DelayGate(5)
+      val res = EsPush.pushBulkDir(EsPush.httpPostTransport(), gate, es,
+        dir.resolve("bulk"), retries = 2)
+      // one batch per non-empty part file (count depends on input
+      // partitioning; the cap guarantees <= 2 entries per file)
+      val nFiles = dir.resolve("bulk").toFile.listFiles()
+        .count(f => f.getName.startsWith("part-") && f.length > 0)
+      assert(res.batches == nFiles && nFiles >= 3)
+      assert(res.failedBatches.isEmpty)          // the 503 was retried
+      assert(res.failedIds == Seq("bad-4"))      // item-level failure
+      assert(EsPush.awaitCount(Fetcher.httpTransport(), gate, es,
+        "image", expected = 4, maxPolls = 3))
+      assert(!EsPush.awaitCount(Fetcher.httpTransport(), gate, es,
+        "image", expected = 5, maxPolls = 2))    // bad-4 never lands
+    } finally server.stop(0)
+  }
+
   test("HLL sketches: bounded error, exact merge identity") {
     import graft.operators.Sketches
     val e = Tables(spark, sfDir, "events")
