@@ -81,6 +81,56 @@ class PropertySpec extends SparkSpec {
     assert(viaExpr == viaExplode)
   }
 
+  test("incremental candidates == self-join candidates restricted to cross pairs") {
+    // splitting a corpus into batch/corpus and banding each side
+    // independently must find exactly the self-join's candidate pairs
+    // that cross the split (same signatures, same bands — the split
+    // only removes within-side pairs), with identical est_jaccard
+    import graft.operators.Dedupe
+    val word: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6"),
+      1 -> Gen.oneOf("x", "y"))
+    val docGen: Gen[String] = Gen.choose(3, 12)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    // tiny vocabulary + short docs → plenty of band collisions
+    val docs = sample(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val newB = docs.filter(col("doc_id") % 3 === 0)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigAll = Dedupe.minhashWide(docs, "doc_id", "text", 2, 8)
+    val cross = Dedupe.minhashCandidatesAgainst(
+        Dedupe.minhashWide(newB, "doc_id", "text", 2, 8),
+        Dedupe.minhashWide(rest, "doc_id", "text", 2, 8), 8, 4)
+      .as[(Long, Long, Double)].collect().toSeq
+      .map { case (n, c, j) => (math.min(n, c), math.max(n, c), j) }.sorted
+    val self = Dedupe.minhashCandidates(sigAll, 8, 4)
+      .as[(Long, Long, Double)].collect().toSeq
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }.sorted
+    assert(cross.nonEmpty && cross == self)
+    spark.catalog.clearCache()
+  }
+
+  test("contamination of a corpus against itself is total") {
+    // every document overlaps itself on 100% of its shingles, and the
+    // fraction against any other bench doc is in (0, 1]; docs shorter
+    // than k words have no shingles and must not appear at all
+    import graft.operators.Dedupe
+    val word: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "f", "g")
+    val docGen: Gen[String] = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = sample(docGen, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedupe.contamination(docs, docs, "doc_id", "text",
+      shingleK = 3, minOverlap = 0.0)
+    val self = got.filter(col("doc") === col("bench_id"))
+    val withShingles = docs.filter(
+      size(split(col("text"), " ")) >= 3).count()
+    assert(self.count() == withShingles)
+    assert(self.filter(col("overlap_frac") =!= 1.0).count() == 0)
+    assert(got.filter(col("overlap_frac") <= 0.0 ||
+      col("overlap_frac") > 1.0).count() == 0)
+  }
+
   test("PG array literal round-trips 300 generated arrays") {
     val arrGen = Gen.listOfN(3, nastyString.map(_.take(20)))
       .map(_.toSeq)
