@@ -160,6 +160,30 @@ class EnrichmentSpec extends SparkSpec {
     assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
   }
 
+  test("SQL surface: registered functions match the Column API") {
+    GraftExtensions.register(spark)
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    docs.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, simhash64(text) AS sh, minhash_sig(text, 3, 8) AS ms,
+             winnow_fingerprints(text, 5, 4) AS wf,
+             dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+      FROM sql_docs""")
+    val viaApi = graft.operators.Dedupe.simhash(docs, "doc_id", "text")
+      .join(graft.operators.Dedupe.minhashWide(docs, "doc_id", "text", 3, 8)
+        .withColumnRenamed("sig", "ms_api"), "doc")
+    val joined = viaSql.join(viaApi, viaSql("doc_id") === viaApi("doc"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("sh") =!= col("simhash") ||
+      col("ms") =!= col("ms_api")).count() == 0)
+    assert(viaSql.filter(col("dp") =!= 11.0).count() == 0)
+    // constant-shape params are enforced
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(text, doc_id, 8) FROM sql_docs")
+        .collect()
+    }
+  }
+
   test("license map resolves known CC paths and nulls unknowns") {
     val df = Seq(
       (1L, "https://creativecommons.org/licenses/by/4.0/"),
