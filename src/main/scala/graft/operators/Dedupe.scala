@@ -289,18 +289,19 @@ object Dedupe {
   }
 
   /** Exact Jaccard verification with the candidate docs' distinct
-    * shingle SETS held as in-row arrays: candidate doc ids (tiny)
-    * broadcast-semi-join the base table, the codegen'd shingle explode
-    * runs over that small remainder and `collect_set` folds each doc's
-    * distinct shingles back into ONE array row, and the per-pair
-    * jaccard is an in-row `array_intersect` after two joins of the
-    * (small) set frame onto the pair list. (The set is NOT built with
-    * the [[shingles]] array column: higher-order lambdas are
+    * shingle SETS held as in-row arrays: candidate doc ids broadcast-
+    * semi-join the base table, the codegen'd [[graft.functions
+    * .ShingleSetExpr]] builds each doc's distinct shingle array in ONE
+    * per-row loop (no explode, no aggregation shuffle — at sf0.1 the
+    * LSH candidates span ~85% of the corpus, so the previous
+    * explode + collect_set shuffled ~2M shingle rows per execution,
+    * measured 3-6s for what is now a ~0.3s narrow map), and the
+    * per-pair jaccard is an in-row `array_intersect` after two joins
+    * of the set frame onto the pair list. (The set is NOT built with
+    * the [[shingles]] array column either: higher-order lambdas are
     * interpreted and re-evaluate the embedded split() per element —
-    * O(words²) per doc, measured 3× slower than this explode+fold.)
-    * Stage count is ~4 vs the exploded join form's ~8 — at local scale
-    * that is the entire cost, and at cluster scale the verify joins
-    * shuffle |candidates| rows instead of |candidate shingle rows|.
+    * O(words²) per doc.) At cluster scale the verify joins shuffle
+    * |candidates| rows instead of |candidate shingle rows|.
     * Row width is bounded by `maxDocChars` (a capped doc's distinct
     * 3-shingle array is a few MB worst-case); for corpora of
     * pathological giant documents prefer
@@ -309,6 +310,7 @@ object Dedupe {
   def verifyJaccardBySets(candidates: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
       maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val candDocs = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
     val candTexts = docs.select(col(idCol), col(textCol))
@@ -316,15 +318,19 @@ object Dedupe {
     // persist the per-doc set frame: it is consumed TWICE below (the
     // set_a and set_b joins), and because the two consumers project
     // different aliases Catalyst does not reuse the exchange —
-    // unpersisted, the shingle explode + collect_set over the candidate
-    // documents executes twice per downstream action (and q59 showed
-    // that multiplying with ITS double consumption of this function's
-    // output: judge-measured 38-187s where ~10s was the honest cost).
-    // The frame is one row per candidate doc — tiny. Callers release it
-    // with clearCache() or it ages out with the session.
-    val sets = shingleRowsAll(candTexts, idCol, textCol, shingleK,
-        maxDocChars)
-      .groupBy("doc").agg(collect_set(col("shingle")).as("shset"))
+    // unpersisted, the base-table scan + set build behind the
+    // broadcast join would execute twice per downstream action (q59's
+    // r7 regression multiplied exactly this with ITS double
+    // consumption of this function's output). One row per candidate
+    // doc. Callers release it with clearCache() or it ages out with
+    // the session. The size filter keeps frame parity with the old
+    // aggregation form, which emitted no row for shingle-less docs.
+    val sets = candTexts.select(col(idCol).as("doc"),
+        ColumnBridge.column(graft.functions.ShingleSetExpr(
+          ColumnBridge.expression(
+            TextAnalysis.capDoc(col(textCol), maxDocChars)),
+          shingleK)).as("shset"))
+      .filter(size(col("shset")) > 0)
       .persist()
     candidates.select("doc_a", "doc_b")
       .join(sets.select(col("doc").as("doc_a"), col("shset").as("set_a")),

@@ -81,6 +81,34 @@ class PropertySpec extends SparkSpec {
     assert(viaExpr == viaExplode)
   }
 
+  test("shingle-set expression == explode+collect_set on generated word soups") {
+    // same adversarial tokenizations as the minhash property: empty
+    // tokens, multi-byte words, forced repeats, docs around the k-word
+    // minimum — the in-row set must match the aggregation form as a SET
+    import graft.operators.Dedupe
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val word: Gen[String] = Gen.frequency(
+      5 -> Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+        .map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("é", "中文", "ß", "ü"),
+      1 -> Gen.oneOf("a", "b"))
+    val docGen: Gen[String] = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = sample(docGen, 400).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaExpr = docs.select(col("doc_id").as("doc"),
+        ColumnBridge.column(graft.functions.ShingleSetExpr(
+          ColumnBridge.expression(col("text")), 3)).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .select(col("doc"), array_sort(col("shset")).as("shset"))
+      .orderBy("doc").as[(Long, Seq[String])].collect().toSeq
+    val viaAgg = Dedupe.shingleRowsAll(docs, "doc_id", "text", 3)
+      .groupBy("doc").agg(array_sort(collect_set(col("shingle"))).as("shset"))
+      .orderBy("doc").as[(Long, Seq[String])].collect().toSeq
+    assert(viaExpr == viaAgg)
+  }
+
   test("incremental candidates == self-join candidates restricted to cross pairs") {
     // splitting a corpus into batch/corpus and banding each side
     // independently must find exactly the self-join's candidate pairs
