@@ -103,6 +103,63 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  case class BandedDoc(band: Int, band_sig: String, doc: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming near-dup candidate discovery — the LSH banding pipeline
+    * as a LIVE stream: each arriving document signs itself via the
+    * stateless codegen'd MinHashSigExpr map (no shuffle), its banded
+    * rows group by (band, band_signature), and per-bucket state holds
+    * the doc ids seen so far — a new arrival emits one candidate pair
+    * against every doc already in its bucket, including docs from
+    * EARLIER micro-batches (the cross-batch case batch dedup re-scans
+    * for). Pairs may repeat when two docs collide in several bands;
+    * consumers take the distinct set (asserted equal to the batch
+    * [[graft.operators.Dedupe.minhashCandidates]] pair set in spec).
+    *
+    * Scale shape: high-entropy band signatures keep buckets tiny, so
+    * per-key state is a short id list; production deployments bound
+    * total state by the reingestion horizon (timeout-based eviction —
+    * a dup arriving beyond it re-emits and the downstream idempotent
+    * merge absorbs it, the same contract as [[dedupWithinHorizon]]).
+    */
+  def streamingBandCandidates(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int, rowsPerBand: Int)
+      : Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nBands = numHashes / rowsPerBand
+    val banded = docs.select(col(idCol).cast("long").as("doc"),
+        ColumnBridge.column(graft.functions.MinHashSigExpr(
+          ColumnBridge.expression(
+            graft.operators.TextAnalysis.capDoc(col(textCol))),
+          shingleK, numHashes)).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")),
+        "|"))
+      .select(col("band"), col("band_sig"), col("doc")).as[BandedDoc]
+    banded.groupByKey(b => (b.band, b.band_sig))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandedDoc],
+            state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val fresh = rows.map(_.doc).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val out = for {
+            (d, i) <- fresh.zipWithIndex
+            prev <- seen ++ fresh.take(i)
+          } yield CandPair(math.min(prev, d), math.max(prev, d))
+          state.update(seen ++ fresh)
+          out.distinct.iterator
+      }
+  }
+
   /** ST7 as a live stream: the popularity cache (per-key running max)
     * maintained incrementally — each micro-batch's partial maxima merge
     * into the versioned table under `greatest(new, old)`, committed

@@ -110,4 +110,45 @@ class WatermarkSpec extends SparkSpec {
       .as[Long].collect().toSeq.sorted
     assert(ids == Seq(7L, 8L, 9L)) // each key once, first wins
   }
+
+  test("streaming LSH candidates equal the batch pair set across batches") {
+    import graft.operators.Dedupe
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("lsh").toString
+    val dupText = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val batch1 = Seq((1L, dupText), (2L, dupText),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8"))
+    val batch2 = Seq((4L, dupText),                 // cross-batch dup of 1,2
+      (5L, "q1 q2 q3 q4 q5 q6 q7 q8"))
+    batch1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = EventStreams.streamingBandCandidates(
+      spark.readStream.schema(schema).parquet(landing),
+      "doc_id", "text", shingleK = 3, numHashes = 16, rowsPerBand = 4)
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("lsh_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lshchk").toString)
+      .start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("lsh_out").select("doc_a", "doc_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(afterB1 == Set((1L, 2L)))                // in-batch pair only
+    batch2.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lsh_out").select("doc_a", "doc_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    // the state found doc 4's dups from the EARLIER batch
+    val batchPairs = Dedupe.minhashCandidates(
+        Dedupe.minhashWide((batch1 ++ batch2).toDF("doc_id", "text"),
+          "doc_id", "text", 3, 16), 16, 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs &&
+      streamed == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    spark.catalog.clearCache()
+  }
 }
