@@ -159,12 +159,17 @@ object Fetcher {
     *   - a batch whose retries exhaust is recorded in `skipped` and the
     *     loop CONTINUES with the next params (skip-error accumulation,
     *     ST9) — any other exception propagates after the landing file
-    *     is flushed (the reference commits before re-raising).
+    *     is flushed (the reference commits before re-raising);
+    *   - `maxConsecutiveSkips` bounds a DEAD endpoint: page-counter
+    *     paginators never exhaust on their own, so without this bound
+    *     an unreachable server turns the skip path into an infinite
+    *     loop. A successful batch resets the window.
     */
   def ingestRecords(transport: Transport, gate: DelayGate,
       endpoint: String, nextParams: Option[String] => Option[Map[String, String]],
       countRecords: String => Long, landingFile: Path,
-      retries: Int = 2, limit: Long = Long.MaxValue): IngestResult = {
+      retries: Int = 2, limit: Long = Long.MaxValue,
+      maxConsecutiveSkips: Int = 3): IngestResult = {
     Files.createDirectories(landingFile.getParent)
     val out = Files.newBufferedWriter(landingFile, StandardCharsets.UTF_8)
     var requests = 0
@@ -173,6 +178,7 @@ object Fetcher {
     try {
       var prev: Option[String] = None
       var continue = true
+      var consecutiveSkips = 0
       while (continue) {
         nextParams(prev) match {
           case None => continue = false
@@ -181,6 +187,7 @@ object Fetcher {
               val batch = getResponseJson(transport, gate, endpoint,
                 params, retries)
               requests += 1
+              consecutiveSkips = 0
               val n = countRecords(batch)
               if (n <= 0) continue = false
               else {
@@ -193,9 +200,14 @@ object Fetcher {
               case e: RetriesExceeded =>
                 // skip-error accumulation: record and CONTINUE — the
                 // paginator sees the previous good batch again, so
-                // page-counter providers keep walking past the hole
+                // page-counter providers keep walking past the hole —
+                // until the consecutive-skip bound says the endpoint
+                // is dead, not flaky
                 requests += 1
                 skipped += SkippedBatch(params, e.getMessage)
+                consecutiveSkips += 1
+                if (consecutiveSkips >= maxConsecutiveSkips)
+                  continue = false
             }
         }
       }

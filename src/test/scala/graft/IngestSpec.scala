@@ -233,6 +233,34 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("ingest loop stops after maxConsecutiveSkips on a dead endpoint") {
+    import graft.ingest.Fetcher
+    // page-counter paginators never exhaust on their own — a server
+    // that fails every request must not loop forever
+    val dead: Fetcher.Transport = (_, _) => Fetcher.Response(500, "")
+    val file = java.nio.file.Files.createTempDirectory("deadfetch")
+      .resolve("landing.jsonl")
+    val res = Fetcher.ingestRecords(dead, new Fetcher.DelayGate(0),
+      "http://unreachable", Fetcher.pageNumberParams(Map.empty),
+      Fetcher.flickrBatchCount, file, retries = 1,
+      maxConsecutiveSkips = 3)
+    assert(res.skipped.size == 3 && res.records == 0)
+    // a flaky-then-healthy run resets the window: skips don't accumulate
+    var calls = 0
+    val flaky: Fetcher.Transport = (_, params) => {
+      calls += 1
+      if (params("page") == "2" && calls < 6)
+        Fetcher.Response(500, "")
+      else Fetcher.Response(200,
+        s"""{"page":${params("page")},"pages":3,"photo":[{"id":"${params("page")}"}]}""")
+    }
+    val res2 = Fetcher.ingestRecords(flaky, new Fetcher.DelayGate(0),
+      "http://flaky", Fetcher.pageNumberParams(Map.empty),
+      Fetcher.flickrBatchCount, file, retries = 5,
+      maxConsecutiveSkips = 3)
+    assert(res2.records == 3 && res2.skipped.isEmpty)
+  }
+
   test("fetch loop e2e: plan → GET over a real socket → landing JSONL → extract") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import graft.ingest.{FetchMain, Fetcher}
