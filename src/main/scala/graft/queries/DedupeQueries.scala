@@ -154,9 +154,12 @@ object DedupeQueries extends QueryPack {
         .persist()
       val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
         distinctEdges = true)
-      val sizes = labels.groupBy("label")
-        .agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
+      // cluster size as a window over the label partition: ONE exchange
+      // and one read of the checkpointed labels, where the former
+      // groupBy + join read it twice through two shuffles
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
         .select(col("node").as("doc"), col("label").as("cluster"),
           col("cluster_size"))
     },
