@@ -465,6 +465,58 @@ object Dedupe {
     labels
   }
 
+  /** SimHash near-duplicate pairs: documents whose 64-bit simhashes
+    * differ in at most `maxHamming` bits — the classic web-scale
+    * near-dup detector (one 64-bit fingerprint per doc, constant
+    * verify cost per pair, where MinHash needs a signature array and
+    * set intersections).
+    *
+    * Banding is the pigeonhole argument: split the 64 bits into 4
+    * 16-bit chunks — two hashes within hamming distance 3 must agree
+    * EXACTLY on at least one chunk — so candidates come from four
+    * chunk-value equi-joins, never |docs|². The banded frame carries
+    * (doc, 4 small ints): no payload problem at any scale. Exact
+    * verify is in-row: sum of bit_count(xor) over the chunks.
+    * Requires `maxHamming` < 4 bands (pigeonhole soundness) — for
+    * looser thresholds add bands.
+    *
+    * Output: (doc_a < doc_b, hamming), hamming <= maxHamming.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    require(maxHamming < 4,
+      s"4 x 16-bit bands are only sound for maxHamming < 4, got $maxHamming")
+    val chunks = (0 until 4).map(i =>
+      conv(substring(col("simhash"), i * 4 + 1, 4), 16, 10)
+        .cast("int").as(s"c$i"))
+    // persist: the banded self-join consumes this frame on both sides
+    // (differently aliased — no exchange reuse), and unpersisted the
+    // upstream simhash scan would run twice. One row per doc, 4 ints.
+    val t = simhash(docs, idCol, textCol, maxDocChars)
+      .select(col("doc") +: chunks: _*)
+      .persist()
+    def side(suffix: String) = t
+      .withColumn("bk", explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), col(s"c$i").as("bv"))): _*)))
+      .select(Seq(col("doc").as(s"doc$suffix"),
+        col("bk.band").as("band"), col("bk.bv").as("bv")) ++
+        (0 until 4).map(i => col(s"c$i").as(s"c$i$suffix")): _*)
+    val a = side("_a")
+    val b = side("_b")
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"c${i}_a").bitwiseXOR(col(s"c${i}_b"))))
+      .reduce(_ + _).cast("long")
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select((Seq(col("doc_a"), col("doc_b")) ++
+        (0 until 4).flatMap(i => Seq(col(s"c${i}_a"), col(s"c${i}_b")))): _*)
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minOverlap` of a benchmark document's distinct k-word shingles —
     * the training-data hygiene pass that keeps evaluation suites out

@@ -311,5 +311,71 @@ object DedupeQueries extends QueryPack {
       SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
       FROM hx GROUP BY doc"""))
 
-  override def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q59, q66, q68)
+  /** 4-char hex substring of `col` starting at 1-based `start`, parsed
+    * to an integer — DuckDB-side chunk parser for the simhash bands.
+    */
+  private def duckHex4(col: String, start: Int): String =
+    (0 until 4).map(j =>
+      s"(strpos('0123456789abcdef', substr($col, ${start + j}, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+
+  /** The q26 simhash derivation as a reusable oracle CTE chain
+    * (through `sh(doc, simhash)`).
+    */
+  private val simhashCte = """
+      WITH wd AS (SELECT DISTINCT doc_id AS doc,
+                    unnest(string_split(substr(text, 1, 1048576), ' ')) AS word
+                  FROM documents),
+      h AS (SELECT doc, md5(word) AS h FROM wd),
+      bits AS (SELECT doc, j,
+                 CASE WHEN SUM(2 * ((( strpos('0123456789abcdef',
+                        substr(h, (j // 4) + 1, 1)) - 1) >> (3 - (j % 4))) & 1) - 1) > 0
+                      THEN 1 ELSE 0 END AS bit
+               FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+               GROUP BY doc, j),
+      nib AS (SELECT doc, j // 4 AS nib_idx,
+                SUM(bit << (3 - (j % 4))) AS nv
+              FROM bits GROUP BY doc, j // 4),
+      hx AS (SELECT doc, nib_idx,
+               substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1) AS ch
+             FROM nib),
+      sh AS (SELECT doc, string_agg(ch, '' ORDER BY nib_idx) AS simhash
+             FROM hx GROUP BY doc)"""
+
+  /** SimHash near-dup pairs: 64-bit fingerprints split into 4 16-bit
+    * chunks; pigeonhole banding (hamming ≤ 3 forces ≥ 1 identical
+    * chunk) generates candidates from four chunk equi-joins, exact
+    * hamming verified in-row via bit_count(xor) over the chunks.
+    */
+  val q69 = Q("q69_simhash_neardup",
+    (s, dir) => Dedupe.simhashNearDupPairs(
+      Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
+    Some(s"""
+      $simhashCte,
+      ch AS (SELECT doc,
+               ${duckHex4("simhash", 1)} AS c0,
+               ${duckHex4("simhash", 5)} AS c1,
+               ${duckHex4("simhash", 9)} AS c2,
+               ${duckHex4("simhash", 13)} AS c3
+             FROM sh),
+      banded AS (SELECT doc, c0, c1, c2, c3, band,
+                   CASE band WHEN 0 THEN c0 WHEN 1 THEN c1
+                             WHEN 2 THEN c2 ELSE c3 END AS bv
+                 FROM ch CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+      cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc)
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1)) +
+                  bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3))
+               AS BIGINT) AS hamming
+      FROM cand c
+      JOIN ch ca ON ca.doc = c.doc_a
+      JOIN ch cb ON cb.doc = c.doc_b
+      WHERE CAST(bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1)) +
+                 bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3))
+              AS BIGINT) <= 3"""))
+
+  override def all: Seq[Q] =
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69)
 }

@@ -440,6 +440,24 @@ class OperatorSpec extends SparkSpec {
     assert(cols == Seq("doc", "bench_id", "n_overlap", "overlap_frac"))
   }
 
+  test("simhash near-dup: identical docs at hamming 0, pigeonhole bound enforced") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt), (2L, txt),                          // identical: hamming 0
+      (3L, "one two three four five six seven"),     // unrelated
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")  // 1 word off
+    ).toDF("doc_id", "text")
+    val got = Dedupe.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got.contains((1L, 2L, 0L)))
+    assert(got.forall(_._3 <= 3))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    intercept[IllegalArgumentException] {
+      Dedupe.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup: cross-corpus candidates, no within-side pairs") {
     // new doc 1 duplicates corpus doc 10; new docs 1,2 are near-dups of
     // EACH OTHER but within-batch pairs must NOT appear; corpus doc 11
