@@ -84,4 +84,34 @@ object TemporalJoins {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pairs every left interval [llo, lhi) with
+    * every right interval [rlo, rhi) that overlaps it (session spans ×
+    * incident windows, leases × maintenance periods).
+    *
+    * Plan shape: the same bin rewrite as [[pointInIntervals]], on both
+    * sides — each interval replicates into its spanned fixed-width
+    * bins, the bins equi-join, and the exact overlap predicate
+    * (`llo < rhi && rlo < lhi`) re-filters. An overlapping pair shares
+    * at least one bin (their intersection lies in some bin both sides
+    * replicated into), so the rewrite finds every pair — but a pair
+    * spanning several shared bins collides once per bin, so the
+    * bin-local candidates dedup on the join before the caller sees
+    * them. Work scales with bin collisions; the nested-loop
+    * theta-join this replaces is |L|×|R| at any bin width.
+    */
+  def intervalOverlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bin",
+      explode(sequence(expr(s"$lloCol div ${binWidth}L"),
+        expr(s"($lhiCol - 1) div ${binWidth}L"))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(expr(s"$rloCol div ${binWidth}L"),
+        expr(s"($rhiCol - 1) div ${binWidth}L"))))
+    lb.join(rb, "__bin")
+      .filter(col(lloCol) < col(rhiCol) && col(rloCol) < col(lhiCol))
+      .drop("__bin")
+      .distinct()
+  }
 }

@@ -130,5 +130,45 @@ object EventQueries extends QueryPack {
       SELECT e.event_id, w.window_id
       FROM e JOIN w ON e.us >= w.lo_us AND e.us < w.hi_us"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64)
+  /** Interval-overlap join: per-(user, day) activity SPANS (first→last
+    * event of each user within each UTC day — short, partial-day
+    * intervals) against synthetic maintenance windows — every
+    * (span, window) pair that overlaps. Both sides bin-replicate and
+    * equi-join on the bin; the exact overlap predicate re-filters
+    * bin-local candidates; never a nested loop.
+    */
+  val q70 = Q("q70_interval_overlap",
+    (s, dir) => {
+      val baseUs = 1704067200000000L            // 2024-01-01 00:00:00 UTC
+      val stepUs = 43200000000L                 // 12 h
+      val lenUs = 7200000000L                   // 2 h
+      val dayUs = 86400000000L
+      val windows = s.range(0, 28).select(
+        col("id").as("window_id"),
+        (lit(baseUs) + col("id") * stepUs).as("wlo_us"),
+        (lit(baseUs) + col("id") * stepUs + lenUs).as("whi_us"))
+      val spans = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), expr(s"us div ${dayUs}L").as("day"))
+        .agg(min(col("us")).as("slo_us"),
+          (max(col("us")) + 1).as("shi_us"))    // [lo, hi)
+      // 6 h bins: day-bounded spans replicate ≤ 5×, 2 h windows 1-2×
+      graft.operators.TemporalJoins.intervalOverlapJoin(
+          spans, "slo_us", "shi_us", windows, "wlo_us", "whi_us",
+          binWidth = 21600000000L)
+        .select("user_id", "day", "window_id")
+    },
+    Some("""
+      WITH w AS (SELECT k AS window_id,
+          1704067200000000 + k * 43200000000 AS wlo_us,
+          1704067200000000 + k * 43200000000 + 7200000000 AS whi_us
+        FROM (SELECT unnest(range(28)) AS k)),
+      sp AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               MIN(epoch_us(ts)) AS slo_us,
+               MAX(epoch_us(ts)) + 1 AS shi_us
+             FROM events GROUP BY user_id, epoch_us(ts) // 86400000000)
+      SELECT sp.user_id, sp.day, w.window_id
+      FROM sp JOIN w ON sp.slo_us < w.whi_us AND w.wlo_us < sp.shi_us"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70)
 }

@@ -383,6 +383,20 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (2L, 10L), (4L, 11L)))
   }
 
+  test("interval overlap join: boundaries exact, multi-bin pairs dedup") {
+    import graft.operators.TemporalJoins
+    val l = Seq((1L, 100L, 200L),   // meets r10 [150,250): overlap
+      (2L, 200L, 300L),             // touches r10 hi at 250 → overlap
+      (3L, 250L, 260L),             // starts AT r10's hi → no overlap
+      (4L, 0L, 1000L)               // spans many bins: one output row
+    ).toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 150L, 250L)).toDF("rid", "rlo", "rhi")
+    val got = TemporalJoins.intervalOverlapJoin(l, "llo", "lhi",
+        r, "rlo", "rhi", binWidth = 50L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 10L), (4L, 10L)))
+  }
+
   test("SRP-LSH: identical vectors always collide; orthogonal ones verify out") {
     import graft.operators.Similarity
     val signs = Similarity.srpSigns(16, 4)
