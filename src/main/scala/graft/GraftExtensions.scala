@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.functions.{DotProductExpr, HtmlToTextExpr, MinHashSigExpr,
-  PercentileDiscAgg, SanitizeStringExpr, SimHashExpr,
+  PercentileDiscAgg, SanitizeStringExpr, ShingleSetExpr, SimHashExpr,
   WinnowFingerprintsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WinnowFingerprintsExpr(exprs.head,
         GraftExtensions.litInt(exprs(1), "winnow_fingerprints k"),
         GraftExtensions.litInt(exprs(2), "winnow_fingerprints w"))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
+      exprs => ShingleSetExpr(exprs.head,
+        GraftExtensions.litInt(exprs(1), "shingle_set k"))))
     e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }
@@ -100,6 +105,9 @@ object GraftExtensions {
       exprs => WinnowFingerprintsExpr(exprs.head,
         litInt(exprs(1), "winnow_fingerprints k"),
         litInt(exprs(2), "winnow_fingerprints w")), "built-in")
+    reg.createOrReplaceTempFunction("shingle_set",
+      exprs => ShingleSetExpr(exprs.head,
+        litInt(exprs(1), "shingle_set k")), "built-in")
     PercentileDiscAgg.register(spark)
   }
 }

@@ -167,6 +167,7 @@ class EnrichmentSpec extends SparkSpec {
     val viaSql = spark.sql("""
       SELECT doc_id, simhash64(text) AS sh, minhash_sig(text, 3, 8) AS ms,
              winnow_fingerprints(text, 5, 4) AS wf,
+             size(shingle_set(text, 3)) AS nsh,
              dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
       FROM sql_docs""")
     val viaApi = graft.operators.Dedupe.simhash(docs, "doc_id", "text")
@@ -177,6 +178,7 @@ class EnrichmentSpec extends SparkSpec {
     assert(joined.filter(col("sh") =!= col("simhash") ||
       col("ms") =!= col("ms_api")).count() == 0)
     assert(viaSql.filter(col("dp") =!= 11.0).count() == 0)
+    assert(viaSql.filter(col("nsh") <= 0).count() == 0)
     // constant-shape params are enforced
     intercept[Exception] {
       spark.sql("SELECT minhash_sig(text, doc_id, 8) FROM sql_docs")
