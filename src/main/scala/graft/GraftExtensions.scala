@@ -25,42 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PercentileDiscAgg].getName,
         "percentile_disc_exact"),
       PercentileDiscAgg.builder))
-    e.injectFunction((
-      FunctionIdentifier("sanitize_string"),
-      new ExpressionInfo(classOf[SanitizeStringExpr].getName,
-        "sanitize_string"),
-      exprs => SanitizeStringExpr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("html_to_text"),
-      new ExpressionInfo(classOf[HtmlToTextExpr].getName,
-        "html_to_text"),
-      exprs => HtmlToTextExpr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      exprs => DotProductExpr(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
-      exprs => SimHashExpr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      exprs => MinHashSigExpr(exprs.head,
-        GraftExtensions.litInt(exprs(1), "minhash_sig shingleK"),
-        GraftExtensions.litInt(exprs(2), "minhash_sig numHashes"))))
-    e.injectFunction((
-      FunctionIdentifier("winnow_fingerprints"),
-      new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,
-        "winnow_fingerprints"),
-      exprs => WinnowFingerprintsExpr(exprs.head,
-        GraftExtensions.litInt(exprs(1), "winnow_fingerprints k"),
-        GraftExtensions.litInt(exprs(2), "winnow_fingerprints w"))))
-    e.injectFunction((
-      FunctionIdentifier("shingle_set"),
-      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
-      exprs => ShingleSetExpr(exprs.head,
-        GraftExtensions.litInt(exprs(1), "shingle_set k"))))
+    GraftExtensions.scalarFns.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        builder))
+    }
     e.injectOptimizerRule(_ => graft.plans.CollapseSanitize)
   }
 }
@@ -83,31 +52,53 @@ object GraftExtensions {
           s"$what must be an integer literal, got $other")
     }
 
+  /** Wrap a builder with an argument-count check so a wrong-arity SQL
+    * call fails with the expected signature instead of an
+    * IndexOutOfBoundsException from exprs(n).
+    */
+  private def arity(n: Int, sig: String)(f: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$sig expects $n argument(s), got ${exprs.length}")
+    f(exprs)
+  }
+
+  /** (name, defining class, arity-checked builder) for every scalar
+    * SQL-surface function — the ONE table both registration paths
+    * (session-build extensions and live-session register) share.
+    */
+  private val scalarFns: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      ("sanitize_string", classOf[SanitizeStringExpr],
+        arity(1, "sanitize_string(text)")(e => SanitizeStringExpr(e.head))),
+      ("html_to_text", classOf[HtmlToTextExpr],
+        arity(1, "html_to_text(html)")(e => HtmlToTextExpr(e.head))),
+      ("dot_product", classOf[DotProductExpr],
+        arity(2, "dot_product(a, b)")(e => DotProductExpr(e.head, e(1)))),
+      ("simhash64", classOf[SimHashExpr],
+        arity(1, "simhash64(text)")(e => SimHashExpr(e.head))),
+      ("minhash_sig", classOf[MinHashSigExpr],
+        arity(3, "minhash_sig(text, shingleK, numHashes)")(e =>
+          MinHashSigExpr(e.head, litInt(e(1), "minhash_sig shingleK"),
+            litInt(e(2), "minhash_sig numHashes")))),
+      ("winnow_fingerprints", classOf[WinnowFingerprintsExpr],
+        arity(3, "winnow_fingerprints(text, k, w)")(e =>
+          WinnowFingerprintsExpr(e.head, litInt(e(1), "winnow_fingerprints k"),
+            litInt(e(2), "winnow_fingerprints w")))),
+      ("shingle_set", classOf[ShingleSetExpr],
+        arity(2, "shingle_set(text, k)")(e =>
+          ShingleSetExpr(e.head, litInt(e(1), "shingle_set k")))))
+
   /** Register every SQL-surface function on an existing session (the
     * extensions path requires registration at session BUILD time;
     * tests and notebooks attach to a live session instead).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("sanitize_string",
-      exprs => SanitizeStringExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("html_to_text",
-      exprs => HtmlToTextExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHashExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSigExpr(exprs.head,
-        litInt(exprs(1), "minhash_sig shingleK"),
-        litInt(exprs(2), "minhash_sig numHashes")), "built-in")
-    reg.createOrReplaceTempFunction("winnow_fingerprints",
-      exprs => WinnowFingerprintsExpr(exprs.head,
-        litInt(exprs(1), "winnow_fingerprints k"),
-        litInt(exprs(2), "winnow_fingerprints w")), "built-in")
-    reg.createOrReplaceTempFunction("shingle_set",
-      exprs => ShingleSetExpr(exprs.head,
-        litInt(exprs(1), "shingle_set k")), "built-in")
+    scalarFns.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     PercentileDiscAgg.register(spark)
   }
 }

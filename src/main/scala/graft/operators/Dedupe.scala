@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheHandle
+
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact, MinHash+LSH banding, SimHash, and exact n-gram
   * Jaccard verification.
@@ -154,7 +156,8 @@ object Dedupe {
     * Output: doc_a < doc_b, est_jaccard = matching_hashes / numHashes.
     */
   def minhashCandidates(sigWide: DataFrame, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, caches: CacheHandle = CacheHandle.session)
+      : DataFrame = {
     val nBands = numHashes / rowsPerBand
     // persist the banded signatures: the self-join below consumes this
     // frame on BOTH sides, and because the two sides project different
@@ -163,16 +166,17 @@ object Dedupe {
     // corpus-scale shingle explode + md5 + minhash agg) executes twice
     // (verified via executedPlan: 2 scans, 0 ReusedExchange). The frame
     // is |docs| × nBands rows of (doc, sig, band, band_sig) — small at
-    // any corpus size that fits a cluster. Callers release it with
-    // clearCache() or it ages out with the session.
-    val bands = sigWide
+    // any corpus size that fits a cluster. Long-lived callers pass a
+    // live CacheHandle and release() after materializing; by default
+    // the frame ages out with clearCache()/the session.
+    val bands = caches.track(sigWide
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
         transform(
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")),
         "|"))
-      .persist()
+      .persist())
     val a = bands.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
@@ -251,17 +255,18 @@ object Dedupe {
     * (both doc-id sides and the intersection join).
     */
   def verifyJaccardForCandidates(candidates: DataFrame, shAll: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, caches: CacheHandle = CacheHandle.session)
+      : DataFrame = {
     val candDocs = candidates.select(col("doc_a").as("doc"))
       .union(candidates.select(col("doc_b").as("doc"))).distinct()
     // persist the candidates-only shingle set: verifyJaccardShingled reads
     // it THREE times (both intersection sides + the size table), and each
     // unpersisted read would re-derive the FULL corpus shingle explode
     // behind the semi-join. The frame is small (candidate docs only), so
-    // the cache cost is negligible; callers release it with
-    // spark.catalog.clearCache() (Bench does) or it ages out with the
-    // session.
-    val sh = shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist()
+    // the cache cost is negligible; long-lived callers release it via a
+    // live CacheHandle, or it ages out with clearCache()/the session.
+    val sh = caches.track(
+      shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist())
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
@@ -278,13 +283,15 @@ object Dedupe {
     */
   def verifyJaccardForCandidateDocs(candidates: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
-      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
     val candDocs = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
     val candTexts = docs.select(col(idCol), col(textCol))
       .join(broadcast(candDocs), Seq(idCol))
-    val sh = shingleRows(candTexts, idCol, textCol, shingleK, maxDocChars)
-      .persist()
+    val sh = caches.track(
+      shingleRows(candTexts, idCol, textCol, shingleK, maxDocChars)
+        .persist())
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
@@ -309,7 +316,8 @@ object Dedupe {
     */
   def verifyJaccardBySets(candidates: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
-      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val candDocs = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
@@ -322,16 +330,17 @@ object Dedupe {
     // broadcast join would execute twice per downstream action (q59's
     // r7 regression multiplied exactly this with ITS double
     // consumption of this function's output). One row per candidate
-    // doc. Callers release it with clearCache() or it ages out with
-    // the session. The size filter keeps frame parity with the old
-    // aggregation form, which emitted no row for shingle-less docs.
-    val sets = candTexts.select(col(idCol).as("doc"),
+    // doc. Long-lived callers release it via a live CacheHandle, or it
+    // ages out with clearCache()/the session. The size filter keeps
+    // frame parity with the old aggregation form, which emitted no row
+    // for shingle-less docs.
+    val sets = caches.track(candTexts.select(col(idCol).as("doc"),
         ColumnBridge.column(graft.functions.ShingleSetExpr(
           ColumnBridge.expression(
             TextAnalysis.capDoc(col(textCol), maxDocChars)),
           shingleK)).as("shset"))
       .filter(size(col("shset")) > 0)
-      .persist()
+      .persist())
     candidates.select("doc_a", "doc_b")
       .join(sets.select(col("doc").as("doc_a"), col("shset").as("set_a")),
         "doc_a")
@@ -371,8 +380,10 @@ object Dedupe {
     * scale use minhashCandidates + verifyJaccard.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleK).persist()
+      shingleK: Int, minJaccard: Double,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
+    val sh = caches.track(
+      shingleRows(docs, idCol, textCol, shingleK).persist())
     val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -484,7 +495,8 @@ object Dedupe {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
     require(maxHamming < 4,
       s"4 x 16-bit bands are only sound for maxHamming < 4, got $maxHamming")
     val chunks = (0 until 4).map(i =>
@@ -493,9 +505,9 @@ object Dedupe {
     // persist: the banded self-join consumes this frame on both sides
     // (differently aliased — no exchange reuse), and unpersisted the
     // upstream simhash scan would run twice. One row per doc, 4 ints.
-    val t = simhash(docs, idCol, textCol, maxDocChars)
+    val t = caches.track(simhash(docs, idCol, textCol, maxDocChars)
       .select(col("doc") +: chunks: _*)
-      .persist()
+      .persist())
     def side(suffix: String) = t
       .withColumn("bk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"), col(s"c$i").as("bv"))): _*)))

@@ -253,18 +253,19 @@ object Similarity {
     * Output: (vec_a, vec_b) with vec_a < vec_b, ids only (fp-robust).
     */
   def srpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      signs: Seq[Seq[Double]], rowsPerBand: Int, threshold: Double)
+      signs: Seq[Seq[Double]], rowsPerBand: Int, threshold: Double,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
       : DataFrame = {
     val nBands = signs.size / rowsPerBand
     val bits = concat(signs.map(s =>
       when(dotNative(col(vecCol), typedLit(s)) > 0, lit("1"))
         .otherwise(lit("0"))): _*)
-    val sig = df.select(col(idCol).as("vid"), bits.as("bits"))
+    val sig = caches.track(df.select(col(idCol).as("vid"), bits.as("bits"))
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .select(col("vid"), col("band"),
         col("bits").substr(col("band") * rowsPerBand + 1, lit(rowsPerBand))
           .as("bb"))
-      .persist()
+      .persist())
     val cand = sig.select(col("vid").as("vec_a"), col("band"), col("bb"))
       .join(sig.select(col("vid").as("vec_b"), col("band"), col("bb")),
         Seq("band", "bb"))

@@ -77,7 +77,11 @@ object TemporalJoins {
     // `div` = integral division: exact on longs (a double divide
     // rounds, which can flip a bin at exact boundaries)
     val pb = points.withColumn("__bin", expr(s"$pCol div ${binWidth}L"))
-    val ib = intervals.withColumn("__bin",
+    // empty/inverted intervals ([x,x) or hi < lo) contain nothing, and
+    // unfiltered an inverted interval makes sequence() DESCEND — every
+    // bin from lo down to hi, spurious replication the exact predicate
+    // then has to discard
+    val ib = intervals.filter(col(loCol) < col(hiCol)).withColumn("__bin",
       explode(sequence(expr(s"$loCol div ${binWidth}L"),
         expr(s"($hiCol - 1) div ${binWidth}L"))))
     pb.join(ib, "__bin")
@@ -103,10 +107,15 @@ object TemporalJoins {
   def intervalOverlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
       right: DataFrame, rloCol: String, rhiCol: String,
       binWidth: Long): DataFrame = {
-    val lb = left.withColumn("__bin",
+    // half-open semantics: an empty interval [x,x) overlaps NOTHING —
+    // but it satisfies the overlap predicate against any interval
+    // containing x, so it must be dropped BEFORE the join (and an
+    // inverted interval, hi < lo, would make sequence() descend,
+    // replicating into every bin from lo down to hi)
+    val lb = left.filter(col(lloCol) < col(lhiCol)).withColumn("__bin",
       explode(sequence(expr(s"$lloCol div ${binWidth}L"),
         expr(s"($lhiCol - 1) div ${binWidth}L"))))
-    val rb = right.withColumn("__bin",
+    val rb = right.filter(col(rloCol) < col(rhiCol)).withColumn("__bin",
       explode(sequence(expr(s"$rloCol div ${binWidth}L"),
         expr(s"($rhiCol - 1) div ${binWidth}L"))))
     lb.join(rb, "__bin")

@@ -57,10 +57,18 @@ object EsPush {
     else {
       val items = root.get("items")
       (0 until items.size()).flatMap { i =>
-        val op = items.get(i).fields().next().getValue
-        val status = if (op.has("status")) op.get("status").asInt(500) else 500
-        if (status >= 300 && op.has("_id")) Some(op.get("_id").asText)
-        else None
+        // each item is {"index": {...}} / {"create": {...}}; an empty
+        // item object (malformed response) has no fields — skip it
+        // rather than throw mid-push
+        val fields = items.get(i).fields()
+        if (!fields.hasNext) None
+        else {
+          val op = fields.next().getValue
+          val status =
+            if (op.has("status")) op.get("status").asInt(500) else 500
+          if (status >= 300 && op.has("_id")) Some(op.get("_id").asText)
+          else None
+        }
       }
     }
   }
@@ -78,9 +86,12 @@ object EsPush {
     */
   def pushBulkDir(post: PostTransport, gate: Fetcher.DelayGate,
       esUrl: String, dir: Path, retries: Int = 2): PushResult = {
-    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
+    val listing = Files.list(dir)
+    val files = try {
+      listing.toArray.map(_.asInstanceOf[Path])
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+    } finally listing.close()
     var batches = 0
     val failedBatches = Seq.newBuilder[String]
     val failedIds = Seq.newBuilder[String]

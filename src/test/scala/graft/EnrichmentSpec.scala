@@ -184,6 +184,14 @@ class EnrichmentSpec extends SparkSpec {
       spark.sql("SELECT minhash_sig(text, doc_id, 8) FROM sql_docs")
         .collect()
     }
+    // wrong arity names the expected signature (not IndexOutOfBounds)
+    val arityErr = intercept[Throwable] {
+      spark.sql("SELECT minhash_sig(text) FROM sql_docs").collect()
+    }
+    val chain = Iterator.iterate(arityErr)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("minhash_sig(text, shingleK, numHashes)"),
+      s"unhelpful arity error: $chain")
   }
 
   test("license map resolves known CC paths and nulls unknowns") {

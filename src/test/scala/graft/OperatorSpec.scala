@@ -397,6 +397,59 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (2L, 10L), (4L, 10L)))
   }
 
+  test("interval overlap join: empty and inverted intervals pair with nothing") {
+    import graft.operators.TemporalJoins
+    val l = Seq((1L, 180L, 180L), // empty [x,x) inside r10: would satisfy
+                                  // the raw overlap predicate — must not pair
+      (2L, 300L, 100L),           // inverted: contains nothing
+      (3L, 160L, 170L)            // real interval inside r10: pairs
+    ).toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 150L, 250L), (11L, 175L, 175L) // 11 empty on the right
+    ).toDF("rid", "rlo", "rhi")
+    val got = TemporalJoins.intervalOverlapJoin(l, "llo", "lhi",
+        r, "rlo", "rhi", binWidth = 50L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((3L, 10L)))
+    // point-in-interval: empty/inverted intervals contain no point
+    val pts = Seq((1L, 180L)).toDF("pid", "p")
+    val ivs = Seq((20L, 180L, 180L), (21L, 300L, 100L), (22L, 170L, 190L))
+      .toDF("iid", "lo", "hi")
+    val pGot = TemporalJoins.pointInIntervals(pts, "p", ivs, "lo", "hi",
+        binWidth = 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(pGot == Seq((1L, 22L)))
+  }
+
+  test("CacheHandle releases operator-internal persisted frames") {
+    import graft.core.CacheHandle
+    import graft.operators.Dedupe
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val caches = CacheHandle()
+    val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+    val cand = Dedupe.minhashCandidates(sig, 16, 4, caches)
+    val verified = Dedupe.verifyJaccardBySets(cand, docs, "doc_id", "text",
+      3, 0.5, caches = caches)
+    verified.count()   // materialize: both internal persists are now live
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    caches.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after & added).isEmpty)
+    // the default session handle keeps the old behavior: release() on a
+    // fresh handle is a no-op for untracked frames
+    CacheHandle.session.release()
+  }
+
+  test("failedItemIds tolerates empty item objects in a bulk response") {
+    import graft.sources.EsPush
+    val resp =
+      """{"errors":true,"items":[{},
+        |{"index":{"_id":"a","status":400}},
+        |{"index":{"_id":"b","status":201}}]}""".stripMargin
+    assert(EsPush.failedItemIds(resp) == Seq("a"))
+  }
+
   test("SRP-LSH: identical vectors always collide; orthogonal ones verify out") {
     import graft.operators.Similarity
     val signs = Similarity.srpSigns(16, 4)
