@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.functions.{DotProductExpr, HtmlToTextExpr, MinHashSigExpr,
   PercentileDiscAgg, SanitizeStringExpr, ShingleSetExpr, SimHashExpr,
-  WinnowFingerprintsExpr}
+  UnicodeNormalizeExpr, WinnowFingerprintsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst pieces at session build time
@@ -52,6 +52,18 @@ object GraftExtensions {
           s"$what must be an integer literal, got $other")
     }
 
+  /** Fold a SQL argument that must be a constant string (algorithm
+    * selectors — they pick generated code, so they cannot vary per row).
+    */
+  private[graft] def litString(e: Expression, what: String): String =
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a constant")
+    else e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+
   /** Wrap a builder with an argument-count check so a wrong-arity SQL
     * call fails with the expected signature instead of an
     * IndexOutOfBoundsException from exprs(n).
@@ -88,7 +100,11 @@ object GraftExtensions {
             litInt(e(2), "winnow_fingerprints w")))),
       ("shingle_set", classOf[ShingleSetExpr],
         arity(2, "shingle_set(text, k)")(e =>
-          ShingleSetExpr(e.head, litInt(e(1), "shingle_set k")))))
+          ShingleSetExpr(e.head, litInt(e(1), "shingle_set k")))),
+      ("unicode_normalize", classOf[UnicodeNormalizeExpr],
+        arity(2, "unicode_normalize(text, form)")(e =>
+          UnicodeNormalizeExpr(e.head, UnicodeNormalizeExpr.formOf(
+            litString(e(1), "unicode_normalize form"))))))
 
   /** Register every SQL-surface function on an existing session (the
     * extensions path requires registration at session BUILD time;

@@ -173,6 +173,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Unicode normalization (form = NFC|NFD|NFKC|NFKD) via the codegen'd
+    * [[graft.functions.UnicodeNormalizeExpr]] — compose BEFORE
+    * [[fingerprint]] / the dedup family so composed-vs-decomposed and
+    * compatibility variants ("café" typed two ways, full-width digits,
+    * ligatures) collapse to one fingerprint. One narrow projection with
+    * a quick-check fast path for already-normalized text; no shuffle.
+    */
+  def normalizeUnicode(text: Column, form: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.UnicodeNormalizeExpr(
+      ColumnBridge.expression(text),
+      graft.functions.UnicodeNormalizeExpr.formOf(form)))
+  }
+
   /** Default per-document size cap for the character/shingle-explode
     * operators (winnow, shingling, simhash): 1M code points. At corpus
     * scale a single pathological document (a 1 GB crawl artifact)

@@ -233,5 +233,69 @@ object TextQueries extends QueryPack {
           AS BIGINT) AS n_phone
       FROM p"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67)
+  /** Unicode-normalization markers: decomposed accents, compatibility
+    * ligature + full-width digits, angstrom sign, half-width katakana
+    * with dakuten, enclosed/squared compat chars, misordered combining
+    * marks (canonical reordering), and the classic U+1E9B+U+0323 pair.
+    * Each starts with a space so it cannot canonically combine with the
+    * (ASCII) document text it is appended to.
+    */
+  private val normMarkers = Seq(
+    " cafe\u0301",                   // decomposed e + combining acute
+    " \uFB01le \uFF12\uFF13",         // fi ligature, full-width digits
+    " \u212B",                        // angstrom sign
+    " \uFF76\uFF9E\uFF77\uFF9E",       // half-width katakana + dakuten
+    " \u2460\u3231\u33A1",            // circled 1, parenthesized kabushiki, m^2
+    " x\u0302\u0323",                 // misordered combining marks (ccc 230, 220)
+    " \u1E9B\u0323")                  // long s with dot above + dot below
+
+  /** The markers' NFKC forms (precomputed against Python unicodedata +
+    * DuckDB utf8proc): the NFKC column's oracle -- DuckDB has no NFKC
+    * function, so the expected strings are pinned as literals.
+    */
+  private val normMarkersNfkc = Seq(
+    " caf\u00E9",                     // composed e-acute
+    " file 23",                      // compatibility-folded
+    " \u00C5",                        // composed A-ring
+    " \u30AC\u30AE",                   // full-width katakana, dakuten folded
+    " 1(\u682A)m2",
+    " x\u0323\u0302",                 // canonically reordered
+    " \u1E69")                        // s with dot below and dot above
+
+  /** Unicode normalization: the normalize-before-fingerprint step. The
+    * synthetic corpus is all-ASCII, so the query appends a doc-keyed
+    * marker with known normalization behavior IDENTICALLY on both
+    * sides; NFC is checked against DuckDB's `nfc_normalize` (two
+    * independent implementations — ICU-derived Java vs utf8proc — must
+    * agree byte-for-byte), NFKC against pinned expected literals. One
+    * codegen'd projection, no shuffle.
+    */
+  val q71 = Q("q71_unicode_norm",
+    (s, dir) => {
+      val marked = concat(col("text"), element_at(
+        typedLit(normMarkers),
+        (col("doc_id") % normMarkers.size + 1).cast("int")))
+      Tables(s, dir, "documents").select(
+        col("doc_id").as("doc"),
+        TextAnalysis.normalizeUnicode(marked, "NFC").as("nfc"),
+        TextAnalysis.normalizeUnicode(marked, "NFKC").as("nfkc"))
+    },
+    Some {
+      val whenNfc = normMarkers.zipWithIndex
+        .map { case (m, i) => s"WHEN $i THEN '$m'" }.mkString(" ")
+      val whenNfkc = normMarkersNfkc.zipWithIndex
+        .map { case (m, i) => s"WHEN $i THEN '$m'" }.mkString(" ")
+      s"""
+      SELECT doc_id AS doc,
+        nfc_normalize(text ||
+          (CASE CAST(doc_id % ${normMarkers.size} AS INT) $whenNfc END))
+          AS nfc,
+        text ||
+          (CASE CAST(doc_id % ${normMarkers.size} AS INT) $whenNfkc END)
+          AS nfkc
+      FROM documents"""
+    })
+
+  override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
+    q71)
 }

@@ -194,6 +194,48 @@ class EnrichmentSpec extends SparkSpec {
       s"unhelpful arity error: $chain")
   }
 
+  test("unicode_normalize: all four forms, SQL surface, bad form rejected") {
+    import graft.operators.TextAnalysis
+    GraftExtensions.register(spark)
+    // (raw, expected NFC, expected NFKC) — pinned against Python
+    // unicodedata and DuckDB nfc_normalize (for the NFC column)
+    val cases = Seq(
+      (" cafe\u0301", " caf\u00E9", " caf\u00E9"),
+      (" \uFB01le \uFF12\uFF13", " \uFB01le \uFF12\uFF13", " file 23"),
+      (" \u212B", " \u00C5", " \u00C5"),
+      (" \uFF76\uFF9E\uFF77\uFF9E", " \uFF76\uFF9E\uFF77\uFF9E",
+        " \u30AC\u30AE"),
+      (" \u2460\u3231\u33A1", " \u2460\u3231\u33A1", " 1(\u682A)m2"),
+      (" x\u0302\u0323", " x\u0323\u0302", " x\u0323\u0302"),
+      (" \u1E9B\u0323", " \u1E9B\u0323", " \u1E69"))
+    val df = cases.toDF("raw", "exp_nfc", "exp_nfkc")
+    val bad = df.filter(
+      TextAnalysis.normalizeUnicode(col("raw"), "NFC") =!= col("exp_nfc") ||
+      TextAnalysis.normalizeUnicode(col("raw"), "NFKC") =!= col("exp_nfkc"))
+    assert(bad.count() == 0)
+    // NFD(NFC(x)) == NFD(x); NFKD of the NFKC form is stable
+    val round = df.filter(
+      TextAnalysis.normalizeUnicode(
+        TextAnalysis.normalizeUnicode(col("raw"), "NFC"), "NFD") =!=
+        TextAnalysis.normalizeUnicode(col("raw"), "NFD") ||
+      TextAnalysis.normalizeUnicode(col("exp_nfkc"), "NFKD") =!=
+        TextAnalysis.normalizeUnicode(
+          TextAnalysis.normalizeUnicode(col("raw"), "NFKD"), "NFKD"))
+    assert(round.count() == 0)
+    df.createOrReplaceTempView("norm_cases")
+    assert(spark.sql("""SELECT count(*) AS c FROM norm_cases
+        WHERE unicode_normalize(raw, 'NFC') <> exp_nfc
+           OR unicode_normalize(raw, 'nfkc') <> exp_nfkc""")
+      .head.getLong(0) == 0)
+    val err = intercept[Throwable] {
+      spark.sql("SELECT unicode_normalize(raw, 'NFX') FROM norm_cases")
+        .collect()
+    }
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("NFC|NFD|NFKC|NFKD"))
+  }
+
   test("license map resolves known CC paths and nulls unknowns") {
     val df = Seq(
       (1L, "https://creativecommons.org/licenses/by/4.0/"),
