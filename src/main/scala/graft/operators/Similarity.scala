@@ -147,6 +147,50 @@ object Similarity {
       .select(col(labelCol), col("vec_a"), col("vec_b"))
   }
 
+  /** Lloyd k-means centroids with deterministic seeding — the honest
+    * IVF path for real corpora, which have no labels to seed cells from.
+    *
+    * Determinism (oracle + re-run reproducibility): seeds are the `k`
+    * LOWEST-ID vectors (cell_id = their id-rank, 0-based), and the
+    * iteration count is FIXED — no RNG, no convergence-dependent stop,
+    * so any engine that runs the same `iters` gets the same centroids
+    * up to floating-point accumulation order.
+    *
+    * Scale shape, per iteration:
+    *  - assignment is [[assignCells]]: corpus × broadcast(k centroids),
+    *    argmax folded into ONE map-side-combined aggregation;
+    *  - the new means are `dim` independent `avg(element_at(vec, i))`
+    *    aggregates — NO per-dimension explode (a |corpus|×dim row
+    *    shuffle); partial aggregation reduces each partition to k×dim
+    *    doubles before the exchange, so the shuffle carries
+    *    O(partitions × k × dim) regardless of corpus size.
+    * Cosine assignment is norm-invariant, so the plain mean behaves as
+    * spherical k-means (normalizing the mean would not change any
+    * assignment). A cell that loses all members drops out (callers see
+    * < k cells — with min-id seeding this only happens on degenerate
+    * inputs).
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    val seeds = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+      // the window runs over the k seed rows only, post-limit
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cell_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    val means = (1 to dim).map(i =>
+      avg(element_at(col(vecCol), i).cast("double")).as(s"__m$i"))
+    (1 to iters).foldLeft(seeds) { (centroids, _) =>
+      vectors.select(col(idCol), col(vecCol))
+        .join(assignCells(vectors, centroids, idCol, vecCol, dim), idCol)
+        .groupBy("cell_id")
+        .agg(means.head, means.tail: _*)
+        .select(col("cell_id"),
+          array((1 to dim).map(i => col(s"__m$i")): _*).as("centroid"))
+    }
+  }
+
   /** Materialize the IVF index: the corpus written PARTITIONED BY its
     * cell assignment. At 100 TB the cell is the parquet partition key —
     * a probe then reads nprobe/ncells of the data through partition

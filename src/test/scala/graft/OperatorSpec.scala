@@ -467,6 +467,51 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("kmeans: deterministic, recovers separated clusters, indexed = direct") {
+    import graft.operators.Similarity
+    // 3 clusters hugging axes e0/e1/e2 with deterministic jitter on e3;
+    // min-id seeds (points 0,1,2) land one per cluster
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v(3) = 0.02f * (i % 5)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(pts, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4)
+    val got = cent.orderBy("cell_id").collect()
+    assert(got.length == 3)
+    // each centroid points along its own axis
+    got.foreach { r =>
+      val c = r.getAs[collection.Seq[Double]]("centroid")
+      assert(c(r.getAs[Int]("cell_id")) > 0.9)
+    }
+    // deterministic: a second run produces bit-identical centroids
+    val again = Similarity.kmeansCentroids(pts, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4).orderBy("cell_id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // all members assigned to their seed's cluster
+    val assigned = Similarity.assignCells(pts, cent, "vec_id", "embedding",
+        dim = 4)
+      .withColumn("expected", (col("vec_id") % 3).cast("int"))
+    assert(assigned.filter(col("cell_id") =!= col("expected")).count() == 0)
+    // the materialized-index probe path returns exactly the direct path
+    val emb = Tables(spark, sfDir, "embeddings")
+    val learned = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dim = 64).persist()
+    val idx = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.writeIvfIndex(emb, learned, "vec_id", "embedding", idx)
+    val direct = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      learned, "vec_id", "embedding", k = 3, nprobe = 2, dim = 64)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx,
+      emb.filter(col("vec_id") < 5), learned, "vec_id", "embedding",
+      k = 3, nprobe = 2, dim = 64)
+    assert(direct.exceptAll(indexed).isEmpty &&
+      indexed.exceptAll(direct).isEmpty)
+    learned.unpersist()
+  }
+
   test("connected components: chains, triangles, pairs, duplicate edges") {
     // 10-9-8-7 chain (diameter 3 — needs >1 propagation round),
     // 1-2-3 triangle, 20-21 pair; edge 1-2 duplicated and reversed
