@@ -160,6 +160,86 @@ object EventStreams {
       }
   }
 
+  case class BandedDocT(band: Int, band_sig: String, doc: Long,
+      ts: java.sql.Timestamp)
+
+  /** Horizon-bounded [[streamingBandCandidates]]: per-(band, signature)
+    * state EVICTS docs whose event time falls more than `horizonMs`
+    * behind the watermark — the missing piece that makes the streaming
+    * near-dup detector runnable FOREVER (the unbounded variant keeps
+    * every doc id ever seen; at 100 TB/day the state, not the data,
+    * becomes the bottleneck).
+    *
+    * Contract (same as [[dedupWithinHorizon]] / the reference's
+    * reingestion horizon): a near-dup arriving within the horizon of
+    * its partner pairs here; one arriving beyond it pairs with nothing
+    * older — it re-enters state as a fresh doc and the downstream
+    * idempotent merge absorbs the re-emission. Eviction is two-level:
+    * per-entry filtering on every bucket visit (a bucket with steady
+    * traffic never times out but still sheds old entries), plus an
+    * event-time timeout that removes QUIET buckets wholesale once the
+    * watermark passes their newest doc + horizon — so total state is
+    * O(docs per horizon), never O(stream history).
+    */
+  def streamingBandCandidatesWithHorizon(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, shingleK: Int, numHashes: Int,
+      rowsPerBand: Int, horizonMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nBands = numHashes / rowsPerBand
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      // plain alias only: a cast would mint a NEW attribute without the
+      // watermark metadata and EventTimeTimeout then fails analysis
+      .select(col(idCol).cast("long").as("doc"),
+        col(tsCol).as("ts"),
+        ColumnBridge.column(graft.functions.MinHashSigExpr(
+          ColumnBridge.expression(
+            graft.operators.TextAnalysis.capDoc(col(textCol))),
+          shingleK, numHashes)).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")),
+        "|"))
+      .select(col("band"), col("band_sig"), col("doc"), col("ts"))
+      .as[BandedDocT]
+    // state: (doc id, newest event-time ms) per member still in horizon
+    banded.groupByKey(b => (b.band, b.band_sig))
+      .flatMapGroupsWithState[Seq[(Long, Long)], CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), rows: Iterator[BandedDocT],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val seen = state.getOption.getOrElse(Seq.empty)
+              .filter { case (_, t) => t + horizonMs > wmMs }
+            val fresh = rows.toSeq.groupBy(_.doc)
+              .map { case (d, rs) => (d, rs.map(_.ts.getTime).max) }
+              .toSeq.sortBy(_._1)
+              .filterNot { case (d, _) => seen.exists(_._1 == d) }
+            val out = for {
+              ((d, _), i) <- fresh.zipWithIndex
+              (prev, _) <- seen ++ fresh.take(i)
+            } yield CandPair(math.min(prev, d), math.max(prev, d))
+            val next = seen ++ fresh
+            state.update(next)
+            // full-bucket cleanup once the watermark passes the newest
+            // member + horizon (must stay strictly ahead of the current
+            // watermark or Spark rejects the timestamp)
+            if (next.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(next.map(_._2).max + horizonMs, wmMs + 1))
+            out.distinct.iterator
+          }
+      }
+  }
+
   /** ST7 as a live stream: the popularity cache (per-key running max)
     * maintained incrementally — each micro-batch's partial maxima merge
     * into the versioned table under `greatest(new, old)`, committed

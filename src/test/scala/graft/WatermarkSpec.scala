@@ -111,6 +111,54 @@ class WatermarkSpec extends SparkSpec {
     assert(ids == Seq(7L, 8L, 9L)) // each key once, first wins
   }
 
+  test("horizon-bounded LSH: in-horizon pairs match, old state evicts") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("lshh").toString
+    val dupText = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val t0 = 1700006400000L // ms
+    val hourMs = 3600L * 1000
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, txt, ms) =>
+        (id, txt, new java.sql.Timestamp(ms))
+      }.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    val stream = EventStreams.streamingBandCandidatesWithHorizon(
+      spark.readStream.schema(schema).parquet(landing),
+      "doc_id", "text", "ts", shingleK = 3, numHashes = 16,
+      rowsPerBand = 4, horizonMs = hourMs)
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("lshh_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lshhchk").toString)
+      .start()
+    // b1: dup pair at t0, plus an unrelated doc
+    write(Seq((1L, dupText, t0), (2L, dupText, t0 + 1),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8", t0 + 2)))
+    q.processAllAvailable()
+    // b2: unrelated doc 2h later — advances the watermark past t0+1h
+    write(Seq((4L, "q1 q2 q3 q4 q5 q6 q7 q8", t0 + 2 * hourMs)))
+    q.processAllAvailable()
+    // b3: two fresh dups of the SAME text as b1, beyond the horizon —
+    // docs 1,2 must be evicted, so only (5,6) pairs; doc 3's quiet
+    // buckets time out wholesale in this batch
+    write(Seq((5L, dupText, t0 + 2 * hourMs + 1000),
+      (6L, dupText, t0 + 2 * hourMs + 2000)))
+    q.processAllAvailable()
+    val pairs = spark.table("lshh_out").select("doc_a", "doc_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (5L, 6L)))
+    // state is bounded by the horizon: only docs 4, 5, 6 may remain
+    // (≤ 3 docs × 4 bands of buckets; without eviction docs 1-3 would
+    // hold 8 more groups)
+    val stateRows = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).lastOption
+    q.stop()
+    assert(stateRows.exists(_ <= 12), s"state not bounded: $stateRows")
+  }
+
   test("streaming LSH candidates equal the batch pair set across batches") {
     import graft.operators.Dedupe
     import org.apache.spark.sql.types._
