@@ -141,6 +141,110 @@ object EsPush {
     false
   }
 
+  /** (method, url, body) => response — the verb-generic REST transport
+    * the index lifecycle needs (PUT index, POST _aliases, DELETE index).
+    * Status -1 models transport error, like [[PostTransport]].
+    */
+  type RestTransport = (String, String, String) => Fetcher.Response
+
+  def httpRestTransport(timeoutMillis: Long = 30000): RestTransport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+      .build()
+    (method, url, body) => {
+      try {
+        val resp = client.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMillis))
+          .header("Content-Type", "application/json")
+          .method(method,
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        Fetcher.Response(resp.statusCode(), resp.body())
+      } catch {
+        case scala.util.control.NonFatal(_) => Fetcher.Response(-1, "")
+      }
+    }
+  }
+
+  /** The index currently behind `alias` (None when unbound) —
+    * `GET /_alias/{alias}`; the reference reads the same fact through
+    * its ingestion server's stat endpoint
+    * (`data_refresh_task_factory.py:167-174`).
+    */
+  def currentIndex(rest: RestTransport, gate: Fetcher.DelayGate,
+      esUrl: String, alias: String): Option[String] = {
+    gate.pass()
+    val r = rest("GET", s"$esUrl/_alias/$alias", "")
+    if (r.status != 200) None
+    else try {
+      val names = mapper.readTree(r.body).fieldNames()
+      if (names.hasNext) Some(names.next()) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Atomically point `alias` at `newIndex`: ONE `_aliases` POST whose
+    * actions remove the old binding and add the new one — there is no
+    * moment where the alias resolves to nothing or to both (the
+    * zero-downtime property the reference's promote step relies on).
+    */
+  def promoteAlias(rest: RestTransport, gate: Fetcher.DelayGate,
+      esUrl: String, alias: String, newIndex: String,
+      oldIndex: Option[String]): Boolean = {
+    val remove = oldIndex.filter(_ != newIndex).map(o =>
+      s"""{"remove": {"index": "$o", "alias": "$alias"}}, """).getOrElse("")
+    val body =
+      s"""{"actions": [$remove{"add": {"index": "$newIndex", "alias": "$alias"}}]}"""
+    gate.pass()
+    rest("POST", s"$esUrl/_aliases", body).status == 200
+  }
+
+  final case class RefreshResult(newIndex: String, created: Boolean,
+      push: Option[PushResult], ready: Boolean, promoted: Boolean,
+      oldIndex: Option[String], oldDeleted: Boolean)
+
+  /** The reference's zero-downtime data-refresh lifecycle
+    * (`data_refresh_task_factory.py:183-240`): resolve the index
+    * currently behind `alias` → create `<alias>-<indexSuffix>` → bulk-
+    * ingest into it → await the expected doc count → atomically promote
+    * the alias → delete the now-unused old index.
+    *
+    * Bulk payload files must target the CONCRETE new index name
+    * (`EsBulk.writeBulkFiles(df, s"$alias-$indexSuffix", ...)`) — ES
+    * gives an action line's `_index` precedence over the request URL,
+    * so alias-targeted payloads would land in the OLD index mid-swap.
+    *
+    * Promotion only happens for a COMPLETE ingest (no failed batches,
+    * count visible); on any earlier failure the alias keeps serving the
+    * old index and nothing is deleted — every step's outcome is in the
+    * returned [[RefreshResult]], the same skip-error posture as
+    * [[pushBulkDir]].
+    */
+  def refreshIndex(rest: RestTransport, postBulk: PostTransport,
+      gate: Fetcher.DelayGate, esUrl: String, alias: String,
+      indexSuffix: String, bulkDir: Path, expected: Long,
+      retries: Int = 2, maxPolls: Int = 60): RefreshResult = {
+    val old = currentIndex(rest, gate, esUrl, alias)
+    val newIndex = s"$alias-$indexSuffix"
+    gate.pass()
+    val created = rest("PUT", s"$esUrl/$newIndex", "{}").status == 200
+    if (!created)
+      return RefreshResult(newIndex, created = false, None, ready = false,
+        promoted = false, old, oldDeleted = false)
+    val push = pushBulkDir(postBulk, gate, esUrl, bulkDir, retries)
+    val ready = awaitCount((url, _) => rest("GET", url, ""), gate, esUrl,
+      newIndex, expected, maxPolls)
+    val promoted = ready && push.failedBatches.isEmpty &&
+      promoteAlias(rest, gate, esUrl, alias, newIndex, old)
+    val oldDeleted = promoted && old.exists(_ != newIndex) && {
+      gate.pass()
+      rest("DELETE", s"$esUrl/${old.get}", "").status == 200
+    }
+    RefreshResult(newIndex, created, Some(push), ready, promoted, old,
+      oldDeleted)
+  }
+
   /** Runnable push: payload dir → _bulk POSTs → readiness poll.
     * Usage: EsPushMain <esUrl> <bulkDir> <index> <expectedCount>
     *        [delayMs] [retries]

@@ -112,6 +112,112 @@ class OperatorSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ES index lifecycle e2e: create, ingest, atomic promote, delete-old") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.ingest.Fetcher
+    import graft.sources.{EsBulk, EsPush}
+    // stateful stub ES: indices with doc sets, one alias binding; the
+    // _aliases handler applies remove+add as ONE atomic step and
+    // records any request that would leave the alias dangling
+    val indices = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.Set[String]]()
+    val alias = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val danglingSwaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val method = ex.getRequestMethod
+        val body = new String(ex.getRequestBody.readAllBytes, "UTF-8")
+        def resolve(name: String): String =
+          if (name == "image" && alias.get != null) alias.get else name
+        val resp: (Int, String) = (method, path) match {
+          case ("PUT", p) =>
+            val idx = p.stripPrefix("/")
+            indices.putIfAbsent(idx,
+              java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+            (200, """{"acknowledged": true}""")
+          case ("GET", "/_alias/image") =>
+            Option(alias.get) match {
+              case Some(t) =>
+                (200, s"""{"$t": {"aliases": {"image": {}}}}""")
+              case None => (404, "{}")
+            }
+          case ("POST", "/_bulk") =>
+            val pairs = body.split("\n").filter(_.contains("\"_index\""))
+              .map { l =>
+                (l.split("\"_index\": \"")(1).takeWhile(_ != '"'),
+                  l.split("\"_id\": \"")(1).takeWhile(_ != '"'))
+              }
+            val items = pairs.map { case (idx, id) =>
+              val target = indices.get(resolve(idx))
+              val st = if (target == null) 404 else { target.add(id); 201 }
+              s"""{"index": {"_id": "$id", "status": $st}}"""
+            }.mkString(",")
+            (200, s"""{"errors": false, "items": [$items]}""")
+          case ("GET", p) if p.endsWith("/_count") =>
+            val idx = resolve(p.stripPrefix("/").stripSuffix("/_count"))
+            val docs = indices.get(idx)
+            if (docs == null) (404, "{}")
+            else (200, s"""{"count": ${docs.size}}""")
+          case ("POST", "/_aliases") =>
+            // atomic: apply the add; a remove-only request would dangle
+            if (!body.contains("\"add\"")) danglingSwaps.incrementAndGet()
+            val target = body.split("\"add\": \\{\"index\": \"")(1)
+              .takeWhile(_ != '"')
+            alias.set(target)
+            (200, """{"acknowledged": true}""")
+          case ("DELETE", p) =>
+            val idx = p.stripPrefix("/")
+            if (indices.remove(idx) == null) (404, "{}")
+            else (200, """{"acknowledged": true}""")
+          case _ => (404, "{}")
+        }
+        val bytes = resp._2.getBytes("UTF-8")
+        ex.sendResponseHeaders(resp._1, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val es = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val gate = new Fetcher.DelayGate(2)
+      val rest = EsPush.httpRestTransport()
+      // seed a previous generation: image-old behind the alias
+      assert(rest("PUT", s"$es/image-old", "{}").status == 200)
+      indices.get("image-old").add("stale-1")
+      assert(EsPush.promoteAlias(rest, gate, es, "image", "image-old",
+        None))
+      assert(EsPush.currentIndex(rest, gate, es, "image")
+        .contains("image-old"))
+      // refresh: 3 docs into image-v2, targeting the CONCRETE index
+      val recs = Seq(("a", "t1"), ("b", "t2"), ("c", "t3"))
+        .toDF("foreign_identifier", "title")
+      val dir = java.nio.file.Files.createTempDirectory("eslc")
+      EsBulk.writeBulkFiles(recs, "image-v2", "foreign_identifier",
+        dir.resolve("bulk").toString)
+      val res = EsPush.refreshIndex(rest, EsPush.httpPostTransport(),
+        gate, es, "image", "v2", dir.resolve("bulk"), expected = 3,
+        maxPolls = 3)
+      assert(res.created && res.ready && res.promoted)
+      assert(res.oldIndex.contains("image-old") && res.oldDeleted)
+      assert(alias.get == "image-v2")
+      assert(!indices.containsKey("image-old"))     // old gen gone
+      assert(indices.get("image-v2").size == 3)
+      assert(danglingSwaps.get == 0)                // swap was atomic
+      // failure path: unreachable count -> no promote, nothing deleted
+      val res2 = EsPush.refreshIndex(rest, EsPush.httpPostTransport(),
+        gate, es, "image", "v3", dir.resolve("bulk"), expected = 99,
+        maxPolls = 2)
+      assert(res2.created && !res2.ready && !res2.promoted &&
+        !res2.oldDeleted)
+      assert(alias.get == "image-v2")               // alias untouched
+      assert(indices.containsKey("image-v2"))
+    } finally server.stop(0)
+  }
+
   test("HLL sketches: bounded error, exact merge identity") {
     import graft.operators.Sketches
     val e = Tables(spark, sfDir, "events")
