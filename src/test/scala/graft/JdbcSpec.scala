@@ -41,4 +41,67 @@ class JdbcSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("score"), plan)
     assert(filtered.count() == 50)
   }
+
+  test("postgres merge SQL: golden upsert from the shared strategy table") {
+    import graft.sources.{PgMergeSql, UpsertStrategy => S}
+    // a compact table exercising every strategy once
+    val cols = Seq(
+      "created_on" -> S.NoChange,
+      "updated_on" -> S.Now,
+      "provider" -> S.NewestNonNull,
+      "foreign_identifier" -> S.NewestNonNull,
+      "url" -> S.NewestNonNull,
+      "meta_data" -> S.MergeJsonbObjects,
+      "tags" -> S.MergeJsonbArrays,
+      "genres" -> S.MergeArray,
+      "removed_from_source" -> S.AlwaysFalse)
+    val got = PgMergeSql.upsertSql("image", "load_image_123", cols)
+    val expected =
+      """INSERT INTO image AS old
+        |(url, created_on, updated_on, provider, foreign_identifier, meta_data, tags, genres, removed_from_source)
+        |SELECT DISTINCT ON (url) url,
+        |  created_on, NOW(), provider, foreign_identifier, meta_data, tags, genres, 'f'
+        |FROM load_image_123 as new
+        |WHERE NOT EXISTS (
+        |  SELECT url FROM image
+        |  WHERE url = new.url
+        |    AND MD5(foreign_identifier) <> MD5(new.foreign_identifier))
+        |ON CONFLICT (provider, md5(foreign_identifier))
+        |DO UPDATE SET
+        |updated_on = NOW(),
+        |provider = COALESCE(EXCLUDED.provider, old.provider),
+        |foreign_identifier = COALESCE(EXCLUDED.foreign_identifier, old.foreign_identifier),
+        |url = COALESCE(EXCLUDED.url, old.url),
+        |meta_data = COALESCE(
+        |  jsonb_strip_nulls(old.meta_data) || jsonb_strip_nulls(EXCLUDED.meta_data),
+        |  EXCLUDED.meta_data, old.meta_data),
+        |tags = COALESCE(
+        |  (SELECT jsonb_agg(DISTINCT x)
+        |   FROM jsonb_array_elements(old.tags || EXCLUDED.tags) t(x)),
+        |  EXCLUDED.tags, old.tags),
+        |genres = COALESCE(
+        |  (SELECT array_agg(DISTINCT x)
+        |   FROM unnest(old.genres || EXCLUDED.genres) t(x)),
+        |  EXCLUDED.genres, old.genres),
+        |removed_from_source = 'f'""".stripMargin
+    assert(got == expected, s"golden mismatch:\n$got")
+    // the full image table generates with every reference column and
+    // the no_change column absent from DO UPDATE
+    val full = PgMergeSql.upsertSql("image", "load_image_123")
+    assert(PgMergeSql.imageColumns.map(_._1).forall(full.contains))
+    assert(!full.split("DO UPDATE SET")(1).contains("created_on"))
+    // the SAME table drives the Spark merge: no_change keeps the old
+    // value, newest_non_null takes the incoming one
+    import graft.operators.MergeUpsert
+    val target = Seq(("p1", "f1", "2020-01-01", "old-title"))
+      .toDF("provider", "foreign_identifier", "created_on", "title")
+    val staged = Seq(("p1", "f1", "2024-06-06", "new-title"))
+      .toDF("provider", "foreign_identifier", "created_on", "title")
+    val strategies = PgMergeSql.sparkStrategies(Seq(
+      "created_on" -> S.NoChange, "title" -> S.NewestNonNull))
+    val merged = MergeUpsert.merge(target, staged,
+      Seq("provider", "foreign_identifier"), strategies).collect().head
+    assert(merged.getAs[String]("created_on") == "2020-01-01")
+    assert(merged.getAs[String]("title") == "new-title")
+  }
 }
