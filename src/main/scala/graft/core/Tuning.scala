@@ -28,6 +28,32 @@ object Tuning {
     p.min(BigInt(max)).max(BigInt(min)).toInt
   }
 
+  /** Typical span of the half-open intervals [loCol, hiCol) in `df`:
+    * the approximate median (by default) of `hi - lo` over the valid
+    * (lo < hi) rows, clamped to >= 1.
+    *
+    * This is the bin-width statistic for the binned temporal joins
+    * (TemporalJoins): a bin of ~one typical interval length keeps
+    * replication at ceil(len/bin)+1 ~ 2 per interval while keeping
+    * bin-local candidate lists narrow. It costs ONE scalar aggregation
+    * job over `df` — the same class of driver-side tuning stat as
+    * [[shufflePartitionsFor]]; callers whose interval frame is an
+    * expensive sub-plan should persist it first or pass an explicit
+    * width instead. The chosen width never affects RESULTS (the joins
+    * re-filter with the exact predicate), only the plan's replication/
+    * collision balance — so the approximate percentile's merge-order
+    * wobble is harmless.
+    */
+  def typicalSpan(df: DataFrame, loCol: String, hiCol: String,
+      quantile: Double = 0.5): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val row = df.filter(col(loCol) < col(hiCol))
+      .agg(expr(
+        s"percentile_approx($hiCol - $loCol, $quantile, 1000)").as("w"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
   /** Run `f` with a temporary shuffle-partition setting, restoring the
     * previous value afterwards (exception-safe).
     */

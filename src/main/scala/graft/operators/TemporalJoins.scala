@@ -89,6 +89,18 @@ object TemporalJoins {
       .drop("__bin")
   }
 
+  /** [[pointInIntervals]] with the bin width derived from the interval
+    * side's own length statistics (median length via
+    * [[graft.core.Tuning.typicalSpan]]) instead of a caller-supplied
+    * constant. Costs one extra scalar aggregation over `intervals` —
+    * which is typically the small side of this join — and never
+    * changes the result, only the replication/collision balance.
+    */
+  def pointInIntervals(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
+    pointInIntervals(points, pCol, intervals, loCol, hiCol,
+      graft.core.Tuning.typicalSpan(intervals, loCol, hiCol))
+
   /** Interval-overlap join: pairs every left interval [llo, lhi) with
     * every right interval [rlo, rhi) that overlaps it (session spans ×
     * incident windows, leases × maintenance periods).
@@ -123,4 +135,20 @@ object TemporalJoins {
       .drop("__bin")
       .distinct()
   }
+
+  /** [[intervalOverlapJoin]] with the bin width derived from interval
+    * length statistics: the LARGER of the two sides' median lengths
+    * ([[graft.core.Tuning.typicalSpan]]). A bin of ~the longer side's
+    * typical length bounds that side's replication at ~2 bins per
+    * interval while the shorter side replicates ~1× — whereas a bin
+    * sized to the shorter side would replicate every long interval
+    * len_long/len_short times. Costs one scalar aggregation per side;
+    * callers whose interval frames are expensive sub-plans should
+    * persist them first or pass an explicit width.
+    */
+  def intervalOverlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String): DataFrame =
+    intervalOverlapJoin(left, lloCol, lhiCol, right, rloCol, rhiCol,
+      math.max(graft.core.Tuning.typicalSpan(left, lloCol, lhiCol),
+        graft.core.Tuning.typicalSpan(right, rloCol, rhiCol)))
 }

@@ -117,8 +117,11 @@ object EventQueries extends QueryPack {
         (lit(baseUs) + col("id") * stepUs + lenUs).as("hi_us"))
       val pts = Tables(s, dir, "events")
         .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      // bin width auto-derived from the windows' own length stats
+      // (Tuning.typicalSpan = 90 min here — every window is the same
+      // length); the exact predicate makes the width correctness-free
       graft.operators.TemporalJoins.pointInIntervals(
-          pts, "us", windows, "lo_us", "hi_us", binWidth = lenUs)
+          pts, "us", windows, "lo_us", "hi_us")
         .select("event_id", "window_id")
     },
     Some("""
@@ -152,10 +155,13 @@ object EventQueries extends QueryPack {
         .groupBy(col("user_id"), expr(s"us div ${dayUs}L").as("day"))
         .agg(min(col("us")).as("slo_us"),
           (max(col("us")) + 1).as("shi_us"))    // [lo, hi)
-      // 6 h bins: day-bounded spans replicate ≤ 5×, 2 h windows 1-2×
+      // bin width auto-derived from both sides' length stats: the max
+      // of the spans' median span and the 2 h window length. The spans
+      // frame is a groupBy sub-plan the stats pass would recompute, so
+      // persist it across stats + join (Bench/Verify clear the cache
+      // per query).
       graft.operators.TemporalJoins.intervalOverlapJoin(
-          spans, "slo_us", "shi_us", windows, "wlo_us", "whi_us",
-          binWidth = 21600000000L)
+          spans.persist(), "slo_us", "shi_us", windows, "wlo_us", "whi_us")
         .select("user_id", "day", "window_id")
     },
     Some("""

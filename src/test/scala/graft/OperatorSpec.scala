@@ -526,6 +526,38 @@ class OperatorSpec extends SparkSpec {
     assert(pGot == Seq((1L, 22L)))
   }
 
+  test("auto bin width: typicalSpan = median length, auto joins match explicit") {
+    import graft.core.Tuning
+    import graft.operators.TemporalJoins
+    // lengths 10, 100, 100, 1000 (+ one inverted, one empty — ignored):
+    // median (percentile 0.5) of the four valid lengths is 100
+    val ivs = Seq((1L, 0L, 10L), (2L, 500L, 600L), (3L, 2000L, 2100L),
+      (4L, 5000L, 6000L), (5L, 9L, 9L), (6L, 20L, 5L))
+      .toDF("iid", "lo", "hi")
+    assert(Tuning.typicalSpan(ivs, "lo", "hi") == 100L)
+    // all-invalid / empty frames clamp to 1, never 0 (a 0 width would
+    // divide by zero in the bin expression)
+    assert(Tuning.typicalSpan(ivs.filter(col("iid") >= 5), "lo", "hi") == 1L)
+    // sub-unit spans clamp up to 1 as well
+    val tiny = Seq((1L, 7L, 8L)).toDF("iid", "lo", "hi")
+    assert(Tuning.typicalSpan(tiny, "lo", "hi") == 1L)
+    // the auto overloads produce the same rows as any explicit width —
+    // the exact predicate makes bin width correctness-free
+    val pts = Seq((1L, 5L), (2L, 550L), (3L, 5500L), (4L, 4999L))
+      .toDF("pid", "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows(TemporalJoins.pointInIntervals(pts, "p", ivs, "lo", "hi")) ==
+      rows(TemporalJoins.pointInIntervals(pts, "p", ivs, "lo", "hi", 7L)))
+    val l = Seq((1L, 0L, 50L), (2L, 590L, 2050L)).toDF("lid", "llo", "lhi")
+    def orows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(orows(TemporalJoins.intervalOverlapJoin(
+        l, "llo", "lhi", ivs, "lo", "hi")) ==
+      orows(TemporalJoins.intervalOverlapJoin(
+        l, "llo", "lhi", ivs, "lo", "hi", 13L)))
+  }
+
   test("CacheHandle releases operator-internal persisted frames") {
     import graft.core.CacheHandle
     import graft.operators.Dedupe
