@@ -49,6 +49,23 @@ object CacheHandle {
   /** A live handle: operators register their internal persists on it. */
   def apply(): CacheHandle = new CacheHandle(true)
 
+  /** Materialize a persisted frame that a SINGLE downstream action
+    * consumes more than once. A lazy persist is NOT enough there:
+    * AQE submits independent query stages concurrently, and stages
+    * racing to compute a not-yet-materialized cached plan EACH execute
+    * its full lineage — the cache dedupes storage, not concurrent
+    * compute. Measured on q59 at sf0.1: the verified-pair pipeline ran
+    * twice (2 × 1.3 s, identical job fingerprints) because the two
+    * edge-doubling arms raced, and the banded self-joins in
+    * minhashCandidates / simhashNearDupPairs / srpNearDupPairs race
+    * the same way. One count() here populates the cache while this
+    * plan is still the only consumer; every later stage reads cached
+    * batches. At cluster scale this adds no compute — the
+    * materialization pass was required anyway for the cache to serve
+    * both consumers — it only moves the barrier earlier.
+    */
+  def eager(df: DataFrame): DataFrame = { df.count(); df }
+
   /** No-op handle (the default): internal persists live until
     * `clearCache()`/session end, as before r9.
     */

@@ -159,24 +159,25 @@ object Dedupe {
       rowsPerBand: Int, caches: CacheHandle = CacheHandle.session)
       : DataFrame = {
     val nBands = numHashes / rowsPerBand
-    // persist the banded signatures: the self-join below consumes this
-    // frame on BOTH sides, and because the two sides project different
-    // aliases (doc_a / doc_b) Catalyst does NOT reuse the exchange —
-    // unpersisted, the whole upstream signature aggregation (a
-    // corpus-scale shingle explode + md5 + minhash agg) executes twice
-    // (verified via executedPlan: 2 scans, 0 ReusedExchange). The frame
-    // is |docs| × nBands rows of (doc, sig, band, band_sig) — small at
-    // any corpus size that fits a cluster. Long-lived callers pass a
-    // live CacheHandle and release() after materializing; by default
-    // the frame ages out with clearCache()/the session.
-    val bands = caches.track(sigWide
+    // persist + MATERIALIZE the banded signatures: the self-join below
+    // consumes this frame on BOTH sides, and because the two sides
+    // project different aliases (doc_a / doc_b) Catalyst does NOT
+    // reuse the exchange — and the two sides are concurrent AQE stages
+    // of one action, so a lazy persist still executes the whole
+    // upstream signature pipeline twice as the stages race
+    // (CacheHandle.eager). The frame is |docs| × nBands rows of
+    // (doc, sig, band, band_sig) — small at any corpus size that fits
+    // a cluster. Long-lived callers pass a live CacheHandle and
+    // release() after materializing; by default the frame ages out
+    // with clearCache()/the session.
+    val bands = CacheHandle.eager(caches.track(sigWide
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
         transform(
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")),
         "|"))
-      .persist())
+      .persist()))
     val a = bands.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
@@ -257,16 +258,21 @@ object Dedupe {
   def verifyJaccardForCandidates(candidates: DataFrame, shAll: DataFrame,
       minJaccard: Double, caches: CacheHandle = CacheHandle.session)
       : DataFrame = {
-    val candDocs = candidates.select(col("doc_a").as("doc"))
-      .union(candidates.select(col("doc_b").as("doc"))).distinct()
-    // persist the candidates-only shingle set: verifyJaccardShingled reads
-    // it THREE times (both intersection sides + the size table), and each
-    // unpersisted read would re-derive the FULL corpus shingle explode
-    // behind the semi-join. The frame is small (candidate docs only), so
-    // the cache cost is negligible; long-lived callers release it via a
-    // live CacheHandle, or it ages out with clearCache()/the session.
-    val sh = caches.track(
-      shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist())
+    // one scan of `candidates` (explode, not a two-arm union whose
+    // stages would race to compute a lazily-persisted candidate frame)
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+    // persist + materialize the candidates-only shingle set:
+    // verifyJaccardShingled reads it THREE times (both intersection
+    // sides + the size table), and each unpersisted read would
+    // re-derive the FULL corpus shingle explode behind the semi-join —
+    // eager, because the three consumers are concurrent AQE stages of
+    // ONE action (CacheHandle.eager). The frame is small (candidate
+    // docs only); long-lived callers release it via a live
+    // CacheHandle, or it ages out with clearCache()/the session.
+    val sh = CacheHandle.eager(caches.track(
+      shAll.join(broadcast(candDocs), Seq("doc")).distinct().persist()))
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
@@ -285,13 +291,15 @@ object Dedupe {
       idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
       maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
       caches: CacheHandle = CacheHandle.session): DataFrame = {
-    val candDocs = candidates.select(col("doc_a").as(idCol))
-      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
     val candTexts = docs.select(col(idCol), col(textCol))
       .join(broadcast(candDocs), Seq(idCol))
-    val sh = caches.track(
+    // eager: three concurrent consumers in one action (CacheHandle.eager)
+    val sh = CacheHandle.eager(caches.track(
       shingleRows(candTexts, idCol, textCol, shingleK, maxDocChars)
-        .persist())
+        .persist()))
     verifyJaccardShingled(candidates, sh, minJaccard)
   }
 
@@ -319,28 +327,30 @@ object Dedupe {
       maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
       caches: CacheHandle = CacheHandle.session): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val candDocs = candidates.select(col("doc_a").as(idCol))
-      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
     val candTexts = docs.select(col(idCol), col(textCol))
       .join(broadcast(candDocs), Seq(idCol))
-    // persist the per-doc set frame: it is consumed TWICE below (the
-    // set_a and set_b joins), and because the two consumers project
-    // different aliases Catalyst does not reuse the exchange —
-    // unpersisted, the base-table scan + set build behind the
-    // broadcast join would execute twice per downstream action (q59's
-    // r7 regression multiplied exactly this with ITS double
-    // consumption of this function's output). One row per candidate
-    // doc. Long-lived callers release it via a live CacheHandle, or it
-    // ages out with clearCache()/the session. The size filter keeps
-    // frame parity with the old aggregation form, which emitted no row
-    // for shingle-less docs.
-    val sets = caches.track(candTexts.select(col(idCol).as("doc"),
+    // persist + MATERIALIZE the per-doc set frame: it is consumed
+    // TWICE below (the set_a and set_b joins), and because the two
+    // consumers project different aliases Catalyst does not reuse the
+    // exchange — worse, the two consumers are concurrent AQE stages of
+    // one action, so a lazy persist still computes the base-table scan
+    // + set build twice (CacheHandle.eager; q59's r7 regression
+    // multiplied exactly this with ITS double consumption of this
+    // function's output). One row per candidate doc. Long-lived
+    // callers release it via a live CacheHandle, or it ages out with
+    // clearCache()/the session. The size filter keeps frame parity
+    // with the old aggregation form, which emitted no row for
+    // shingle-less docs.
+    val sets = CacheHandle.eager(caches.track(candTexts.select(col(idCol).as("doc"),
         ColumnBridge.column(graft.functions.ShingleSetExpr(
           ColumnBridge.expression(
             TextAnalysis.capDoc(col(textCol), maxDocChars)),
           shingleK)).as("shset"))
       .filter(size(col("shset")) > 0)
-      .persist())
+      .persist()))
     candidates.select("doc_a", "doc_b")
       .join(sets.select(col("doc").as("doc_a"), col("shset").as("set_a")),
         "doc_a")
@@ -382,8 +392,10 @@ object Dedupe {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double,
       caches: CacheHandle = CacheHandle.session): DataFrame = {
-    val sh = caches.track(
-      shingleRows(docs, idCol, textCol, shingleK).persist())
+    // eager: the self-join + verifyJaccardShingled consume this frame
+    // through concurrent AQE stages (CacheHandle.eager)
+    val sh = CacheHandle.eager(caches.track(
+      shingleRows(docs, idCol, textCol, shingleK).persist()))
     val pairs = sh.select(col("doc").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -422,9 +434,16 @@ object Dedupe {
     // whose pairs are already distinct with aCol < bCol (any groupBy
     // output, e.g. verified near-dup pairs) pass distinctEdges = true —
     // the doubled union then has no duplicates by construction and the
-    // dedup shuffle drops out of the plan.
-    val doubled = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // dedup shuffle drops out of the plan. Doubling is ONE scan of
+    // `edges` (explode of both orientations), not a two-arm union: a
+    // union's arms become concurrent AQE stages, and when `edges` is a
+    // caller's lazily-persisted pipeline both arms race to compute it
+    // in full (see CacheHandle.eager — this was 2 × the whole q59
+    // minhash→verify pipeline before round 0 even started).
+    val doubled = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val und = (if (distinctEdges) doubled else doubled.distinct()).persist()
     // round 0 folded into initialization: every node's first label is
     // min(self, direct neighbors) — ONE aggregation over the edge list,
@@ -502,12 +521,15 @@ object Dedupe {
     val chunks = (0 until 4).map(i =>
       conv(substring(col("simhash"), i * 4 + 1, 4), 16, 10)
         .cast("int").as(s"c$i"))
-    // persist: the banded self-join consumes this frame on both sides
-    // (differently aliased — no exchange reuse), and unpersisted the
-    // upstream simhash scan would run twice. One row per doc, 4 ints.
-    val t = caches.track(simhash(docs, idCol, textCol, maxDocChars)
-      .select(col("doc") +: chunks: _*)
-      .persist())
+    // persist + materialize: the banded self-join consumes this frame
+    // on both sides (differently aliased — no exchange reuse), as
+    // concurrent AQE stages that would otherwise race to compute the
+    // upstream simhash scan twice (CacheHandle.eager). One row per
+    // doc, 4 ints.
+    val t = CacheHandle.eager(caches.track(
+      simhash(docs, idCol, textCol, maxDocChars)
+        .select(col("doc") +: chunks: _*)
+        .persist()))
     def side(suffix: String) = t
       .withColumn("bk", explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"), col(s"c$i").as("bv"))): _*)))

@@ -304,12 +304,16 @@ object Similarity {
     val bits = concat(signs.map(s =>
       when(dotNative(col(vecCol), typedLit(s)) > 0, lit("1"))
         .otherwise(lit("0"))): _*)
-    val sig = caches.track(df.select(col(idCol).as("vid"), bits.as("bits"))
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .select(col("vid"), col("band"),
-        col("bits").substr(col("band") * rowsPerBand + 1, lit(rowsPerBand))
-          .as("bb"))
-      .persist())
+    // eager: the banded self-join's two sides are concurrent AQE
+    // stages that would race to compute the 64-plane projection twice
+    // under a lazy persist (CacheHandle.eager)
+    val sig = graft.core.CacheHandle.eager(caches.track(
+      df.select(col(idCol).as("vid"), bits.as("bits"))
+        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+        .select(col("vid"), col("band"),
+          col("bits").substr(col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)).as("bb"))
+        .persist()))
     val cand = sig.select(col("vid").as("vec_a"), col("band"), col("bb"))
       .join(sig.select(col("vid").as("vec_b"), col("band"), col("bb")),
         Seq("band", "bb"))

@@ -144,14 +144,15 @@ object DedupeQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
       val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      // persist the verified pairs: connectedComponents' edge-doubling
-      // union consumes this frame on BOTH arms — unpersisted, the whole
-      // minhash → banding → verify pipeline above materializes twice
-      // before round 0 even starts (the r7 regression: 38-187s for a
-      // ~50-edge graph). Pairs are tiny (verified near-dup edges).
+      // no persist on the verified pairs: connectedComponents' edge
+      // doubling is a single explode scan (r9 rewrite) and its doubled
+      // frame is persisted internally, so the verify pipeline has
+      // exactly ONE consumer — a persist here would only add a cache
+      // write. (The r7 regression — the whole minhash → verify
+      // pipeline materializing twice before round 0 — was the old
+      // two-arm union racing under AQE; see CacheHandle.eager.)
       val pairs = Dedupe.verifyJaccardBySets(
         cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
-        .persist()
       val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
         distinctEdges = true)
       // cluster size as a window over the label partition: ONE exchange
