@@ -77,12 +77,23 @@ object TextAnalysis {
     val ellipses = (length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val symbolRatio = (hashes + ellipses).cast("double") / n
-    val alphaFrac = size(filter(toks, x => x.rlike("[a-zA-Z]")))
-      .cast("double") / n
+    // words-with-a-letter counted by ONE regexp_count over the raw
+    // text, not filter(toks, _.rlike(...)): higher-order-function
+    // lambdas are interpreted per element, which drops the whole
+    // projection out of whole-stage codegen. Each match anchors at the
+    // space before a word (hence the prepended " ") and consumes
+    // through a letter — the rest of the word holds no space, so no
+    // word is counted twice; empty tokens from repeated spaces match
+    // nothing, exactly like the rlike filter over split(text, " ").
+    val alphaFrac = regexp_count(concat(lit(" "), t),
+      lit(" [^ ]*[A-Za-z]")).cast("double") / n
     val stops = Seq("the", "be", "to", "of", "and", "that", "have",
       "with")
-    val stopCount = size(filter(
-      array(stops.map(lit(_)): _*), s => array_contains(toks, s)))
+    // one codegen'd array_contains per stop word, summed — the
+    // filter-over-literal-array form re-enters the interpreter per
+    // element for the same 8 probes
+    val stopCount = stops.map(s => array_contains(toks, s).cast("int"))
+      .reduce(_ + _)
     val passWords = n >= minWords && n <= maxWords
     val passMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val passSymbols = symbolRatio <= 0.1
