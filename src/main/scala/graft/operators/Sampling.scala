@@ -66,6 +66,42 @@ object Sampling {
       .drop("thr")
   }
 
+  /** Mixture sampling to TARGET PROPORTIONS: downsample each stratum so
+    * the kept corpus matches `weights` (summing to ~1) while keeping as
+    * many rows as the binding stratum allows — the data-mixing step
+    * that turns "whatever the crawl yielded" into "50% en, 20% de, …".
+    *
+    * The mixture size is maximal: t = min over strata of count/weight
+    * is the largest total for which no stratum needs more rows than it
+    * has; each stratum then keeps rate = weight·t/count of its rows
+    * (the binding stratum keeps everything). Selection is the same
+    * deterministic md5-threshold filter as [[stratified]] — expected
+    * proportions are exact, realized counts are the hash draw.
+    *
+    * The per-stratum counts are ONE small aggregate collected to the
+    * driver (|strata| rows — a plan parameter, like the IVF cell list
+    * or Tuning's stats); the corpus itself is touched by a single
+    * narrow filter scan. Strata absent from `weights` are dropped;
+    * a stratum with weight > 0 but no rows forces t = 0 (an honest
+    * "the requested mixture is unsatisfiable" — nothing survives).
+    */
+  def sourceMix(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val counts = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(strataCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L).toDouble / w
+    }.min
+    val rates = weights.map { case (s, w) =>
+      s -> (if (counts.getOrElse(s, 0L) == 0L) 0.0
+            else w * t / counts(s))
+    }
+    stratified(df, idCol, strataCol, rates)
+  }
+
   /** Token-budget quota packing: per group, keep the largest documents
     * (ties broken by id — fully deterministic) until the group's
     * cumulative token count exceeds `budget`. The data-mixing step of

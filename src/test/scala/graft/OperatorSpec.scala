@@ -909,4 +909,82 @@ class OperatorSpec extends SparkSpec {
     // the guarded shingle count is bounded by the cap, not the doc
     assert(sh.filter(col("doc") === 1L).count() <= cap)
   }
+
+  test("globalRunningTotal matches the single-partition window at any width") {
+    import graft.operators.Prefix
+    // shuffled input over several partitions; unique keys
+    val df = spark.range(0, 1000).select(
+        (col("id") * 2654435761L % 1000L).as("k"), // permuted order
+        (col("id") % 7 + 1).as("v"))
+      .repartition(8)
+    val got = Prefix.globalRunningTotal(df, "k", col("v"), "run",
+        numPartitions = 5)
+      .select("k", "run").as[(Long, Long)].collect().toMap
+    val w0 = org.apache.spark.sql.expressions.Window
+    val want = df.select(col("k"), sum(col("v")).over(
+        w0.orderBy(col("k"))
+          .rowsBetween(w0.unboundedPreceding, w0.currentRow))
+        .as("run"))
+      .select("k", "run").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // a width of ONE partition degenerates gracefully too
+    val one = Prefix.globalRunningTotal(df, "k", col("v"), "run",
+        numPartitions = 1)
+      .select("k", "run").as[(Long, Long)].collect().toMap
+    assert(one == want)
+  }
+
+  test("packSequences tiles the token stream exactly") {
+    import graft.operators.Prefix
+    val docs = Seq(
+      (1L, 100L), (2L, 500L),  // doc 2 straddles the first boundary
+      (3L, 0L),                // zero tokens: occupies nothing
+      (4L, 1300L),             // spans four 512-windows
+      (5L, 148L)               // ends exactly on a window boundary
+    ).toDF("doc_id", "n")
+    val out = Prefix.packSequences(docs, "doc_id", col("n"), 512L)
+      .select("doc", "n_tokens", "tok_start", "bin_id",
+        "bin_tok_start", "bin_tok_end")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted
+    // zero-token docs are absent
+    assert(!out.exists(_._1 == 3L))
+    // per-doc spans are contiguous and sum to n_tokens
+    for (d <- Seq(1L, 2L, 4L, 5L)) {
+      val spans = out.filter(_._1 == d).sortBy(_._4)
+      assert(spans.map(s => s._6 - s._5).sum == spans.head._2)
+      assert(spans.sliding(2).forall {
+        case Array(a, b) => a._6 == b._5 && b._4 == a._4 + 1
+        case _ => true
+      })
+    }
+    // the stream tiles: every window span [bin*512, min(end,(bin+1)*512))
+    // is covered exactly once across docs
+    val total = out.map(s => s._6 - s._5).sum
+    assert(total == 100 + 500 + 1300 + 148)
+    // doc 4: tok_start 600, ends 1900 -> bins 1..3
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq(1L, 2L, 3L))
+    // doc 5 ends exactly at 2048 = 4*512: last bin is 3, not 4
+    assert(out.filter(_._1 == 5L).map(_._4).max == 3L)
+  }
+
+  test("sourceMix hits target proportions, binding stratum kept whole") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 4000).select(col("id"),
+      when(col("id") % 10 < 6, "en")
+        .when(col("id") % 10 < 9, "de").otherwise("fr").as("lang"))
+    // fr is binding: 400 rows / weight 0.25 = 1600 < en 2400/0.5, de 1200/0.25
+    val kept = Sampling.sourceMix(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val by = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // binding stratum survives entirely (rate 1.0 -> threshold "g")
+    assert(by("fr") == 400L)
+    // others land near weight * t (hash draw: allow a few percent)
+    assert(math.abs(by("en") - 800L) < 80)
+    assert(math.abs(by("de") - 400L) < 60)
+    // deterministic: same input, same rows
+    val again = Sampling.sourceMix(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
 }
