@@ -181,13 +181,24 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
     val means = (1 to dim).map(i =>
       avg(element_at(col(vecCol), i).cast("double")).as(s"__m$i"))
+    // each iteration COLLECTS its k x dim result and re-enters the next
+    // iteration as a literal frame: centroids are a plan parameter
+    // (like the IVF probe cell list), and left lazy the foldLeft nests
+    // iteration i's corpus-scale assignment inside iteration i+1's
+    // plan — every downstream action then re-runs ALL previous Lloyd
+    // passes (measured: q72's 2-iteration chain re-computed pass 1
+    // inside pass 2, inside the index write, inside the probe). With
+    // the literal, each corpus pass executes exactly once and the plan
+    // depth stays constant at any iteration count.
     (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      vectors.select(col(idCol), col(vecCol))
+      val next = vectors.select(col(idCol), col(vecCol))
         .join(assignCells(vectors, centroids, idCol, vecCol, dim), idCol)
         .groupBy("cell_id")
         .agg(means.head, means.tail: _*)
         .select(col("cell_id"),
           array((1 to dim).map(i => col(s"__m$i")): _*).as("centroid"))
+      vectors.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
   }
 

@@ -209,11 +209,12 @@ object SimilarityQueries extends QueryPack {
   val q72 = Q("q72_kmeans_ivf",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      // tiny (k × dim) but consumed by three downstream plans (index
-      // write assignment, probe, and the 2-iteration lineage behind
-      // it) — persist so the corpus-scale Lloyd passes run once
+      // kmeansCentroids returns a k × dim LITERAL frame (each Lloyd
+      // pass collects its centroids), so the three downstream plans
+      // (index write assignment, probe, search) re-read k rows, not
+      // the iteration lineage — no persist needed
       val centroids = Similarity.kmeansCentroids(
-        emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64).persist()
+        emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
       val idxPath = s"${sys.props("java.io.tmpdir")}/graft_q72_ivf"
       Similarity.writeIvfIndex(emb, centroids, "vec_id", "embedding",
         idxPath)
