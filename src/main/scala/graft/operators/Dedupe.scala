@@ -606,4 +606,59 @@ object Dedupe {
         ColumnBridge.expression(
           TextAnalysis.capDoc(col(textCol), maxDocChars)))).as("simhash"))
   }
+
+  /** One row per fixed-width word segment of each document: (doc,
+    * seg_idx, seg). The last segment of a document may be shorter than
+    * `segWords`; an empty-string text still yields one (empty) segment,
+    * so every non-null doc appears. Pure codegen'd front (one explode,
+    * no shuffle).
+    */
+  def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    val ws = words(col(textCol))
+    val nseg = ceil(size(ws).cast("double") / segWords).cast("int")
+    docs.select(col(idCol).as("doc"),
+      posexplode(transform(sequence(lit(0), greatest(nseg, lit(1)) - 1),
+        i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
+      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
+      .withColumn("seg_idx", col("seg_idx").cast("long"))
+  }
+
+  /** Cross-document duplicated-segment removal (the CCNet/RefinedWeb
+    * paragraph-dedup stage, reference-corpus boilerplate killer): split
+    * each document into consecutive `segWords`-word segments, find
+    * segments that occur in >= `minDocs` DISTINCT documents, and
+    * re-assemble each document from only its non-duplicated segments
+    * (original order). Output: (doc, n_seg, n_dup_seg, kept_text).
+    *
+    * Scale shape (100 TB): the duplicate decision shuffles ONLY the
+    * 32-char md5 of each segment (map-side partial agg collapses
+    * within-partition repeats before the exchange); the rebuild is the
+    * one unavoidable shuffle of segment text back to its document — the
+    * same volume a plain groupBy(doc) of the corpus would move. The
+    * segment lineage is recomputed for the two consumers rather than
+    * persisted: two narrow scans beat caching a corpus-sized explode
+    * (and stay safe under concurrent AQE stage submission — see
+    * SCALING.md on the persist cache race). With a known-small
+    * duplicate set, the join could become a broadcast/Bloom in-row
+    * lookup (the q65 pattern); the equi-join form here assumes nothing.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val segRows = segmentRows(docs, idCol, textCol, segWords)
+    val dupHashes = segRows
+      .groupBy(md5(col("seg")).as("seg_h"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    segRows.withColumn("seg_h", md5(col("seg")))
+      .join(dupHashes, Seq("seg_h"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        count(col("n_docs")).as("n_dup_seg"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("n_docs").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s("seg")), " "), lit("")).as("kept_text"))
+  }
 }

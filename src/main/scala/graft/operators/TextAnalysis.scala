@@ -279,6 +279,52 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ip"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"))
 
+  /** Frozen "pretrained" unigram LM table: word → -log2 p scaled by
+    * 1024 (fixed-point bits). Weights are md5-derived — deterministic
+    * stand-ins for a trained table, playing the role of CCNet's
+    * downloaded KenLM: the MODEL IS A CONSTANT SHIPPED WITH THE JOB,
+    * never learned from the corpus being scored. Every value is an
+    * integer multiple of 1/1024 bit, so per-document sums are exact
+    * integers — identical at any reduction order or partitioning.
+    */
+  val pretrainedUnigramFp: Map[String, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("a", "agg", "batch", "big", "column", "customer", "data", "dup",
+      "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+      "order", "part", "query", "row", "scan", "slow", "small", "sort",
+      "spark", "stream", "table", "the", "value", "vector", "window")
+      .map { w =>
+        md.reset()
+        val hex = md.digest(w.getBytes("UTF-8"))
+          .take(2).map(b => f"${b & 0xff}%02x").mkString
+        w -> -(1024L + java.lang.Long.parseLong(hex.take(3), 16))
+      }.toMap
+  }
+
+  /** Out-of-vocabulary penalty: -16 bits in the same fixed point. */
+  final val UnigramOovFp: Long = -16L * 1024L
+
+  /** Per-document unigram-LM quality score (the CCNet perplexity
+    * filter): total fixed-point log2-likelihood via the codegen'd
+    * [[graft.functions.UnigramScoreExpr]] (one per-row loop, vocabulary
+    * as an in-expression broadcast, zero shuffle), averaged per token.
+    * The average divides an EXACT integer sum, so the double is
+    * deterministic and the keep/drop decision engine-independent.
+    */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabFp: Map[String, Long] = pretrainedUnigramFp,
+      oovFp: Long = UnigramOovFp, keepBits: Double = -3.0): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("doc"),
+        size(Dedupe.words(col(textCol))).cast("long").as("n_tokens"),
+        ColumnBridge.column(graft.functions.UnigramScoreExpr(
+          ColumnBridge.expression(col(textCol)), vocabFp, oovFp))
+          .as("sum_fp"))
+      .withColumn("avg_bits",
+        (col("sum_fp").cast("double") / lit(1024.0)) / col("n_tokens"))
+      .withColumn("keep", col("avg_bits") >= lit(keepBits))
+  }
+
   private[graft] def winnowFingerprintsWindowed(docs: DataFrame,
       idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc").orderBy("p")

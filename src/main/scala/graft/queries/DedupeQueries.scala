@@ -377,6 +377,35 @@ object DedupeQueries extends QueryPack {
                  bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3))
               AS BIGINT) <= 3"""))
 
+  /** Cross-document duplicated-segment removal (CCNet/RefinedWeb
+    * paragraph dedup on a newline-free corpus): 10-word segments,
+    * segments occurring in >= 2 distinct docs are dropped, documents
+    * re-assembled from the surviving segments in order. The duplicate
+    * decision shuffles only segment md5s; the rebuild shuffle is the
+    * same volume as any groupBy(doc) over the corpus.
+    */
+  val q75 = Q("q75_segment_dedup",
+    (s, dir) => Dedupe.segmentDedup(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      segWords = 10, minDocs = 2),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      seg AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+               array_to_string(w[(u.i*10+1):(u.i*10+10)], ' ') AS seg
+        FROM t CROSS JOIN UNNEST(
+          range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+      d AS (SELECT md5(seg) AS seg_h, count(DISTINCT doc_id) AS n_docs
+            FROM seg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+      SELECT doc_id AS doc,
+        count(*) AS n_seg,
+        count(d.n_docs) AS n_dup_seg,
+        coalesce(string_agg(CASE WHEN d.n_docs IS NULL THEN seg END,
+                            ' ' ORDER BY seg_idx), '') AS kept_text
+      FROM seg LEFT JOIN d ON md5(seg.seg) = d.seg_h
+      GROUP BY doc_id"""))
+
   override def all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69)
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75)
 }

@@ -56,5 +56,26 @@ object MaintenanceQueries extends QueryPack {
              license_version, license_url
       FROM r"""))
 
-  override def all: Seq[Q] = Seq(q58)
+  /** Z-order (Morton) layout: lineitem clustered on
+    * (l_partkey, l_suppkey) — the two-dimensional file-pruning layout a
+    * 100 TB OPTIMIZE ZORDER rewrite would produce. The oracle computes
+    * the identical interleave from the SAME (shift, mask) step table
+    * rendered to SQL — single source of truth
+    * ([[graft.operators.Layout.spreadSql]]).
+    */
+  val q77 = Q("q77_zorder",
+    (s, dir) => graft.operators.Layout.zOrdered(
+        Tables(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), bucketBits = 6)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("z"), col("z_bucket")),
+    Some(s"""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z,
+        (${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} >> 26)
+          AS z_bucket
+      FROM lineitem"""))
+
+  override def all: Seq[Q] = Seq(q58, q77)
 }

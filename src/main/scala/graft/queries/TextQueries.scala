@@ -296,6 +296,33 @@ object TextQueries extends QueryPack {
       FROM documents"""
     })
 
+  private val lmValues = TextAnalysis.pretrainedUnigramFp.toSeq.sorted
+    .map { case (w, fp) => s"('$w', ${fp}::BIGINT)" }.mkString(", ")
+
+  /** Unigram-LM quality score (the CCNet perplexity filter): frozen
+    * fixed-point log2-prob table (generated into the oracle's VALUES
+    * from the SAME Scala map the expression carries — single source of
+    * truth), OOV penalty, per-token average, keep/drop threshold. The
+    * Spark side is ONE codegen'd per-row loop (zero shuffle); the
+    * oracle is the explode + vocab-join formulation it replaces.
+    */
+  val q78 = Q("q78_unigram_lm",
+    (s, dir) => TextAnalysis.unigramLmScore(
+      Tables(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""
+      WITH v(word, fp) AS (VALUES $lmValues),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+      sc AS (SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(coalesce(v.fp, ${TextAnalysis.UnigramOovFp}))
+                 AS BIGINT) AS sum_fp
+             FROM t LEFT JOIN v USING (word)
+             GROUP BY doc_id)
+      SELECT doc_id AS doc, n_tokens, sum_fp,
+        (CAST(sum_fp AS DOUBLE) / 1024.0) / n_tokens AS avg_bits,
+        (CAST(sum_fp AS DOUBLE) / 1024.0) / n_tokens >= -3.0 AS keep
+      FROM sc"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71)
+    q71, q78)
 }

@@ -987,4 +987,44 @@ class OperatorSpec extends SparkSpec {
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
+
+  test("segmentDedup drops cross-doc duplicated segments, keeps order") {
+    import spark.implicits._
+    import graft.operators.Dedupe
+    // 4-word segments; docs 1 and 2 share their first segment
+    // ("w1 w2 w3 w4"); doc 3 is all-unique; doc 4 duplicates doc 1
+    // entirely (both segments drop from both docs).
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 a b c d"),
+      (2L, "w1 w2 w3 w4 x y z q"),
+      (3L, "only unique words here live"),
+      (4L, "w1 w2 w3 w4 a b c d")).toDF("doc_id", "text")
+    val out = Dedupe.segmentDedup(docs, "doc_id", "text", segWords = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 2L, "")))
+    assert(out(1) == ((2L, 2L, 1L, "x y z q")))
+    // last partial segment ("live") survives as its own 1-word segment
+    assert(out(2) == ((3L, 2L, 0L, "only unique words here live")))
+    assert(out(3) == ((4L, 2L, 2L, "")))
+  }
+
+  test("unigramLmScore: exact fixed-point sums, OOV penalty, keep flag") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val fpTable = TextAnalysis.pretrainedUnigramFp
+    val docs = Seq(
+      (1L, "spark table"),              // all in-vocab
+      (2L, "spark zzz_not_in_vocab"),   // one OOV
+      (3L, "zzz aaa bbb")               // all OOV -> avg -16 bits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val exp1 = fpTable("spark") + fpTable("table")
+    assert(out(0) == ((1L, 2L, exp1, exp1 / 1024.0 / 2, exp1 / 1024.0 / 2 >= -3.0)))
+    val exp2 = fpTable("spark") + TextAnalysis.UnigramOovFp
+    assert(out(1)._3 == exp2)
+    assert(out(2) == ((3L, 3L, -16384L * 3, -16.0, false)))
+    // every table weight is a multiple of 1/1024 in [-6, -1) bits
+    assert(fpTable.values.forall(v => v <= -1024 && v > -6 * 1024))
+  }
 }
