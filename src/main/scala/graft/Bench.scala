@@ -50,10 +50,48 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+    // ---- Contention gate (r9 postmortem): the >5x-best re-run trigger
+    // below cannot fire when EVERY run is equally contended — BENCH_r09's
+    // medians were 2-8x inflated with no single-run outlier to catch.
+    // Two defenses, both machine-readable in the artifact:
+    //  (a) gate suite start on 1-min loadavg: spin-wait (up to
+    //      SPARK_GRAFT_BENCH_WAIT_SEC, default 300s) for load below
+    //      SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0); if the machine never
+    //      quiets, proceed but stamp "contended":true at top level;
+    //  (b) a fixed pure-CPU calibration probe (xxhash64 over a range —
+    //      no IO, saturates all cores, so co-tenant CPU load inflates it
+    //      proportionally) timed before the suite and re-timed every ~10
+    //      queries. Probe drift vs its own best converts observed load
+    //      into a per-segment discount the judge can apply without a
+    //      hand re-run.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    val waitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "300").toInt
+    val gateT0 = System.nanoTime()
+    var gateLoad = loadAvg()
+    while (gateLoad > loadMax && (System.nanoTime() - gateT0) / 1e9 < waitMax) {
+      System.err.println(f"bench gate: loadavg $gateLoad%.1f > $loadMax%.1f, waiting...")
+      Thread.sleep(5000)
+      gateLoad = loadAvg()
+    }
+    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
+    val gateContended = gateLoad > loadMax
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
+        .select(xxhash64(col("id")).as("h")).agg(sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateOnce() // codegen warm-up, untimed
+    val calBase = (1 to 3).map(_ => calibrateOnce()).min
+    // (afterIndex, sec, load) — probe after every 10th query
+    val calProbes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var queryIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      queryIdx += 1
+      if (queryIdx % 10 == 0) calProbes += ((queryIdx, calibrateOnce(), loadAvg()))
       def runOnce(): (Double, Long, Double) = {
         // clear persisted frames BEFORE timing (no run may hit a cache
         // left by a previous run of the same query)
@@ -199,7 +237,20 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => medianOf(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$b3,"errors":$errs,"sf":"$sfDir"}""")
+    // closing probe so the last segment is covered too
+    calProbes += ((queryIdx, calibrateOnce(), loadAvg()))
+    // drift denominator = fastest calibration observed anywhere in the
+    // run (the start-of-suite base can itself be inflated if contention
+    // ends mid-suite; the overall min is the best quiet estimate)
+    val calMin = (calBase +: calProbes.map(_._2).toSeq).min
+    val maxDrift = if (calProbes.isEmpty) 1.0
+      else calProbes.map(_._2).max / calMin
+    // contended = the gate never saw a quiet machine OR any mid-suite
+    // probe ran >2x its quiet-start baseline — either way the medians
+    // in this artifact should not be read as clean-machine numbers.
+    val contended = gateContended || maxDrift > 2.0
+    val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calJson,"queries":$qs,$b3,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
