@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PercentileDiscAgg].getName,
         "percentile_disc_exact"),
       PercentileDiscAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName,
+        "kmv_distinct"),
+      graft.functions.KmvSketchAgg.builder))
     GraftExtensions.scalarFns.foreach { case (name, cls, builder) =>
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
@@ -116,5 +121,6 @@ object GraftExtensions {
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
     PercentileDiscAgg.register(spark)
+    graft.functions.KmvSketchAgg.register(spark)
   }
 }

@@ -35,4 +35,20 @@ object Sketches {
     distinctSketch(df, groupCols, valueCol)
       .select(groupCols.map(col) :+
         estimate(col("sketch")).cast("long").as("approx_distinct"): _*)
+
+  /** KMV (bottom-k) distinct estimate per group — the sketch whose
+    * estimate IS portable SQL ("the k smallest md5 values"), so unlike
+    * the HLL path this one is oracle-checkable bit-for-bit (q76). Same
+    * mergeable partial-aggregation shape as HLL: each partition
+    * exchanges at most k longs per group. See
+    * [[graft.functions.KmvSketchAgg]].
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int = 64): DataFrame = {
+    graft.functions.KmvSketchAgg.register(df.sparkSession)
+    df.select(groupCols.map(col) :+
+        graft.functions.KmvSketchAgg.hash60(col(valueCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_distinct(__h, $k)").as("est_distinct"))
+  }
 }

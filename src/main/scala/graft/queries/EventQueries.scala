@@ -75,6 +75,35 @@ object EventQueries extends QueryPack {
       Tables(s, dir, "events"), Seq("event_type"), "user_id"),
     None)
 
+  /** KMV (bottom-k) distinct sketch (Sketches.kmvDistinct /
+    * functions.KmvSketchAgg) — the sketch whose estimate is portable
+    * SQL: both engines take the k=64 smallest 60-bit md5-prefix hashes
+    * of user_id per event_type and apply the (k-1)/v_k bottom-k
+    * estimator, with the operation order in the double arithmetic
+    * matched exactly so the estimate hash-matches bit-for-bit. The
+    * Spark side is a mergeable TypedImperativeAggregate (k longs of
+    * state per group per partition, map-side partials); the oracle
+    * materializes the same k-th smallest hash via a window rank.
+    */
+  val q76 = Q("q76_kmv_distinct",
+    (s, dir) => graft.operators.Sketches.kmvDistinct(
+      Tables(s, dir, "events"), Seq("event_type"), "user_id", k = 64),
+    Some("""
+      WITH h AS (SELECT DISTINCT event_type,
+          CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+        FROM events),
+      r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM h)
+      SELECT event_type,
+             CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) /
+                       (CAST(h AS DOUBLE) / pow(2.0, 60))
+             END AS est_distinct
+      FROM r WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END"""))
+
   /** As-of join (TemporalJoins.asOfJoin): attribute every purchase to
     * the user's most recent view at or before it — the classic
     * attribution shape. One tagged union + keyed shuffle-sort + running
@@ -176,5 +205,5 @@ object EventQueries extends QueryPack {
       SELECT sp.user_id, sp.day, w.window_id
       FROM sp JOIN w ON sp.slo_us < w.whi_us AND w.wlo_us < sp.shi_us"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70)
+  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70, q76)
 }

@@ -248,6 +248,34 @@ class OperatorSpec extends SparkSpec {
       halves.exceptAll(whole).isEmpty)
   }
 
+  test("KMV sketch: bounded error, partition invariance, exact below k") {
+    import graft.operators.Sketches
+    val e = Tables(spark, sfDir, "events")
+    // error bound: bottom-k at k=64 has RSE ~ 1/sqrt(k-2) ~ 12.7%;
+    // allow 3 sigma
+    val approx = Sketches.kmvDistinct(e, Seq("event_type"), "user_id", 64)
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val j = approx.join(exact, "event_type")
+      .select(col("est_distinct").as("a"), col("exact").cast("double").as("x"))
+    assert(j.filter(abs(col("a") - col("x")) / col("x") > 0.38).count() == 0)
+    // merge correctness: the estimate is a pure function of the input
+    // SET, so any repartitioning (different partial-aggregation merge
+    // order) must produce bit-identical estimates
+    val a1 = approx.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a2 = Sketches.kmvDistinct(e.repartition(3, col("user_id")),
+        Seq("event_type"), "user_id", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a1 == a2)
+    // below k distinct values the sketch IS the exact count
+    val small = e.filter(col("user_id") < 20)
+    val smallExact = small.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).cast("double").as("x"))
+    val smallKmv = Sketches.kmvDistinct(small, Seq("event_type"), "user_id", 64)
+    assert(smallKmv.join(smallExact, "event_type")
+      .filter(col("est_distinct") =!= col("x")).count() == 0)
+  }
+
   test("top_k_rows bounded-heap aggregate equals the window form") {
     graft.functions.TopKRowsAgg.register(spark)
     val e = Tables(spark, sfDir, "events")
