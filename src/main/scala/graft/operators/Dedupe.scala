@@ -610,14 +610,16 @@ object Dedupe {
   /** One row per fixed-width word segment of each document: (doc,
     * seg_idx, seg). The last segment of a document may be shorter than
     * `segWords`; an empty-string text still yields one (empty) segment,
-    * so every non-null doc appears. Pure codegen'd front (one explode,
-    * no shuffle).
+    * so every non-null doc appears. NULL texts are dropped (matching
+    * SQL's unnest-of-NULL semantics — without the filter a null text
+    * would emit one (doc, 0, null) segment via greatest(null,1)=1).
+    * Pure codegen'd front (one explode, no shuffle).
     */
   def segmentRows(docs: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
     val ws = words(col(textCol))
     val nseg = ceil(size(ws).cast("double") / segWords).cast("int")
-    docs.select(col(idCol).as("doc"),
+    docs.filter(col(textCol).isNotNull).select(col(idCol).as("doc"),
       posexplode(transform(sequence(lit(0), greatest(nseg, lit(1)) - 1),
         i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))))
       .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))

@@ -315,7 +315,9 @@ object TextAnalysis {
       vocabFp: Map[String, Long] = pretrainedUnigramFp,
       oovFp: Long = UnigramOovFp, keepBits: Double = -3.0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    docs.select(col(idCol).as("doc"),
+    // null texts are dropped (SQL unnest-of-NULL semantics: a null doc
+    // has no tokens, not a null score row)
+    docs.filter(col(textCol).isNotNull).select(col(idCol).as("doc"),
         size(Dedupe.words(col(textCol))).cast("long").as("n_tokens"),
         ColumnBridge.column(graft.functions.UnigramScoreExpr(
           ColumnBridge.expression(col(textCol)), vocabFp, oovFp))

@@ -63,18 +63,22 @@ object MaintenanceQueries extends QueryPack {
     * rendered to SQL — single source of truth
     * ([[graft.operators.Layout.spreadSql]]).
     */
+  // one constant drives BOTH the Spark plan and the oracle's shift —
+  // editing either side alone can no longer break parity
+  private val zBucketBits = 6
+
   val q77 = Q("q77_zorder",
     (s, dir) => graft.operators.Layout.zOrdered(
         Tables(s, dir, "lineitem"),
-        col("l_partkey"), col("l_suppkey"), bucketBits = 6)
+        col("l_partkey"), col("l_suppkey"), bucketBits = zBucketBits)
       .select(col("l_orderkey"), col("l_linenumber").cast("long")
           .as("l_linenumber"),
         col("z"), col("z_bucket")),
     Some(s"""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z,
-        (${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} >> 26)
-          AS z_bucket
+        (${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")}
+          >> ${32 - zBucketBits}) AS z_bucket
       FROM lineitem"""))
 
   override def all: Seq[Q] = Seq(q58, q77)

@@ -61,4 +61,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root, Some(1L))
       .filter(col("meta_data").isNull).count() == 4)
   }
+
+  test("writeZordered round-trip: per-file z ranges are disjoint and " +
+    "files are internally sorted") {
+    import graft.operators.Layout
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString + "/t"
+    val df = Tables(spark, sfDir, "lineitem")
+    Layout.writeZordered(df, col("l_partkey"), col("l_suppkey"),
+      numFiles = 4, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == df.count())
+    // z recomputed from the keys matches the stored z (layout did not
+    // corrupt data)
+    assert(back.filter(
+      Layout.zValue(col("l_partkey"), col("l_suppkey")) =!= col("z"))
+      .count() == 0)
+    // per-file [min(z), max(z)] ranges must not overlap — that
+    // disjointness IS what makes min/max file pruning effective
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)                   // actually split files
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
 }
