@@ -11,32 +11,80 @@ import org.apache.spark.sql.functions._
   * Pandas `mapInPandas` UDF — one iterator per partition so a real
   * decoder could amortize model/codec init across the batch).
   *
-  * The decode itself is a DETERMINISTIC STUB (this container has no
-  * image/audio codecs): byte length, md5 fingerprint, and fake
-  * dimensions derived from the digest. The Spark-side contract —
-  * schema, partitioning, batch iteration, typed output — is real and
-  * tested; swap `decodeStub` for a codec call in production.
+  * Image decode is REAL for the formats the JVM ships codecs for
+  * (PNG/JPEG/GIF/BMP/WBMP via `javax.imageio` — no external
+  * dependency): header-only parse, true width/height/channels, never
+  * materializing the raster. Payloads no registered reader recognizes
+  * (audio, video, arbitrary bytes) fall back to the DETERMINISTIC STUB:
+  * byte length, md5 fingerprint, digest-derived fake dimensions — the
+  * schema/partitioning/batch contract stays identical either way, so
+  * swapping in further codecs is a per-format addition, not a rewrite.
   */
 object Multimodal {
 
   /** A media payload row: opaque bytes + source metadata. */
   case class MediaBlob(id: Long, kind: String, content: Array[Byte])
 
-  /** Decoded metadata (what a real decoder would emit: dimensions,
-    * duration, fingerprint…).
+  /** Decoded metadata. `decoder` records provenance: an imageio format
+    * name ("png", "jpeg", …) for real decodes, "stub" otherwise;
+    * `channels` is the color band count (real) or 3 (stub default).
     */
   case class DecodedMeta(id: Long, kind: String, n_bytes: Long,
-      fingerprint: String, width: Int, height: Int)
+      fingerprint: String, width: Int, height: Int, channels: Int,
+      decoder: String)
 
   /** Deterministic fake decode of one payload. */
   def decodeStub(b: MediaBlob): DecodedMeta = {
     val md = MessageDigest.getInstance("MD5").digest(b.content)
     val hex = md.map("%02x".format(_)).mkString
     // fake dimensions from the first digest bytes — stands in for the
-    // codec's real width/height until a decoder library is present
+    // codec's real width/height for formats with no JVM decoder
     val w = 64 + (((md(0) & 0xff) << 8 | (md(1) & 0xff)) % 1920)
     val h = 64 + (((md(2) & 0xff) << 8 | (md(3) & 0xff)) % 1080)
-    DecodedMeta(b.id, b.kind, b.content.length.toLong, hex, w, h)
+    DecodedMeta(b.id, b.kind, b.content.length.toLong, hex, w, h, 3, "stub")
+  }
+
+  /** Header-only image probe via `javax.imageio`: (width, height,
+    * channels, format) if any registered reader recognizes the payload.
+    * Reads ONLY the header — at 100 TB the metadata pass must not
+    * decode rasters — and uses a memory-backed stream (the default
+    * `createImageInputStream` spills to a temp FILE per payload).
+    */
+  private[operators] def imageMeta(content: Array[Byte])
+      : Option[(Int, Int, Int, String)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val raw = r.getRawImageType(0)
+          val ch = if (raw != null) raw.getNumBands
+            else r.getImageTypes(0).next().getNumBands
+          Some((w, h, ch, r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch {
+      // a recognized prefix with a corrupt header is still a stub row,
+      // not a task failure (quarantine-over-crash, same policy as S6)
+      case _: java.io.IOException => None
+    } finally iis.close()
+  }
+
+  /** One payload: real image header decode when a JVM codec matches,
+    * deterministic stub otherwise.
+    */
+  def decodeOne(b: MediaBlob): DecodedMeta = imageMeta(b.content) match {
+    case Some((w, h, ch, fmt)) =>
+      val md = MessageDigest.getInstance("MD5").digest(b.content)
+      DecodedMeta(b.id, b.kind, b.content.length.toLong,
+        md.map("%02x".format(_)).mkString, w, h, ch, fmt)
+    case None => decodeStub(b)
   }
 
   /** Partition-batched decode: one iterator per partition (codec init
@@ -44,7 +92,7 @@ object Multimodal {
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[DecodedMeta] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions { iter => iter.map(decodeStub) }
+    blobs.mapPartitions { iter => iter.map(decodeOne) }
   }
 
   /** Build a MediaBlob dataset from any (id, kind, binary) DataFrame. */
@@ -67,10 +115,11 @@ object Multimodal {
   def resize(decoded: Dataset[DecodedMeta], blobs: Dataset[MediaBlob],
       maxW: Int, maxH: Int): Dataset[ResizedBlob] = {
     import blobs.sparkSession.implicits._
-    val joined = decoded.toDF().join(blobs.toDF().drop("kind"), "id")
-      .as[(Long, String, Long, String, Int, Int, Array[Byte])]
+    val joined = decoded.toDF().select("id", "kind", "width", "height")
+      .join(blobs.toDF().drop("kind"), "id")
+      .as[(Long, String, Int, Int, Array[Byte])]
     joined.mapPartitions { iter =>
-      iter.map { case (id, kind, _, _, w, h, content) =>
+      iter.map { case (id, kind, w, h, content) =>
         val scale = math.min(1.0,
           math.min(maxW.toDouble / w, maxH.toDouble / h))
         ResizedBlob(id, kind, (w * scale).toInt, (h * scale).toInt,

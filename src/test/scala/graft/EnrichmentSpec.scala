@@ -112,6 +112,47 @@ class EnrichmentSpec extends SparkSpec {
       viaExpr.exceptAll(decoded).isEmpty)
   }
 
+  test("multimodal decode reads real PNG/JPEG/GIF headers: true " +
+    "width/height/channels") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      img.setRGB(0, 0, 0xff8040)               // non-trivial pixel
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      // (id, bytes, expected (w, h, channels, decoder))
+      (1L, encode(123, 45, BufferedImage.TYPE_INT_RGB, "png"),
+        (123, 45, 3, "png")),
+      (2L, encode(64, 32, BufferedImage.TYPE_INT_ARGB, "png"),
+        (64, 32, 4, "png")),
+      (3L, encode(77, 19, BufferedImage.TYPE_INT_RGB, "jpg"),
+        (77, 19, 3, "jpeg")),
+      (4L, encode(50, 60, BufferedImage.TYPE_BYTE_GRAY, "gif"),
+        (50, 60, 1, "gif")))
+    val blobs = Multimodal.asBlobs(
+      payloads.map { case (id, b, _) => (id, "image", b) }
+        .toDF("id", "kind", "content"), "id", "kind", "content")
+    val decoded = Multimodal.decode(blobs).collect()
+      .map(d => d.id -> d).toMap
+    payloads.foreach { case (id, bytes, (w, h, ch, fmt)) =>
+      val d = decoded(id)
+      assert(d.width == w && d.height == h, s"id=$id dims")
+      assert(d.channels == ch, s"id=$id channels got ${d.channels}")
+      assert(d.decoder == fmt, s"id=$id decoder got ${d.decoder}")
+      assert(d.n_bytes == bytes.length)
+    }
+    // non-image bytes: stub fallback, digest-derived dims, flagged
+    val junk = Multimodal.decode(Multimodal.asBlobs(
+      Seq((9L, "audio", "definitely not an image".getBytes("UTF-8")))
+        .toDF("id", "kind", "content"), "id", "kind", "content"))
+      .collect().head
+    assert(junk.decoder == "stub" && junk.width >= 64 && junk.height >= 64)
+  }
+
   test("multimodal resize geometry, frame fan-out, stub embeddings") {
     val docs = Tables(spark, sfDir, "documents").limit(20)
     val blobs = Multimodal.asBlobs(
