@@ -462,8 +462,13 @@ object Dedupe {
     // folded round 0 here both materializes the lazy checkpoint and
     // lets a diameter-1 graph (pairs/stars — the common near-dup case)
     // converge after a single joined round.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // empty-graph sum is NULL → coalesce to 0 so an edgeless call
+      // (e.g. incrementalComponents with only intra-component edges)
+      // converges instead of NPE-ing on the compare
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
     var prevSum: java.math.BigDecimal = labelSum(labels)
     var converged = false
     var iter = 0
@@ -493,6 +498,69 @@ object Dedupe {
     // the returned frame keeps its (final-round) checkpoint: callers
     // typically consume it more than once (labels + cluster sizes)
     labels
+  }
+
+  /** Incremental connected components: fold a batch of NEW edges into
+    * an existing (node, label) assignment without re-propagating over
+    * the corpus graph.
+    *
+    * Key invariant of [[connectedComponents]]: a component's label IS
+    * its minimum node id. So each existing component can be CONTRACTED
+    * to the single vertex `label`, and the merge effect of the new
+    * edges is fully decided by components over the contracted graph:
+    * map each new-edge endpoint to its existing label (itself if the
+    * node is unseen), drop edges that stay inside one component, and
+    * run the iterative propagation over what remains — a frame of at
+    * most |new edges| rows, never the corpus. The resulting
+    * (old label → merged label) map then rewrites the corpus frame in
+    * ONE broadcast-joined narrow scan (the map is small — bounded by
+    * the number of components the batch touches — so no shuffle of the
+    * corpus labels), and unseen endpoints enter with their merged
+    * labels.
+    *
+    * Scale shape: 2 small joins to contract (new-edge endpoints ×
+    * corpus labels — the new side is the broadcast candidate under
+    * AQE), the O(diameter-of-contracted-graph) propagation over ≤
+    * |new edges| rows, and one narrow relabel scan of the corpus
+    * frame. Equal labels to a from-scratch run over old ∪ new edges
+    * (spec-asserted), at a per-batch cost independent of corpus edge
+    * count.
+    *
+    * Output: (node, label) for every node of `labels` plus every node
+    * appearing in `newEdges`.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val l = labels.select(col("node"), col("label"))
+    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // contract endpoints to their existing component labels
+    val la = l.select(col("node").as("a"), col("label").as("la"))
+    val lb = l.select(col("node").as("b"), col("label").as("lb"))
+    val contracted = e.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("ca"),
+        coalesce(col("lb"), col("b")).as("cb"))
+      .filter(col("ca") =!= col("cb"))
+    // components over the contracted graph: (old label or new node id)
+    // → merged label. connectedComponents returns it checkpointed, so
+    // the two consumers below (relabel join + new-node join) read
+    // materialized blocks, not the propagation lineage.
+    val merged = connectedComponents(contracted, "ca", "cb",
+      maxIter = maxIter)
+      .withColumnRenamed("node", "old_label")
+      .withColumnRenamed("label", "merged")
+    // corpus rewrite: one narrow scan, broadcast of the merge map
+    val updated = l.join(broadcast(merged),
+        l("label") === merged("old_label"), "left")
+      .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
+    // unseen endpoints: contracted id = the node itself. An unseen node
+    // whose every edge lands inside... cannot happen: its contracted
+    // edge keeps ca = node ≠ cb, so `merged` always covers it.
+    val ends = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct()
+    val newRows = ends.join(l, Seq("node"), "left_anti")
+      .join(broadcast(merged), col("node") === merged("old_label"))
+      .select(col("node"), col("merged").as("label"))
+    updated.union(newRows)
   }
 
   /** SimHash near-duplicate pairs: documents whose 64-bit simhashes

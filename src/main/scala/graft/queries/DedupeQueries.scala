@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import graft.core.CacheHandle
 import graft.operators.{Dedupe, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -129,42 +130,12 @@ object DedupeQueries extends QueryPack {
       JOIN sizes sb ON sb.doc = doc_b
       WHERE CAST(n_inter AS BIGINT) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= CAST(0.5 AS DOUBLE)"""))
 
-  /** Near-dup CLUSTER resolution — the stage after pair verification:
-    * verified pairs (the q25 output) become edges of an undirected
-    * graph; connected components assign every involved document the
-    * smallest reachable doc id as its cluster / keeper. Pairwise
-    * keep-min is wrong for transitive groups (a≈b, b≈c never compares
-    * a,c); components close the transitivity. Oracle = the same edge
-    * derivation + a recursive transitive-closure CTE (exact at oracle
-    * scale; the Spark side is the iterative O(diameter) propagation
-    * that survives 100 TB).
+  /** Shared by q59 (from-scratch) and q79 (incremental): the
+    * incremental path must produce EXACTLY the clusters a batch run
+    * over the full corpus would, so both check against the same
+    * recursive transitive-closure oracle.
     */
-  val q59 = Q("q59_dedup_clusters",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
-      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      // no persist on the verified pairs: connectedComponents' edge
-      // doubling is a single explode scan (r9 rewrite) and its doubled
-      // frame is persisted internally, so the verify pipeline has
-      // exactly ONE consumer — a persist here would only add a cache
-      // write. (The r7 regression — the whole minhash → verify
-      // pipeline materializing twice before round 0 — was the old
-      // two-arm union racing under AQE; see CacheHandle.eager.)
-      val pairs = Dedupe.verifyJaccardBySets(
-        cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
-      val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
-        distinctEdges = true)
-      // cluster size as a window over the label partition: ONE exchange
-      // and one read of the checkpointed labels, where the former
-      // groupBy + join read it twice through two shuffles
-      labels
-        .withColumn("cluster_size", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("label")))
-        .select(col("node").as("doc"), col("label").as("cluster"),
-          col("cluster_size"))
-    },
-    Some("""
+  private val dedupClustersOracle = """
       WITH RECURSIVE w AS (SELECT doc_id,
                string_split(substr(text, 1, 1048576), ' ') AS ws
              FROM documents),
@@ -204,7 +175,92 @@ object DedupeQueries extends QueryPack {
       lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
       cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
       SELECT lab.node AS doc, lab.cluster, cs.cluster_size
-      FROM lab JOIN cs ON cs.cluster = lab.cluster"""))
+      FROM lab JOIN cs ON cs.cluster = lab.cluster"""
+
+  /** Near-dup CLUSTER resolution — the stage after pair verification:
+    * verified pairs (the q25 output) become edges of an undirected
+    * graph; connected components assign every involved document the
+    * smallest reachable doc id as its cluster / keeper. Pairwise
+    * keep-min is wrong for transitive groups (a≈b, b≈c never compares
+    * a,c); components close the transitivity. Oracle = the same edge
+    * derivation + a recursive transitive-closure CTE (exact at oracle
+    * scale; the Spark side is the iterative O(diameter) propagation
+    * that survives 100 TB).
+    */
+  val q59 = Q("q59_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
+      // no persist on the verified pairs: connectedComponents' edge
+      // doubling is a single explode scan (r9 rewrite) and its doubled
+      // frame is persisted internally, so the verify pipeline has
+      // exactly ONE consumer — a persist here would only add a cache
+      // write. (The r7 regression — the whole minhash → verify
+      // pipeline materializing twice before round 0 — was the old
+      // two-arm union racing under AQE; see CacheHandle.eager.)
+      val pairs = Dedupe.verifyJaccardBySets(
+        cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
+        distinctEdges = true)
+      // cluster size as a window over the label partition: ONE exchange
+      // and one read of the checkpointed labels, where the former
+      // groupBy + join read it twice through two shuffles
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
+        .select(col("node").as("doc"), col("label").as("cluster"),
+          col("cluster_size"))
+    },
+    Some(dedupClustersOracle))
+
+  /** Incremental CLUSTER maintenance — the nightly-ingest shape end to
+    * end: the corpus (even doc ids) has materialized labels; a new
+    * batch (odd doc ids) arrives, is signed independently, and only
+    * its within-batch + batch-vs-corpus candidate pairs are verified.
+    * [[Dedupe.incrementalComponents]] folds those new edges in by
+    * contracting existing components to their labels — corpus labels
+    * are rewritten in one broadcast-joined scan, never re-propagated.
+    *
+    * LSH banding is per-document deterministic, so (within-corpus ∪
+    * within-batch ∪ cross) candidates = exactly the full-corpus
+    * candidate set — which is why this checks against the SAME oracle
+    * as q59: incremental must be indistinguishable from from-scratch.
+    */
+  val q79 = Q("q79_incremental_clusters",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      // "yesterday": corpus signatures + labels are the materialized
+      // state a real pipeline reads back, not per-run work
+      val corpusSig = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16).persist()))
+      val corpusPairs = Dedupe.verifyJaccardBySets(
+        Dedupe.minhashCandidates(corpusSig, 16, 4),
+        docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val corpusLabels = Dedupe.connectedComponents(corpusPairs,
+        "doc_a", "doc_b", distinctEdges = true)
+      // "tonight": sign only the batch, find its new edges, fold in
+      val batchSig = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashWide(batch, "doc_id", "text", 3, 16).persist()))
+      val cross = Dedupe.minhashCandidatesAgainst(batchSig, corpusSig, 16, 4)
+        .select(least(col("new_doc"), col("corpus_doc")).as("doc_a"),
+          greatest(col("new_doc"), col("corpus_doc")).as("doc_b"))
+      val newCand = Dedupe.minhashCandidates(batchSig, 16, 4)
+        .select("doc_a", "doc_b")
+        .union(cross) // disjoint arms (odd-odd vs odd-even): no dedup
+      val newPairs = Dedupe.verifyJaccardBySets(newCand,
+        docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val labels = Dedupe.incrementalComponents(corpusLabels, newPairs,
+        "doc_a", "doc_b")
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
+        .select(col("node").as("doc"), col("label").as("cluster"),
+          col("cluster_size"))
+    },
+    Some(dedupClustersOracle))
 
   /** Incremental dedup: LSH candidates between a NEW batch (every 4th
     * document — a large nightly ingest) and the EXISTING corpus, from
@@ -407,5 +463,5 @@ object DedupeQueries extends QueryPack {
       GROUP BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75)
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79)
 }

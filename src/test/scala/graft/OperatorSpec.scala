@@ -696,6 +696,36 @@ class OperatorSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("incremental components equal a from-scratch run over old ∪ new") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("node").as[(Long, Long)].collect().toSeq
+    // old graph: component {1,2,3}, component {7,8}, singleton pair
+    // {20,21}, far component {40,41}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (20L, 21L),
+      (40L, 41L)).toDF("a", "b")
+    // new batch exercises every merge shape at once:
+    //  (3,7)   — bridges two old components (labels 1 and 7 merge to 1)
+    //  (8,50)  — unseen node joins an old component
+    //  (60,61) — brand-new component, both endpoints unseen
+    //  (20,21) — purely intra-component (must be a no-op)
+    //  (5,40)  — unseen node with id SMALLER than the old label: the
+    //            whole {40,41} component must relabel to 5
+    val newEdges = Seq((3L, 7L), (8L, 50L), (60L, 61L), (20L, 21L),
+      (5L, 40L)).toDF("a", "b")
+    val oldLabels = Dedupe.connectedComponents(oldEdges, "a", "b")
+    val inc = labelsOf(
+      Dedupe.incrementalComponents(oldLabels, newEdges, "a", "b"))
+    val batch = labelsOf(
+      Dedupe.connectedComponents(oldEdges.union(newEdges), "a", "b"))
+    assert(inc == batch)
+    assert(inc.toMap.apply(41L) == 5L) // old component took the new min
+    // all-intra-component batch: contracted edge list is EMPTY — the
+    // null-sum guard must converge to the unchanged assignment
+    val noop = labelsOf(Dedupe.incrementalComponents(oldLabels,
+      Seq((1L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b"))
+    assert(noop == labelsOf(oldLabels))
+  }
+
   test("contamination: overlap fraction exact, below-threshold dropped") {
     // bench doc 100: "a b c d e f" → 3-shingles {abc,bcd,cde,def} (4)
     // corpus 1 copies it verbatim (4/4); corpus 2 shares abc,bcd via a
