@@ -193,6 +193,57 @@ object Dedupe {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** LSH candidate PAIRS only (no Jaccard estimate) via bucket
+    * grouping: band signatures collapse to (band, band_sig) buckets
+    * and each bucket emits its pairwise combinations in-row.
+    *
+    * vs [[minhashCandidates]]'s self-join: the signature pipeline has
+    * exactly ONE consumer here, so no persist / eager materialization
+    * job is needed (the self-join reads the banded frame on both
+    * aliased sides, which AQE races as concurrent stages), and the
+    * band shuffle moves each (doc, band, band_sig) row once instead
+    * of twice. One groupBy shuffle + one distinct shuffle, one job.
+    *
+    * Scale note: a bucket's doc list lives in one aggregation row, so
+    * memory is bounded by the largest LSH bucket. Buckets are identical
+    * band signatures — after exact dedup (run [[exactGroups]] first, as
+    * the reference pipeline does) that is the near-dup cluster size,
+    * and the pair EXPLOSION is n² in bucket size either way (the
+    * self-join emits the same n² rows). For corpora where giant
+    * identical-signature buckets must survive, use the self-join form.
+    * Callers needing est_jaccard (q24) also stay on minhashCandidates.
+    */
+  def minhashCandidatePairs(sigWide: DataFrame, numHashes: Int,
+      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = sigWide
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")),
+        "|"))
+      .select("doc", "band", "band_sig")
+    val buckets = bands.groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    // in-row i<j combinations of the sorted bucket: doc_a < doc_b by
+    // construction. A pair sharing several bands appears once per
+    // band; `dedup = false` skips the DISTINCT exchange for consumers
+    // that collapse duplicates anyway (NOT verifyJaccardOneJoin — its
+    // regroup counts rows, see its scaladoc).
+    val pairs = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("docs")) - 2),
+        i => transform(
+          sequence(i + 1, size(col("docs")) - 1),
+          j => struct(element_at(col("docs"), i + 1).as("doc_a"),
+            element_at(col("docs"), j + 1).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    if (dedup) pairs.distinct() else pairs
+  }
+
   /** Incremental cross-corpus LSH candidates: near-dup pairs between a
     * NEW batch and the EXISTING corpus, from their (independently
     * computed) wide signatures — the nightly-ingest shape, where the
@@ -357,6 +408,67 @@ object Dedupe {
       .join(sets.select(col("doc").as("doc_b"), col("shset").as("set_b")),
         "doc_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact Jaccard verification in ONE join: each candidate pair
+    * explodes into two role rows (a/b), the per-doc shingle-set frame
+    * is joined ONCE on doc, and a (doc_a, doc_b) regroup reassembles
+    * both sets in-row for the intersection.
+    *
+    * vs [[verifyJaccardBySets]]: that form joins the set frame twice
+    * (set_a, set_b), which forces a persist + eager materialization
+    * (two aliased consumers are concurrent AQE stages — each would
+    * re-run the corpus text scan and set build). Here the set frame
+    * has one consumer, so the whole verify is one job with no cached
+    * state: broadcast of the candidate doc ids, one equi-join, one
+    * pair regroup. Same output: pairs where both docs have non-empty
+    * shingle sets and exact Jaccard ≥ `minJaccard`.
+    *
+    * Pass `candidates` distinct (any groupBy/DISTINCT output) — a
+    * duplicated pair would double its role rows and corrupt the
+    * regroup's `n_sides` guard. (A countDistinct(role) guard would
+    * tolerate duplicates, but Spark plans distinct-aggregates with an
+    * Expand + an extra exchange that drags the shingle-set arrays
+    * through two shuffle phases — measured 2.8× slower at sf0.1 than
+    * deduplicating the tiny pair list upstream.)
+    */
+  def verifyJaccardOneJoin(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val sets = docs.select(col(idCol), col(textCol))
+      .join(broadcast(candDocs), Seq(idCol))
+      .select(col(idCol).as("doc"),
+        ColumnBridge.column(graft.functions.ShingleSetExpr(
+          ColumnBridge.expression(
+            TextAnalysis.capDoc(col(textCol), maxDocChars)),
+          shingleK)).as("shset"))
+      .filter(size(col("shset")) > 0)
+    val sides = candidates.select(col("doc_a"), col("doc_b"),
+        explode(array(
+          struct(col("doc_a").as("doc"), lit("a").as("role")),
+          struct(col("doc_b").as("doc"), lit("b").as("role")))).as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        col("s.doc").as("doc"), col("s.role").as("role"))
+    sides.join(sets, Seq("doc"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("role") === "a", col("shset")), ignoreNulls = true)
+          .as("set_a"),
+        first(when(col("role") === "b", col("shset")), ignoreNulls = true)
+          .as("set_b"),
+        count(lit(1)).as("n_sides"))
+      .filter(col("n_sides") === 2) // both docs had non-empty sets
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard", col("inter") /
         (size(col("set_a")) + size(col("set_b")) - col("inter"))
           .cast("double"))

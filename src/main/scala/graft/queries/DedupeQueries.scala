@@ -76,25 +76,25 @@ object DedupeQueries extends QueryPack {
   val q25 = Q("q25_ngram_jaccard",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // Plan shape: the corpus-scale stage is ONE narrow map — the
-      // codegen'd per-row MinHashSigExpr loop (no shingle explode, no
-      // signature shuffle); LSH banding prefilters to candidate PAIRS
-      // (persisted inside minhashCandidates — the aliased band
-      // self-join would otherwise run the signature scan twice);
-      // exact verification re-shingles only the candidate DOCUMENTS
-      // pulled from the base table — as in-row distinct-shingle sets
-      // (jaccard = one array_intersect per pair), persisted inside
-      // verifyJaccardBySets because the pair list joins it twice — so
-      // no second corpus-scale pass and no per-shingle join exists
-      // anywhere in the plan. Measured at sf0.1 (5,000 docs, r8): the
-      // candidate stage (q24) is ~1.0s and the whole query ~3.5s
-      // median cold — the verify adds ~2.5s across 5 small jobs
-      // (candidate-doc broadcast, set build, two pair joins), vs r7's
-      // 8.9s median / 78s outlier when the unpersisted set frame
-      // re-derived its shingle explode per consumer.
+      // Plan shape (r10): the corpus-scale stage is ONE narrow map —
+      // the codegen'd per-row MinHashSigExpr loop (no shingle explode,
+      // no signature shuffle) — feeding bucket-grouped candidate
+      // generation (minhashCandidatePairs: ONE consumer of the
+      // signature scan, no banded self-join, so the only cached state
+      // is the tiny pair list); exact verification re-shingles only
+      // the candidate DOCUMENTS pulled from the base table and joins
+      // the per-doc set frame ONCE (verifyJaccardOneJoin's pair
+      // explode + regroup), so no frame in the plan needs a second
+      // consumer and the whole verify is one job. The pair list is
+      // eagerly persisted — its two consumers (candidate-doc
+      // broadcast, role explode) are concurrent AQE stages that would
+      // otherwise each re-run the signature scan. Measured at sf0.1
+      // (5,000 docs): ~2.1s steady vs ~2.8s for the r8/r9
+      // self-join + two-join-verify form.
       val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
-      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
-      Dedupe.verifyJaccardBySets(cand, docs, "doc_id", "text",
+      val cand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sig, 16, 4).persist()))
+      Dedupe.verifyJaccardOneJoin(cand, docs, "doc_id", "text",
         shingleK = 3, minJaccard = 0.5)
     },
     Some("""
@@ -190,16 +190,17 @@ object DedupeQueries extends QueryPack {
   val q59 = Q("q59_dedup_clusters",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // r10 pipeline: bucket-grouped candidates (one consumer of the
+      // signature scan) + one-join verify — see q25's plan-shape note.
       val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
-      val cand = Dedupe.minhashCandidates(sig, 16, 4).persist()
+      val cand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sig, 16, 4).persist()))
       // no persist on the verified pairs: connectedComponents' edge
       // doubling is a single explode scan (r9 rewrite) and its doubled
       // frame is persisted internally, so the verify pipeline has
-      // exactly ONE consumer — a persist here would only add a cache
-      // write. (The r7 regression — the whole minhash → verify
-      // pipeline materializing twice before round 0 — was the old
-      // two-arm union racing under AQE; see CacheHandle.eager.)
-      val pairs = Dedupe.verifyJaccardBySets(
+      // exactly ONE consumer — the round-0 probe materializes
+      // verify + doubling + init in ONE job.
+      val pairs = Dedupe.verifyJaccardOneJoin(
         cand, docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
       val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
         distinctEdges = true)

@@ -18,11 +18,13 @@ object ProfileQ59 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROF_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PROF_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,6 +81,28 @@ object ProfileQ59 {
       time("sizes+join") {
         val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label").count()
+      }
+      // NEW pipeline: bucket-grouped candidate pairs + one-join verify
+      spark.catalog.clearCache()
+      time("NEW full") {
+        val fanned = docs
+        val sig2 = Dedupe.minhashWide(fanned, "doc_id", "text", 3, 16)
+        val cand2 = time("  NEW candidates") {
+          val c = Dedupe.minhashCandidatePairs(sig2, 16, 4).persist()
+          println(s"  cand=${c.count()}"); c
+        }
+        val pairs2 = Dedupe.verifyJaccardOneJoin(
+          cand2, fanned, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+        val labels2 = time("  NEW verify+cc") {
+          val l = Dedupe.connectedComponents(pairs2, "doc_a", "doc_b",
+            distinctEdges = true)
+          println(s"  labels=${l.count()}"); l
+        }
+        time("  NEW window") {
+          labels2.withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("label")))
+            .count()
+        }
       }
     }
     spark.stop()
