@@ -642,9 +642,17 @@ object Dedupe {
     * appearing in `newEdges`.
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 25,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
     val l = labels.select(col("node"), col("label"))
-    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // persist + MATERIALIZE the new-edge frame: it has TWO consumers
+    // below (`contracted` and the unseen-endpoint `ends`), and when the
+    // caller hands us a live verify pipeline a lazy persist would let
+    // the two consumers race as concurrent AQE stages, each recomputing
+    // the full candidate-verify lineage (measured 1.5x the whole q79
+    // wall time). The frame is |new edges| rows — tiny by definition.
+    val e = CacheHandle.eager(caches.track(
+      newEdges.select(col(aCol).as("a"), col(bCol).as("b")).persist()))
     // contract endpoints to their existing component labels
     val la = l.select(col("node").as("a"), col("label").as("la"))
     val lb = l.select(col("node").as("b"), col("label").as("lb"))

@@ -234,25 +234,46 @@ object DedupeQueries extends QueryPack {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       // "yesterday": corpus signatures + labels are the materialized
-      // state a real pipeline reads back, not per-run work
+      // state a real pipeline reads back, not per-run work. Both sig
+      // frames have TWO consumers (own-side candidates + the cross
+      // join), hence the eager persists; candidates use the r10
+      // bucket-grouped form + one-join verify (see q59) — no internal
+      // banded/set persists, so the whole corpus side is 3 jobs
+      // (sig materialize, candidate materialize, verify+CC round 0).
       val corpusSig = CacheHandle.eager(CacheHandle.session.track(
         Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16).persist()))
-      val corpusPairs = Dedupe.verifyJaccardBySets(
-        Dedupe.minhashCandidates(corpusSig, 16, 4),
-        docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
-      val corpusLabels = Dedupe.connectedComponents(corpusPairs,
-        "doc_a", "doc_b", distinctEdges = true)
-      // "tonight": sign only the batch, find its new edges, fold in
       val batchSig = CacheHandle.eager(CacheHandle.session.track(
         Dedupe.minhashWide(batch, "doc_id", "text", 3, 16).persist()))
+      // all three candidate arms (within-corpus, within-batch, cross)
+      // are pairwise disjoint by endpoint parity (even-even / odd-odd /
+      // mixed), so they union without dedup AND split back apart after
+      // verification — which lets ONE verify pass (one shingle-set
+      // build over the union of candidate docs, instead of two
+      // overlapping ones) serve both the corpus labels and the new
+      // edges. Persisted: verifyJaccardOneJoin reads its candidate
+      // frame twice (broadcast doc-id semi-join + the role-row
+      // explode).
       val cross = Dedupe.minhashCandidatesAgainst(batchSig, corpusSig, 16, 4)
         .select(least(col("new_doc"), col("corpus_doc")).as("doc_a"),
           greatest(col("new_doc"), col("corpus_doc")).as("doc_b"))
-      val newCand = Dedupe.minhashCandidates(batchSig, 16, 4)
-        .select("doc_a", "doc_b")
-        .union(cross) // disjoint arms (odd-odd vs odd-even): no dedup
-      val newPairs = Dedupe.verifyJaccardBySets(newCand,
-        docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val allCand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(corpusSig, 16, 4)
+          .union(Dedupe.minhashCandidatePairs(batchSig, 16, 4))
+          .union(cross)
+          .persist()))
+      // persisted: consumed by the corpus-side CC (even-even edges) and
+      // incrementalComponents (the rest)
+      val verified = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.verifyJaccardOneJoin(allCand,
+          docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+          .persist()))
+      val corpusPairs = verified.filter(
+        col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      val corpusLabels = Dedupe.connectedComponents(corpusPairs,
+        "doc_a", "doc_b", distinctEdges = true)
+      // "tonight": only the batch's new edges fold into the labels
+      val newPairs = verified.filter(
+        col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
       val labels = Dedupe.incrementalComponents(corpusLabels, newPairs,
         "doc_a", "doc_b")
       labels
