@@ -16,24 +16,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events table as the streaming source sees it
-    * (ts arrives as raw nanos — same normalization as Tables.apply).
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of an events directory (parquet files appearing over
     * time). On a cluster this is the S3 landing zone; locally the test
     * points it at the testdata file.
+    *
+    * Streaming sources require a declared schema, but the generator's
+    * physical encoding of `ts` has changed across testdata versions
+    * (legacy TIMESTAMP(NANOS)-as-long vs timestamp[us] NTZ), so
+    * hardcoding one is a time bomb: a mismatched declared type silently
+    * mis-reads the column. Instead take the schema from the files
+    * already in the landing dir (one driver-side footer read — the
+    * landing zone is seeded before the stream starts in every
+    * deployment shape here) and normalize `ts` with the same
+    * three-encoding branch as the batch path ([[graft.Tables.normalizeEventTs]]).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(dir))
+  }
 
   /** Tumbling 1-hour event-time aggregation with a watermark
     * (reingestion horizon analog: late rows beyond the horizon are
