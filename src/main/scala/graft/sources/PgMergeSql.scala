@@ -129,14 +129,26 @@ object PgMergeSql {
     *    belongs to a DIFFERENT logical key (J7's url-conflict filter);
     *  - conflict key `(provider, md5(foreign_identifier))` with one
     *    `DO UPDATE SET` fragment per non-no_change column.
+    *
+    * `conflictTarget` overrides the conflict key with plain columns for
+    * engines that reject expression targets (DuckDB: "Non-column index
+    * element not supported"). Explicit target columns are then also
+    * dropped from `DO UPDATE SET`: on a conflict they provably equal
+    * `EXCLUDED.*` (they ARE the match key), so the Postgres default's
+    * `c = COALESCE(EXCLUDED.c, old.c)` on them is a no-op — and engines
+    * like DuckDB refuse assignments to constrained columns outright.
     */
   def upsertSql(dbTable: String, loadTable: String,
       columns: Seq[(String, UpsertStrategy)] = imageColumns,
       urlCol: String = "url", fidCol: String = "foreign_identifier",
-      providerCol: String = "provider"): String = {
+      providerCol: String = "provider",
+      conflictTarget: Option[Seq[String]] = None): String = {
+    val target = conflictTarget.getOrElse(Seq(providerCol, s"md5($fidCol)"))
+    val keyCols = conflictTarget.getOrElse(Nil).toSet
     val inserts = columns.filterNot(_._1 == urlCol)
       .map { case (c, s) => (c, s.insertValue(c)) }
-    val conflicts = columns.flatMap { case (c, s) => s.conflictSql(c) }
+    val conflicts = columns.filterNot(c => keyCols(c._1))
+      .flatMap { case (c, s) => s.conflictSql(c) }
     s"""INSERT INTO $dbTable AS old
        |($urlCol, ${inserts.map(_._1).mkString(", ")})
        |SELECT DISTINCT ON ($urlCol) $urlCol,
@@ -146,7 +158,7 @@ object PgMergeSql {
        |  SELECT $urlCol FROM $dbTable
        |  WHERE $urlCol = new.$urlCol
        |    AND MD5($fidCol) <> MD5(new.$fidCol))
-       |ON CONFLICT ($providerCol, md5($fidCol))
+       |ON CONFLICT (${target.mkString(", ")})
        |DO UPDATE SET
        |${conflicts.mkString(",\n")}""".stripMargin
   }
