@@ -643,7 +643,8 @@ object Dedupe {
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25,
-      caches: CacheHandle = CacheHandle.session): DataFrame = {
+      caches: CacheHandle = CacheHandle.session,
+      inputMaterialized: Boolean = false): DataFrame = {
     val l = labels.select(col("node"), col("label"))
     // persist + MATERIALIZE the new-edge frame: it has TWO consumers
     // below (`contracted` and the unseen-endpoint `ends`), and when the
@@ -651,8 +652,14 @@ object Dedupe {
     // the two consumers race as concurrent AQE stages, each recomputing
     // the full candidate-verify lineage (measured 1.5x the whole q79
     // wall time). The frame is |new edges| rows — tiny by definition.
-    val e = CacheHandle.eager(caches.track(
-      newEdges.select(col(aCol).as("a"), col(bCol).as("b")).persist()))
+    // Callers whose newEdges is already a cheap read of materialized
+    // blocks (e.g. a filter over an eagerly-persisted verified-pair
+    // frame, q79) pass inputMaterialized = true and skip the extra
+    // copy + its materialization job: both consumers then re-read the
+    // parent cache, which cannot race lineage that no longer computes.
+    val projected = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = if (inputMaterialized) projected
+      else CacheHandle.eager(caches.track(projected.persist()))
     // contract endpoints to their existing component labels
     val la = l.select(col("node").as("a"), col("label").as("la"))
     val lb = l.select(col("node").as("b"), col("label").as("lb"))

@@ -66,9 +66,12 @@ object EventQueries extends QueryPack {
 
   /** Mergeable HLL distinct-count sketches (operators.Sketches). No
     * DuckDB oracle — sketch estimates are engine-specific — so the
-    * driver records the weaker rows-only check here; the hard
+    * driver records the weaker rows-only check here BY DESIGN (it is
+    * the suite's one intentional rows-only entry, not a gap); the hard
     * verification is OperatorSpec's 5% error bound against exact
-    * counts and the exact merge-identity property.
+    * counts and the exact merge-identity property. [[q76]] is the
+    * oracle-checked sketch twin: its KMV estimator is portable SQL and
+    * hash-matches DuckDB bit-for-bit.
     */
   val q56 = Q("q56_distinct_sketch",
     (s, dir) => graft.operators.Sketches.approxDistinct(
