@@ -312,9 +312,15 @@ object Similarity {
       caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
       : DataFrame = {
     val nBands = signs.size / rowsPerBand
-    val bits = concat(signs.map(s =>
-      when(dotNative(col(vecCol), typedLit(s)) > 0, lit("1"))
-        .otherwise(lit("0"))): _*)
+    // one fused loop expression, NOT a 64-arm concat(when(dot > 0)):
+    // the concat form generated multi-second-to-compile Janino code
+    // that the session codegen cache evicted between bench runs —
+    // see SrpBitsExpr's scaladoc (sign parity is bit-identical)
+    val bits = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.SrpBitsExpr(
+        ColumnBridge.expression(col(vecCol)), signs))
+    }
     // eager: the banded self-join's two sides are concurrent AQE
     // stages that would race to compute the 64-plane projection twice
     // under a lazy persist (CacheHandle.eager)
