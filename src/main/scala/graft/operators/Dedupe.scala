@@ -285,6 +285,125 @@ object Dedupe {
       .select("new_doc", "corpus_doc", "est_jaccard")
   }
 
+  /** Pairs-only variant of [[minhashCandidatesAgainst]]: batch-vs-corpus
+    * LSH candidates WITHOUT the est_jaccard estimate, so the band join
+    * carries (doc, band, band_sig) keys only — no signature arrays move
+    * through the shuffle or the dedup exchange. The nightly-ingest fast
+    * path: downstream exact verification re-derives what it needs from
+    * the base table, so hauling 16-long arrays per banded row to compute
+    * an estimate nobody reads is pure waste at corpus scale.
+    * Output: (new_doc, corpus_doc), distinct.
+    */
+  def minhashCandidatePairsAgainst(newSig: DataFrame, corpusSig: DataFrame,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    def banded(sig: DataFrame, docAs: String): DataFrame =
+      sig
+        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+        .withColumn("band_sig", array_join(
+          transform(
+            slice(col("sig"), col("band") * rowsPerBand + 1,
+              lit(rowsPerBand)),
+            x => x.cast("string")),
+          "|"))
+        .select(col("doc").as(docAs), col("band"), col("band_sig"))
+    banded(newSig, "new_doc")
+      .join(banded(corpusSig, "corpus_doc"), Seq("band", "band_sig"))
+      .select("new_doc", "corpus_doc")
+      .distinct()
+  }
+
+  /** The ACTUALLY-incremental nightly dedup pass: cluster a new batch
+    * against a corpus whose MinHash signatures and component labels were
+    * PERSISTED by a previous run — only the batch is signed; no corpus
+    * text is re-read and no corpus signature is re-computed.
+    *
+    * This is the difference between demonstrating the operator and
+    * demonstrating the pipeline: at 100 TB, re-signing the corpus every
+    * night costs the same as from-scratch clustering
+    * ([[connectedComponents]] over everything), which makes the
+    * incremental operator pointless. Reading yesterday's signature table
+    * (the matview-style cache-the-heavy-thing pattern — reference
+    * analog `common/popularity/README.md:9-12`) makes the nightly cost
+    * O(batch + true collisions), independent of corpus size.
+    *
+    * Inputs: `corpusSig` (doc, sig) and `corpusLabels` (node, label) as
+    * persisted by [[SignatureStore.ensureCorpusState]]; `batch` =
+    * tonight's new documents; `textLookup` = a table resolving ANY
+    * candidate doc id (batch or corpus) to its text — exact verification
+    * broadcast-semi-joins the small candidate id set against it, so only
+    * flagged documents' text is ever read.
+    *
+    * Plan shape: one codegen'd signature map over the batch (persisted —
+    * the within-batch and batch-vs-corpus candidate arms are concurrent
+    * consumers), two band equi-joins whose work scales with true
+    * collisions, one-join exact verify over candidate pairs, and
+    * [[incrementalComponents]]' label contraction (≤ |new edges| rows
+    * propagated + one broadcast relabel scan of the label frame).
+    *
+    * Output: (node, label) for every clustered doc — identical to a
+    * from-scratch [[connectedComponents]] over the full corpus ∪ batch
+    * (LSH banding is per-document deterministic, so the incremental
+    * candidate arms partition the full-corpus candidate set exactly).
+    */
+  def incrementalFromStore(corpusSig: DataFrame, corpusLabels: DataFrame,
+      batch: DataFrame, textLookup: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int, rowsPerBand: Int,
+      minJaccard: Double, caches: CacheHandle = CacheHandle.session)
+      : DataFrame = {
+    // ONE fused candidate pass over batch ∪ corpus bands: the batch is
+    // signed in-line (codegen'd map — its only consumer is this pass,
+    // so no persist job), the corpus side is a columnar read of the
+    // persisted signature table (arrays only, no text), and both flow
+    // into one bucket aggregation. Within-batch and batch-vs-corpus
+    // candidates fall out of the SAME buckets — pairs are emitted
+    // in-row with an is_new flag per endpoint and corpus-corpus pairs
+    // (already folded into the persisted labels) are filtered before
+    // they ever leave the bucket row. vs the two-arm form (bucket-group
+    // the batch + band-join batch×corpus): one shuffle instead of
+    // three, no eager batch-signature materialization job, and the
+    // corpus bands move once.
+    val nBands = numHashes / rowsPerBand
+    val tagged = minhashWide(batch, idCol, textCol, shingleK, numHashes)
+      .withColumn("is_new", lit(true))
+      .unionByName(corpusSig.withColumn("is_new", lit(false)))
+    val buckets = tagged
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")),
+        "|"))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(
+        struct(col("doc"), col("is_new")))).as("ds"))
+      .filter(size(col("ds")) > 1 &&
+        exists(col("ds"), d => d("is_new")))
+    val pairs = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ds")) - 2),
+        i => filter(
+          transform(
+            sequence(i + 1, size(col("ds")) - 1),
+            j => struct(
+              element_at(col("ds"), i + 1)("doc").as("doc_a"),
+              element_at(col("ds"), j + 1)("doc").as("doc_b"),
+              (element_at(col("ds"), i + 1)("is_new") ||
+                element_at(col("ds"), j + 1)("is_new")).as("any_new"))),
+          p => p("any_new"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // inline verify: the candidate frame has ONE consumer (the role-row
+    // broadcast build), so no persist job exists anywhere in the
+    // nightly path — candidates, verification, and the label
+    // contraction all execute lazily inside the contracted
+    // propagation's init job
+    val verified = verifyJaccardInline(pairs.distinct(), textLookup,
+      idCol, textCol, shingleK, minJaccard)
+    incrementalComponents(corpusLabels, verified, "doc_a", "doc_b",
+      caches = caches)
+  }
+
   /** Exact n-gram Jaccard for a given set of candidate pairs
     * (doc_a, doc_b) — the LSH-prefilter + exact-verify scale path:
     * shingle sets are joined only for candidates.
@@ -476,6 +595,69 @@ object Dedupe {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact Jaccard verification as ONE unbroken pipeline: the candidate
+    * pairs explode into role rows, BROADCAST, and hash-join the base
+    * table directly — matched rows compute their shingle set in-line
+    * ([[graft.functions.ShingleSetExpr]]) and regroup by pair.
+    *
+    * vs [[verifyJaccardOneJoin]]: that form pre-narrows the corpus with
+    * a broadcast semi-join on the distinct candidate doc ids and joins
+    * the per-doc set frame once — which needs the candidate frame read
+    * TWICE (id side + role side), forcing callers to persist +
+    * eagerly materialize it as its own job. Here the candidate frame
+    * has exactly ONE consumer (the broadcast build), so the whole
+    * verify — candidate generation included — executes lazily inside
+    * whatever action consumes the output; no cached state, no extra
+    * job. The corpus is still never shuffled: it streams through the
+    * broadcast join exactly as through the semi-join.
+    *
+    * Trade-off: a document appearing in k candidate pairs builds its
+    * shingle set k times (once per matched role row) instead of once —
+    * acceptable when the candidate multigraph is near-1-regular (LSH
+    * near-dup output: most docs sit in ≤ 2 pairs), wasteful for hub
+    * documents; callers with hub-heavy pair lists keep OneJoin. The
+    * broadcast bound is |pairs| (vs OneJoin's |candidate docs|) — both
+    * are tiny relative to the corpus by LSH construction.
+    *
+    * Pass `candidates` distinct, as with OneJoin (the n_sides guard).
+    */
+  def verifyJaccardInline(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, minJaccard: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sides = candidates.select(
+        explode(array(
+          struct(col("doc_a"), col("doc_b"), col("doc_a").as("doc"),
+            lit("a").as("role")),
+          struct(col("doc_a"), col("doc_b"), col("doc_b").as("doc"),
+            lit("b").as("role")))).as("s"))
+      .select(col("s.doc_a").as("doc_a"), col("s.doc_b").as("doc_b"),
+        col("s.doc").as(idCol), col("s.role").as("role"))
+    docs.select(col(idCol), col(textCol))
+      .join(broadcast(sides), Seq(idCol))
+      .select(col("doc_a"), col("doc_b"), col("role"),
+        ColumnBridge.column(graft.functions.ShingleSetExpr(
+          ColumnBridge.expression(
+            TextAnalysis.capDoc(col(textCol), maxDocChars)),
+          shingleK)).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("role") === "a", col("shset")), ignoreNulls = true)
+          .as("set_a"),
+        first(when(col("role") === "b", col("shset")), ignoreNulls = true)
+          .as("set_b"),
+        count(lit(1)).as("n_sides"))
+      .filter(col("n_sides") === 2)
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact Jaccard from precomputed shingle rows (persist `sh` — it is
     * read three times: both intersection sides and the size table).
     */
@@ -643,23 +825,17 @@ object Dedupe {
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25,
-      caches: CacheHandle = CacheHandle.session,
-      inputMaterialized: Boolean = false): DataFrame = {
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
     val l = labels.select(col("node"), col("label"))
-    // persist + MATERIALIZE the new-edge frame: it has TWO consumers
-    // below (`contracted` and the unseen-endpoint `ends`), and when the
-    // caller hands us a live verify pipeline a lazy persist would let
-    // the two consumers race as concurrent AQE stages, each recomputing
-    // the full candidate-verify lineage (measured 1.5x the whole q79
-    // wall time). The frame is |new edges| rows — tiny by definition.
-    // Callers whose newEdges is already a cheap read of materialized
-    // blocks (e.g. a filter over an eagerly-persisted verified-pair
-    // frame, q79) pass inputMaterialized = true and skip the extra
-    // copy + its materialization job: both consumers then re-read the
-    // parent cache, which cannot race lineage that no longer computes.
-    val projected = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val e = if (inputMaterialized) projected
-      else CacheHandle.eager(caches.track(projected.persist()))
+    // `newEdges` has exactly ONE consumer (the contraction below), so a
+    // live verify pipeline flows straight through: the whole
+    // candidate-verify lineage executes once, inside the contracted
+    // propagation's init job. (The r12 form consumed the edge frame
+    // twice — contraction + an unseen-endpoint scan — which forced
+    // callers to eagerly persist the verified pairs as their own job;
+    // unseen endpoints are now derived from the contracted CC output
+    // instead, see `newRows`.)
+    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
     // contract endpoints to their existing component labels
     val la = l.select(col("node").as("a"), col("label").as("la"))
     val lb = l.select(col("node").as("b"), col("label").as("lb"))
@@ -669,7 +845,7 @@ object Dedupe {
       .filter(col("ca") =!= col("cb"))
     // components over the contracted graph: (old label or new node id)
     // → merged label. connectedComponents returns it checkpointed, so
-    // the two consumers below (relabel join + new-node join) read
+    // the two consumers below (relabel join + new-node anti-join) read
     // materialized blocks, not the propagation lineage.
     val merged = connectedComponents(contracted, "ca", "cb",
       maxIter = maxIter)
@@ -679,14 +855,16 @@ object Dedupe {
     val updated = l.join(broadcast(merged),
         l("label") === merged("old_label"), "left")
       .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
-    // unseen endpoints: contracted id = the node itself. An unseen node
-    // whose every edge lands inside... cannot happen: its contracted
-    // edge keeps ca = node ≠ cb, so `merged` always covers it.
-    val ends = e.select(explode(array(col("a"), col("b"))).as("node"))
-      .distinct()
-    val newRows = ends.join(l, Seq("node"), "left_anti")
-      .join(broadcast(merged), col("node") === merged("old_label"))
-      .select(col("node"), col("merged").as("label"))
+    // unseen endpoints enter with their merged labels. Every unseen
+    // node IS covered by `merged`: its contracted edge keeps
+    // ca = node ≠ cb (it has no label to contract to), so it survives
+    // the intra-component filter. And an existing component's label is
+    // by invariant one of its own nodes, so old_label ∉ labels.node
+    // identifies exactly the unseen endpoints — no second scan of the
+    // edge frame needed.
+    val newRows = merged.join(l, merged("old_label") === l("node"),
+        "left_anti")
+      .select(col("old_label").as("node"), col("merged").as("label"))
     updated.union(newRows)
   }
 

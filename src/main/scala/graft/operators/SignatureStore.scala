@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheHandle
+import graft.sources.VersionedTable
+
+/** Persisted corpus state for the incremental near-dup pipeline: the
+  * MinHash signature table and the component-label table, each a
+  * [[graft.sources.VersionedTable]] (atomic pointer-flip commits, time
+  * travel, vacuum) under one store root:
+  *
+  * {{{
+  *   <root>/sigs/_vNNNNNNNN/     (doc, sig array<long>)
+  *   <root>/labels/_vNNNNNNNN/   (node, label)
+  * }}}
+  *
+  * This is the matview-style cache-the-heavy-thing pattern the
+  * reference applies to popularity (`common/popularity/README.md:9-12`):
+  * the corpus-scale work (signing every document, propagating labels)
+  * happens ONCE per corpus version; each nightly batch then reads the
+  * persisted state and pays only O(batch + true collisions) via
+  * [[Dedupe.incrementalFromStore]]. Without the store, "incremental"
+  * clustering re-signs the corpus every night and costs the same as
+  * from-scratch — the operator's reason to exist evaporates.
+  *
+  * A real pipeline closes the loop by committing the batch's signatures
+  * and the merged labels back as the next versions ([[appendBatch]]) —
+  * readers flip atomically from v to v+1, yesterday's versions stay
+  * readable for time travel, and a crashed writer leaves the store at v.
+  */
+object SignatureStore {
+
+  def sigsRoot(root: String): String = s"$root/sigs"
+  def labelsRoot(root: String): String = s"$root/labels"
+
+  /** True iff both tables have a committed version. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    VersionedTable.currentVersion(spark, sigsRoot(root)).isDefined &&
+      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined
+
+  /** Read the committed (sigs, labels) snapshot. */
+  def read(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (VersionedTable.read(spark, sigsRoot(root)),
+      VersionedTable.read(spark, labelsRoot(root)))
+
+  /** Build the corpus state from scratch and commit it: sign every
+    * corpus document (one codegen'd per-row loop), generate + verify
+    * LSH candidate pairs, resolve connected components, and commit the
+    * signature and label tables. The corpus-scale cost lives HERE, once
+    * per corpus version — never in the nightly path.
+    */
+  /** @param outPartitions files per committed table. The nightly reader
+    *   scans the signature table once and the label table several times
+    *   (contraction sides + relabel), so at local/bench corpus sizes a
+    *   32-file layout per 2,500-row table pays a listing + per-file task
+    *   floor on every scan — the default packs each snapshot into one
+    *   file. A production store sizes this to corpus bytes / ~128 MB
+    *   (0 = keep the upstream partitioning).
+    */
+  def build(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numHashes: Int,
+      rowsPerBand: Int, minJaccard: Double,
+      caches: CacheHandle = CacheHandle.session,
+      outPartitions: Int = 1): Unit = {
+    def pack(df: DataFrame): DataFrame =
+      if (outPartitions > 0) df.coalesce(outPartitions) else df
+    // persisted: consumed by the commit write AND the candidate pass
+    val sig = CacheHandle.eager(caches.track(
+      Dedupe.minhashWide(corpus, idCol, textCol, shingleK, numHashes)
+        .persist()))
+    VersionedTable.commit(pack(sig), sigsRoot(root))
+    val cand = CacheHandle.eager(caches.track(
+      Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand).persist()))
+    val pairs = Dedupe.verifyJaccardOneJoin(cand, corpus, idCol, textCol,
+      shingleK, minJaccard)
+    val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
+      distinctEdges = true)
+    VersionedTable.commit(pack(labels), labelsRoot(root))
+  }
+
+  /** Read the committed corpus state, building it first if the store is
+    * empty — the idempotent entry point for jobs that own their store.
+    */
+  def ensureCorpusState(spark: SparkSession, root: String,
+      corpus: => DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int, minJaccard: Double,
+      caches: CacheHandle = CacheHandle.session): (DataFrame, DataFrame) = {
+    if (!exists(spark, root))
+      build(spark, root, corpus, idCol, textCol, shingleK, numHashes,
+        rowsPerBand, minJaccard, caches)
+    read(spark, root)
+  }
+
+  /** Close the nightly loop: commit the batch's signatures (union'd
+    * into the signature table) and the merged labels as the next
+    * versions, so tomorrow's batch sees tonight's corpus. `mergedLabels`
+    * is [[Dedupe.incrementalFromStore]]'s output; `batchSig` the
+    * batch's signatures ([[Dedupe.minhashWide]] over the batch only).
+    */
+  def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
+      mergedLabels: DataFrame): Unit = {
+    val sigs = VersionedTable.read(spark, sigsRoot(root))
+    VersionedTable.commit(sigs.union(batchSig), sigsRoot(root))
+    VersionedTable.commit(mergedLabels, labelsRoot(root))
+  }
+}

@@ -315,7 +315,12 @@ object Similarity {
     // one fused loop expression, NOT a 64-arm concat(when(dot > 0)):
     // the concat form generated multi-second-to-compile Janino code
     // that the session codegen cache evicted between bench runs —
-    // see SrpBitsExpr's scaladoc (sign parity is bit-identical)
+    // see SrpBitsExpr's scaladoc (sign parity is bit-identical for
+    // NON-NULL vectors; a NULL vector now yields NULL bits and drops
+    // out of banding entirely, where the old concat(when) form mapped
+    // it to an all-'0' signature that bucketed with all-zero vectors
+    // and could emit spurious candidates — the null-safe behavior is
+    // the intended contract: null vectors have no direction to hash)
     val bits = {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       ColumnBridge.column(graft.functions.SrpBitsExpr(

@@ -143,12 +143,22 @@ object PgMergeSql {
       urlCol: String = "url", fidCol: String = "foreign_identifier",
       providerCol: String = "provider",
       conflictTarget: Option[Seq[String]] = None): String = {
+    // fail at construction, not execution: an empty override would emit
+    // `ON CONFLICT ()` — a syntax error only surfaced by the database
+    require(conflictTarget.forall(_.nonEmpty),
+      "conflictTarget override must name at least one column")
     val target = conflictTarget.getOrElse(Seq(providerCol, s"md5($fidCol)"))
     val keyCols = conflictTarget.getOrElse(Nil).toSet
     val inserts = columns.filterNot(_._1 == urlCol)
       .map { case (c, s) => (c, s.insertValue(c)) }
     val conflicts = columns.filterNot(c => keyCols(c._1))
       .flatMap { case (c, s) => s.conflictSql(c) }
+    // a target covering every updatable column leaves no assignments —
+    // a bare `DO UPDATE SET` is a syntax error; DO NOTHING is the
+    // correct degenerate upsert (the row already equals the match key)
+    val onConflict =
+      if (conflicts.isEmpty) "DO NOTHING"
+      else s"DO UPDATE SET\n${conflicts.mkString(",\n")}"
     s"""INSERT INTO $dbTable AS old
        |($urlCol, ${inserts.map(_._1).mkString(", ")})
        |SELECT DISTINCT ON ($urlCol) $urlCol,
@@ -159,7 +169,6 @@ object PgMergeSql {
        |  WHERE $urlCol = new.$urlCol
        |    AND MD5($fidCol) <> MD5(new.$fidCol))
        |ON CONFLICT (${target.mkString(", ")})
-       |DO UPDATE SET
-       |${conflicts.mkString(",\n")}""".stripMargin
+       |$onConflict""".stripMargin
   }
 }

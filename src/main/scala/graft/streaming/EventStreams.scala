@@ -29,12 +29,40 @@ object EventStreams {
     * landing zone is seeded before the stream starts in every
     * deployment shape here) and normalize `ts` with the same
     * three-encoding branch as the batch path ([[graft.Tables.normalizeEventTs]]).
+    *
+    * If the landing dir exists but holds no files yet, fall back to the
+    * canonical declared schema (`ts` as TIMESTAMP_NTZ — what the current
+    * generator writes) instead of failing stream construction.
+    *
+    * Limitation (inherent to file-source streams): the schema is pinned
+    * once at start. If files with a DIFFERENT ts encoding arrive
+    * mid-stream (the cross-version generator drift this guards
+    * against), they are mis-read under the pinned schema — a stream
+    * restart re-resolves. Encoding changes are deploy-time events, so a
+    * restart is the natural boundary anyway.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          eventSchema
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(fileSchema).parquet(dir))
   }
+
+  /** Canonical events schema for an as-yet-empty landing dir (matches
+    * the current generator: timestamp[us] isAdjustedToUTC=false).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** Tumbling 1-hour event-time aggregation with a watermark
     * (reingestion horizon analog: late rows beyond the horizon are

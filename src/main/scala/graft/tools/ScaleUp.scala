@@ -61,17 +61,22 @@ object ScaleUp {
     // dimension constants: fixed regardless of scale, as in TPC-H
     for (t <- Seq("region", "nation")) save(t, Tables(spark, src, t))
 
-    // key maxima = per-replica offsets (collect()ed plan parameters)
-    def maxOf(name: String, key: String): Long =
-      Tables(spark, src, name).agg(max(col(key).cast("long"))).head.getLong(0)
-    val (maxCust, maxSupp, maxPart) =
-      (maxOf("customer", "c_custkey"), maxOf("supplier", "s_suppkey"),
-        maxOf("part", "p_partkey"))
-    val maxOrder = maxOf("orders", "o_orderkey")
-    val (maxEvent, maxUser) =
-      (maxOf("events", "event_id"), maxOf("events", "user_id"))
-    val (maxDoc, maxVec) =
-      (maxOf("documents", "doc_id"), maxOf("embeddings", "vec_id"))
+    // key SPANS (max+1) = per-replica offsets (collect()ed plan
+    // parameters). A span, not the max: keys are 0-based, so offsetting
+    // by max alone would alias replica r's key 0 onto replica r-1's max
+    // key — one duplicate id per table per replica boundary, fanning
+    // out boundary joins 2× and merging two docs' texts in groupBys.
+    def spanOf(name: String, key: String): Long =
+      Tables(spark, src, name)
+        .agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+    val (custSpan, suppSpan, partSpan) =
+      (spanOf("customer", "c_custkey"), spanOf("supplier", "s_suppkey"),
+        spanOf("part", "p_partkey"))
+    val orderSpan = spanOf("orders", "o_orderkey")
+    val (eventSpan, userSpan) =
+      (spanOf("events", "event_id"), spanOf("events", "user_id"))
+    val (docSpan, vecSpan) =
+      (spanOf("documents", "doc_id"), spanOf("embeddings", "vec_id"))
 
     /** N× the rows via one in-partition explode (no shuffle); `f` gets
       * the frame plus the replica-id column r ∈ [0, factor).
@@ -87,28 +92,28 @@ object ScaleUp {
       when(r === 0, c).otherwise(concat(c, lit("~"), r))
 
     replicate("customer") { (df, r) => df
-      .withColumn("c_custkey", col("c_custkey") + r * maxCust)
+      .withColumn("c_custkey", col("c_custkey") + r * custSpan)
       .withColumn("c_name", tagged(col("c_name"), r)) }
     replicate("supplier") { (df, r) => df
-      .withColumn("s_suppkey", col("s_suppkey") + r * maxSupp)
+      .withColumn("s_suppkey", col("s_suppkey") + r * suppSpan)
       .withColumn("s_name", tagged(col("s_name"), r)) }
     replicate("part") { (df, r) => df
-      .withColumn("p_partkey", col("p_partkey") + r * maxPart)
+      .withColumn("p_partkey", col("p_partkey") + r * partSpan)
       .withColumn("p_name", tagged(col("p_name"), r)) }
     replicate("orders", parts = 4) { (df, r) => df
-      .withColumn("o_orderkey", col("o_orderkey") + r * maxOrder)
-      .withColumn("o_custkey", col("o_custkey") + r * maxCust) }
+      .withColumn("o_orderkey", col("o_orderkey") + r * orderSpan)
+      .withColumn("o_custkey", col("o_custkey") + r * custSpan) }
     replicate("lineitem", parts = 8) { (df, r) => df
-      .withColumn("l_orderkey", col("l_orderkey") + r * maxOrder)
-      .withColumn("l_partkey", col("l_partkey") + r * maxPart)
-      .withColumn("l_suppkey", col("l_suppkey") + r * maxSupp) }
+      .withColumn("l_orderkey", col("l_orderkey") + r * orderSpan)
+      .withColumn("l_partkey", col("l_partkey") + r * partSpan)
+      .withColumn("l_suppkey", col("l_suppkey") + r * suppSpan) }
     // per-user event sequences replicate under fresh user_ids, so
     // session shapes and per-key window work stay exactly linear
     replicate("events", parts = 4) { (df, r) => df
-      .withColumn("event_id", col("event_id") + r * maxEvent)
-      .withColumn("user_id", col("user_id") + r * maxUser) }
+      .withColumn("event_id", col("event_id") + r * eventSpan)
+      .withColumn("user_id", col("user_id") + r * userSpan) }
     replicate("documents", parts = 4) { (df, r) => df
-      .withColumn("doc_id", col("doc_id") + r * maxDoc)
+      .withColumn("doc_id", col("doc_id") + r * docSpan)
       .withColumn("text", when(r === 0, col("text")).otherwise(
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit("~"), r)))))
@@ -119,9 +124,9 @@ object ScaleUp {
     // measured 10.7× q44 wall at 10× data. Real corpora grow block-key
     // cardinality with volume, so replicas get disjoint label ranges
     // (cross-replica vectors are decorrelated by the sign flip anyway).
-    val labelSpan = lit(1) + maxOf("embeddings", "label")
+    val labelSpan = lit(spanOf("embeddings", "label"))
     replicate("embeddings") { (df, r) => df
-      .withColumn("vec_id", col("vec_id") + r * maxVec)
+      .withColumn("vec_id", col("vec_id") + r * vecSpan)
       .withColumn("label",
         (col("label") + r * labelSpan).cast("int"))
       .withColumn("embedding", when(r === 0, col("embedding")).otherwise(

@@ -726,6 +726,44 @@ class OperatorSpec extends SparkSpec {
     assert(noop == labelsOf(oldLabels))
   }
 
+  test("incrementalFromStore equals from-scratch; store round-trips") {
+    val docs = Tables(spark, sfDir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    assert(!SignatureStore.exists(spark, root))
+    val (sig, labels) = SignatureStore.ensureCorpusState(spark, root,
+      corpus, "doc_id", "text", shingleK = 3, numHashes = 16,
+      rowsPerBand = 4, minJaccard = 0.5)
+    assert(SignatureStore.exists(spark, root))
+    // persisted signatures = a fresh sign of the corpus, byte-equal
+    val freshSig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16)
+    assert(sig.exceptAll(freshSig).isEmpty &&
+      freshSig.exceptAll(sig).isEmpty)
+    // the nightly path (signs ONLY the batch, reads persisted state)
+    // must match a from-scratch clustering of the full corpus
+    val inc = Dedupe.incrementalFromStore(sig, labels, batch, docs,
+      "doc_id", "text", 3, 16, 4, 0.5)
+    val sigAll = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+    val candAll = graft.core.CacheHandle.eager(
+      graft.core.CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sigAll, 16, 4).persist()))
+    val scratch = Dedupe.connectedComponents(
+      Dedupe.verifyJaccardOneJoin(candAll, docs, "doc_id", "text", 3, 0.5),
+      "doc_a", "doc_b", distinctEdges = true)
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val incSet = labelSet(inc)
+    assert(incSet == labelSet(scratch) && incSet.nonEmpty)
+    // appendBatch closes the loop: tomorrow's snapshot holds corpus ∪
+    // batch signatures and the merged labels, under bumped versions
+    val batchSig = Dedupe.minhashWide(batch, "doc_id", "text", 3, 16)
+    SignatureStore.appendBatch(spark, root, batchSig, inc)
+    val (sig2, labels2) = SignatureStore.read(spark, root)
+    assert(sig2.count() == sigAll.count())
+    assert(labelSet(labels2) == incSet)
+  }
+
   test("contamination: overlap fraction exact, below-threshold dropped") {
     // bench doc 100: "a b c d e f" → 3-shingles {abc,bcd,cde,def} (4)
     // corpus 1 copies it verbatim (4/4); corpus 2 shares abc,bcd via a
