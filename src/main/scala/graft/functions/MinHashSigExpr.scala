@@ -39,8 +39,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Documents with fewer than k words return an EMPTY array (the
   * groupBy form emits no row for them; callers filter `size(sig) > 0`
   * for identical frames).
+  *
+  * `withCount = true` appends the DISTINCT shingle count as one extra
+  * trailing element (index numHashes+1, 1-based) — free here (the
+  * dedup set's size), expensive anywhere else (a second text scan or a
+  * corpus-wide distinct). Band slicing reads indices 1..numHashes and
+  * never sees it; consumers that compare whole signatures (zip_with
+  * agreement estimates) must NOT enable it. The count feeds the
+  * verify-prune: exact Jaccard of sets sized a ≤ b is at most a/b
+  * (intersection ≤ a, union ≥ b), so a candidate pair whose size ratio
+  * is below the verify threshold cannot pass and is dropped before any
+  * shingle set is built.
   */
-case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int,
+    withCount: Boolean = false)
   extends UnaryExpression {
 
   require(k >= 1 && numHashes >= 1,
@@ -54,12 +66,12 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    MinHashSigExpr.sig(v.asInstanceOf[UTF8String], k, numHashes)
+    MinHashSigExpr.sig(v.asInstanceOf[UTF8String], k, numHashes, withCount)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSigExpr.sig($c, $k, $numHashes)")
+      s"graft.functions.MinHashSigExpr.sig($c, $k, $numHashes, $withCount)")
 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
     copy(child = c)
@@ -77,7 +89,11 @@ object MinHashSigExpr {
     */
   final val P = 2147483647L
 
-  def sig(u: UTF8String, k: Int, numHashes: Int): ArrayData = {
+  def sig(u: UTF8String, k: Int, numHashes: Int): ArrayData =
+    sig(u, k, numHashes, withCount = false)
+
+  def sig(u: UTF8String, k: Int, numHashes: Int, withCount: Boolean)
+      : ArrayData = {
     val bytes = u.getBytes
     val n = bytes.length
     // word start offsets: a word begins at 0 and after every 0x20
@@ -120,6 +136,11 @@ object MinHashSigExpr {
       }
       i += 1
     }
-    new GenericArrayData(out)
+    if (!withCount) new GenericArrayData(out)
+    else {
+      val withC = java.util.Arrays.copyOf(out, numHashes + 1)
+      withC(numHashes) = seen.size().toLong
+      new GenericArrayData(withC)
+    }
   }
 }

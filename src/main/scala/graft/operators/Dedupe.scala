@@ -109,13 +109,14 @@ object Dedupe {
     */
   def minhashWide(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int,
-      maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
+      withCount: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     docs.select(col(idCol).as("doc"),
         ColumnBridge.column(graft.functions.MinHashSigExpr(
           ColumnBridge.expression(
             TextAnalysis.capDoc(col(textCol), maxDocChars)),
-          shingleK, numHashes)).as("sig"))
+          shingleK, numHashes, withCount)).as("sig"))
       // the groupBy form emits no row for docs with < k words; the
       // expression returns an empty array for them — drop for parity
       .filter(size(col("sig")) > 0)
@@ -213,9 +214,22 @@ object Dedupe {
     * identical-signature buckets must survive, use the self-join form.
     * Callers needing est_jaccard (q24) also stay on minhashCandidates.
     */
+  /** `minSizeRatio > 0` prunes pairs that provably cannot pass exact
+    * Jaccard verification at that threshold: J(A,B) ≤ min(|A|,|B|) /
+    * max(|A|,|B|) (intersection bounded by the smaller set, union by
+    * the larger), so pairs whose DISTINCT-shingle-count ratio is below
+    * the verify threshold are dropped in-row before they ever reach
+    * the verify join — requires `sigWide` built with
+    * `minhashWide(..., withCount = true)` (the count rides as the
+    * signature's trailing element; band slices never read it).
+    */
   def minhashCandidatePairs(sigWide: DataFrame, numHashes: Int,
-      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
+      rowsPerBand: Int, dedup: Boolean = true,
+      minSizeRatio: Double = 0.0): DataFrame = {
     val nBands = numHashes / rowsPerBand
+    val cnt =
+      if (minSizeRatio > 0) element_at(col("sig"), numHashes + 1)
+      else lit(0L)
     val bands = sigWide
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
@@ -224,22 +238,31 @@ object Dedupe {
             lit(rowsPerBand)),
           x => x.cast("string")),
         "|"))
-      .select("doc", "band", "band_sig")
+      .select(col("doc"), cnt.as("cnt"), col("band"), col("band_sig"))
     val buckets = bands.groupBy("band", "band_sig")
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(sort_array(collect_list(struct(col("doc"), col("cnt"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
     // in-row i<j combinations of the sorted bucket: doc_a < doc_b by
-    // construction. A pair sharing several bands appears once per
-    // band; `dedup = false` skips the DISTINCT exchange for consumers
-    // that collapse duplicates anyway (NOT verifyJaccardOneJoin — its
-    // regroup counts rows, see its scaladoc).
+    // construction (struct sort orders by doc first). A pair sharing
+    // several bands appears once per band; `dedup = false` skips the
+    // DISTINCT exchange for consumers that collapse duplicates anyway
+    // (NOT verifyJaccardOneJoin — its regroup counts rows, see its
+    // scaladoc). The size-ratio prune runs inside the emit lambda, so
+    // hopeless pairs never even reach the dedup exchange.
+    def emit(a: Column, b: Column): Column = struct(
+      a("doc").as("doc_a"), b("doc").as("doc_b"),
+      (least(a("cnt"), b("cnt")).cast("double") >=
+        greatest(a("cnt"), b("cnt")) * lit(minSizeRatio)).as("keep"))
     val pairs = buckets
       .select(explode(flatten(transform(
-        sequence(lit(0), size(col("docs")) - 2),
-        i => transform(
-          sequence(i + 1, size(col("docs")) - 1),
-          j => struct(element_at(col("docs"), i + 1).as("doc_a"),
-            element_at(col("docs"), j + 1).as("doc_b")))))).as("p"))
+        sequence(lit(0), size(col("ds")) - 2),
+        i => filter(
+          transform(
+            sequence(i + 1, size(col("ds")) - 1),
+            j => emit(element_at(col("ds"), i + 1),
+              element_at(col("ds"), j + 1))),
+          p => p("keep"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     if (dedup) pairs.distinct() else pairs
   }
@@ -364,7 +387,12 @@ object Dedupe {
     // three, no eager batch-signature materialization job, and the
     // corpus bands move once.
     val nBands = numHashes / rowsPerBand
-    val tagged = minhashWide(batch, idCol, textCol, shingleK, numHashes)
+    // batch signatures carry the trailing distinct-shingle count, like
+    // the persisted corpus signatures — the size-ratio verify-prune
+    // (see minhashCandidatePairs) then drops provably-hopeless pairs
+    // in-row before the verify ever sees them
+    val tagged = minhashWide(batch, idCol, textCol, shingleK, numHashes,
+        withCount = true)
       .withColumn("is_new", lit(true))
       .unionByName(corpusSig.withColumn("is_new", lit(false)))
     val buckets = tagged
@@ -376,8 +404,9 @@ object Dedupe {
           x => x.cast("string")),
         "|"))
       .groupBy("band", "band_sig")
-      .agg(sort_array(collect_list(
-        struct(col("doc"), col("is_new")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc"),
+        element_at(col("sig"), numHashes + 1).as("cnt"),
+        col("is_new")))).as("ds"))
       .filter(size(col("ds")) > 1 &&
         exists(col("ds"), d => d("is_new")))
     val pairs = buckets
@@ -389,9 +418,14 @@ object Dedupe {
             j => struct(
               element_at(col("ds"), i + 1)("doc").as("doc_a"),
               element_at(col("ds"), j + 1)("doc").as("doc_b"),
-              (element_at(col("ds"), i + 1)("is_new") ||
-                element_at(col("ds"), j + 1)("is_new")).as("any_new"))),
-          p => p("any_new"))))).as("p"))
+              ((element_at(col("ds"), i + 1)("is_new") ||
+                element_at(col("ds"), j + 1)("is_new")) &&
+                least(element_at(col("ds"), i + 1)("cnt"),
+                    element_at(col("ds"), j + 1)("cnt")).cast("double") >=
+                  greatest(element_at(col("ds"), i + 1)("cnt"),
+                    element_at(col("ds"), j + 1)("cnt")) * lit(minJaccard))
+                .as("keep"))),
+          p => p("keep"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     // inline verify: the candidate frame has ONE consumer (the role-row
     // broadcast build), so no persist job exists anywhere in the

@@ -66,13 +66,17 @@ object SignatureStore {
       outPartitions: Int = 1): Unit = {
     def pack(df: DataFrame): DataFrame =
       if (outPartitions > 0) df.coalesce(outPartitions) else df
-    // persisted: consumed by the commit write AND the candidate pass
+    // persisted: consumed by the commit write AND the candidate pass.
+    // withCount: the trailing distinct-shingle count feeds the
+    // size-ratio verify-prune, here and in every later incremental run
+    // reading this table.
     val sig = CacheHandle.eager(caches.track(
-      Dedupe.minhashWide(corpus, idCol, textCol, shingleK, numHashes)
-        .persist()))
+      Dedupe.minhashWide(corpus, idCol, textCol, shingleK, numHashes,
+        withCount = true).persist()))
     VersionedTable.commit(pack(sig), sigsRoot(root))
     val cand = CacheHandle.eager(caches.track(
-      Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand).persist()))
+      Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand,
+        minSizeRatio = minJaccard).persist()))
     val pairs = Dedupe.verifyJaccardOneJoin(cand, corpus, idCol, textCol,
       shingleK, minJaccard)
     val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",

@@ -91,9 +91,16 @@ object DedupeQueries extends QueryPack {
       // otherwise each re-run the signature scan. Measured at sf0.1
       // (5,000 docs): ~2.1s steady vs ~2.8s for the r8/r9
       // self-join + two-join-verify form.
-      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      // withCount + minSizeRatio: the signature pass emits each doc's
+      // distinct-shingle count for free, and pairs whose count ratio
+      // is below minJaccard are pruned in-row (J ≤ min/max — they
+      // cannot pass the verify threshold), so the exact verify never
+      // builds shingle sets for provably-hopeless candidates
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16,
+        withCount = true)
       val cand = CacheHandle.eager(CacheHandle.session.track(
-        Dedupe.minhashCandidatePairs(sig, 16, 4).persist()))
+        Dedupe.minhashCandidatePairs(sig, 16, 4, minSizeRatio = 0.5)
+          .persist()))
       Dedupe.verifyJaccardOneJoin(cand, docs, "doc_id", "text",
         shingleK = 3, minJaccard = 0.5)
     },
@@ -192,9 +199,11 @@ object DedupeQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       // r10 pipeline: bucket-grouped candidates (one consumer of the
       // signature scan) + one-join verify — see q25's plan-shape note.
-      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16,
+        withCount = true)
       val cand = CacheHandle.eager(CacheHandle.session.track(
-        Dedupe.minhashCandidatePairs(sig, 16, 4).persist()))
+        Dedupe.minhashCandidatePairs(sig, 16, 4, minSizeRatio = 0.5)
+          .persist()))
       // no persist on the verified pairs: connectedComponents' edge
       // doubling is a single explode scan (r9 rewrite) and its doubled
       // frame is persisted internally, so the verify pipeline has

@@ -737,7 +737,9 @@ class OperatorSpec extends SparkSpec {
       rowsPerBand = 4, minJaccard = 0.5)
     assert(SignatureStore.exists(spark, root))
     // persisted signatures = a fresh sign of the corpus, byte-equal
-    val freshSig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16)
+    // (withCount: the store appends the distinct-shingle count)
+    val freshSig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+      withCount = true)
     assert(sig.exceptAll(freshSig).isEmpty &&
       freshSig.exceptAll(sig).isEmpty)
     // the nightly path (signs ONLY the batch, reads persisted state)
