@@ -86,32 +86,33 @@ object Bench {
     // (afterIndex, sec, load) — probe after every 10th query
     val calProbes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runOnce(name: String,
+        fn: (SparkSession, String) => DataFrame): (Double, Long, Double) = {
+      // clear persisted frames BEFORE timing (no run may hit a cache
+      // left by a previous run of the same query)
+      spark.catalog.clearCache()
+      val la = loadAvg()
+      val g0 = gcMillis()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: $e")
+          errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gc = gcMillis() - g0
+      // ... and AFTER: a query that persist()ed mid-plan must not hold
+      // executor memory while the next query runs
+      spark.catalog.clearCache()
+      (dt, gc, la)
+    }
     var queryIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       queryIdx += 1
       if (queryIdx % 10 == 0) calProbes += ((queryIdx, calibrateOnce(), loadAvg()))
-      def runOnce(): (Double, Long, Double) = {
-        // clear persisted frames BEFORE timing (no run may hit a cache
-        // left by a previous run of the same query)
-        spark.catalog.clearCache()
-        val la = loadAvg()
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAILURE $name: $e")
-            errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val gc = gcMillis() - g0
-        // ... and AFTER: a query that persist()ed mid-plan must not hold
-        // executor memory while the next query runs
-        spark.catalog.clearCache()
-        (dt, gc, la)
-      }
-      val base = (1 to runsPerQuery).map(_ => runOnce())
+      val base = (1 to runsPerQuery).map(_ => runOnce(name, fn))
       // self-adjudication: a run >5x this query's own best with GC
       // accounting for <10% of its wall time is the external-contention
       // signature (r8 postmortem) — take ONE extra run so the median
@@ -120,7 +121,7 @@ object Bench {
       val contended = base.exists(t =>
         t._1 > 5 * best && t._2 < 0.1 * t._1 * 1000)
       val times = if (contended && errors.get(name).isEmpty)
-        base :+ runOnce() else base
+        base :+ runOnce(name, fn) else base
       name -> times
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
@@ -232,6 +233,37 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"detail","note":"anomalous only; 4 runs = contention re-run","d":$body}""")
     }
+    // ---- Quiet re-run pass (r12 judge directive): UNIFORM contention
+    // inflates every run of a mid-pack query equally, so the >5x-best
+    // trigger above never fires for it (r12: q25's 8.4s median shipped
+    // un-re-run while the judge's quiet re-bench gave 2.1s). Every query
+    // whose main-pass median exceeds the wall floor gets ONE extra run
+    // at the END of the suite — after the heavy passes, behind a fresh
+    // load gate — and the artifact carries both numbers, so the driver's
+    // JSON adjudicates contention without an out-of-band re-bench. The
+    // reported medians are NOT rewritten: "queries" is the main pass,
+    // "rerun" is the late evidence ([sec, gc_ms, load] per query).
+    val rerunFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FLOOR", "1.0").toDouble
+    val heavy = results.filter { case (name, ts) =>
+      medianOf(ts) > rerunFloor && !errors.contains(name) }
+    val rerunGateT0 = System.nanoTime()
+    var rerunLoad = loadAvg()
+    while (rerunLoad > loadMax &&
+        (System.nanoTime() - rerunGateT0) / 1e9 < 60) {
+      Thread.sleep(5000); rerunLoad = loadAvg()
+    }
+    val reruns = heavy.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      name -> runOnce(name, fn)
+    }
+    val rerunJson = reruns.map { case (k, (s, g, l)) =>
+      "\"" + short(k) + f"\":[$s%.2f,$g,$l%.1f]"
+    }.mkString("{", ",", "}")
+    // own line so a long summary line cannot push it out of the
+    // driver's tail-capture window (and vice versa: if anything is
+    // truncated it is this evidence line's head, not the summary)
+    println(s"""{"metric":"rerun","note":"late quiet pass, [sec,gc_ms,load], floor ${rerunFloor}s","d":$rerunJson}""")
     val qs = results.map { case (k, ts) => "\"" + short(k) + f"\":${medianOf(ts)}%.2f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }

@@ -26,6 +26,24 @@ object CleanFunctions {
     ColumnBridge.column(SanitizeStringExpr(ColumnBridge.expression(c)))
   }
 
+  /** lxml-style text-node join (see [[HtmlTextNodesExpr]]) — internal
+    * whitespace preserved, entities decoded, outer strip.
+    */
+  def htmlTextNodes(c: Column, sep: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HtmlTextNodesExpr(
+      ColumnBridge.expression(c),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(sep))))
+  }
+
+  /** First href/src link target in an HTML fragment
+    * (`wikimedia_commons.py:525-526` iterlinks()[0]).
+    */
+  def htmlFirstLink(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HtmlFirstLinkExpr(ColumnBridge.expression(c)))
+  }
+
   /** `media.py:17` exact-match banned tags. */
   val tagBlacklist: Seq[String] = Seq("no person", "squareformat")
 

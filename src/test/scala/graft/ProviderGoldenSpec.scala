@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.ingest.ProviderExtract
 
 /** Golden tests for the offset-pagination (jamendo) and multi-record
@@ -983,5 +984,419 @@ class ProviderGoldenSpec extends SparkSpec {
       "\"rightsStatementURI\":\\s*\\{[^}]*\\}", "\"rightsStatementURI\": {}")
     assert(noRights != item)
     assert(ProviderExtract.nyplish(spark, Seq(noRights).toDS()).count() == 0)
+  }
+
+  // ---- flickr (concrete config: real API response shape) --------------
+
+  import graft.ingest.ConcreteProviders
+
+  private def flickrBatch(itemJson: String): String =
+    s"""{"photos": {"page": 1, "pages": 1, "perpage": 500,
+       | "total": "30", "photo": [$itemJson]}, "stat": "ok"}""".stripMargin
+
+  /** Prepend required keys missing from a partial fixture; real keys in
+    * the fixture override them (JSON last-field-wins).
+    */
+  private def withFlickrDefaults(itemJson: String): String =
+    s"""{"id": "fixture-id", "owner": "fixture-owner", "license": "1",
+       | "url_s": "https://example.com/x_m.jpg",
+       | ${itemJson.trim.stripPrefix("{")}""".stripMargin
+
+  test("flickr: reference complete example -> expected record") {
+    val got = ConcreteProviders.flickr(spark,
+      Seq(flickrBatch(fixture("flickr/image_data_complete_example.json")))
+        .toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_flickr.py:138-176 expected_data
+    assert(r.getAs[String]("foreign_identifier") == "49514824541")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.flickr.com/photos/71925535@N03/49514824541")
+    assert(r.getAs[String]("image_url") ==
+      "https://live.staticflickr.com/65535/49514824541_35d1b4f8db_b.jpg")
+    assert(r.getAs[String]("license") == "by-nc-sa" &&
+      r.getAs[String]("license_version") == "2.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by-nc-sa/2.0/")
+    assert(r.getAs[Long]("width") == 1024 && r.getAs[Long]("height") == 683)
+    assert(r.getAs[String]("creator") == "Marine Explorer")
+    assert(r.getAs[String]("creator_url") ==
+      "https://www.flickr.com/photos/71925535@N03")
+    assert(r.getAs[String]("title") ==
+      "Surveying Ruperts Reef @reeflifesurvey #lapofaus #marineexplorer")
+    assert(r.getAs[Map[String, String]]("meta_data") == Map(
+      "pub_date" -> "1581318235",
+      "date_taken" -> "2020-02-10 09:38:16",
+      "views" -> "70",
+      "description" -> ("We had spectacular underwater scenery with great " +
+        "visibility today despite the big seas and winds at Lord Howe Island.")))
+    assert(r.getSeq[String](r.fieldIndex("raw_tags")) == Seq(
+      "australia", "marine", "marineexplorer", "nature", "scuba",
+      "underwater"))
+    assert(r.getAs[String]("source") == "flickr")
+    assert(r.getAs[String]("category") == "photograph")
+  }
+
+  test("flickr: known sub-provider owner maps to its source") {
+    val got = ConcreteProviders.flickr(spark,
+      Seq(flickrBatch(fixture("flickr/image_data_sub_provider_example.json")))
+        .toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_flickr.py:307-348
+    assert(r.getAs[String]("source") == "nasa")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://www.flickr.com/photos/35067687@N04/49950595947")
+    assert(r.getAs[String]("creator") == "NASA HQ PHOTO")
+    assert(r.isNullAt(r.fieldIndex("category")))
+    assert(r.getAs[Map[String, String]]("meta_data")("description") ==
+      ("A gopher tortoise is seen making its way towards its burrow near " +
+        "Launch Complex 39A as preparations continue for NASA SpaceX " +
+        "Demo-2 mission"))
+    assert(r.getSeq[String](r.fieldIndex("raw_tags")) == Seq(
+      "capecanaveral", "commercialcrewprogram", "gophertortoise",
+      "kennedyspacecenter", "nasa", "spacex"))
+  }
+
+  test("flickr: largest-size fallback l -> m -> s; none drops") {
+    // test_flickr.py:210-225
+    val med = ConcreteProviders.flickr(spark,
+      Seq(flickrBatch(fixture("flickr/image_data_with_med_url_available.json")))
+        .toDS()).collect()
+    assert(med.length == 1)
+    assert(med.head.getAs[String]("image_url") ==
+      "https://live.staticflickr.com/456.jpg")
+    assert(med.head.getAs[Long]("width") == 500 &&
+      med.head.getAs[Long]("height") == 375)
+    val small = ConcreteProviders.flickr(spark,
+      Seq(flickrBatch(
+        fixture("flickr/image_data_with_small_url_available.json")))
+        .toDS()).collect()
+    assert(small.length == 1)
+    assert(small.head.getAs[String]("image_url") ==
+      "https://live.staticflickr.com/456_m.jpg")
+    assert(small.head.getAs[Long]("width") == 240 &&
+      small.head.getAs[Long]("height") == 180)
+    // no url_l/m/s at all -> no image -> drop
+    val none = s"""{"id": "x", "owner": "o", "license": "1",
+      | ${fixture("flickr/image_data_no_image_url.json").trim.stripPrefix("{")}"""
+      .stripMargin
+    assert(ConcreteProviders.flickr(spark,
+      Seq(flickrBatch(none)).toDS()).count() == 0)
+  }
+
+  test("flickr: meta_data variants match the reference expectations") {
+    def metaOf(rel: String): Map[String, String] = {
+      val rows = ConcreteProviders.flickr(spark,
+        Seq(flickrBatch(withFlickrDefaults(fixture(rel)))).toDS()).collect()
+      assert(rows.length == 1)
+      rows.head.getAs[Map[String, String]]("meta_data")
+    }
+    // test_flickr.py:244-278
+    assert(metaOf("flickr/image_data_full_meta_data_example.json") == Map(
+      "pub_date" -> "1571326372", "date_taken" -> "2019-09-07 16:26:44",
+      "description" -> "OLYMPUS DIGITAL CAMERA", "views" -> "9"))
+    assert(metaOf("flickr/image_data_partial_meta_data_info.json") == Map(
+      "pub_date" -> "1571326372", "date_taken" -> "2019-09-07 16:26:44"))
+    assert(metaOf("flickr/image_data_no_meta_data_info.json") ==
+      Map.empty[String, String])
+    // html description: lxml text nodes joined with " ", newlines KEPT
+    // (expect_meta_data_from_html_description.json)
+    assert(metaOf("flickr/image_data_html_description.json")("description") ==
+      "Warsy (Somme, France) -\n\n www.google.com/maps/@49.69839,2.64689," +
+        "3a,90y,102.98h,114....")
+    // whitespace-only description: stripped -> key absent
+    assert(!metaOf("flickr/image_data_whitespace_description.json")
+      .contains("description"))
+  }
+
+  test("flickr: tag normalization (whitespace, sort, truncation)") {
+    def tagsOf(itemJson: String, maxLen: Int = 2000): Option[Seq[String]] = {
+      val rows = ConcreteProviders.flickr(spark,
+        Seq(flickrBatch(withFlickrDefaults(itemJson))).toDS(),
+        maxTagStringLength = maxLen).collect()
+      assert(rows.length == 1)
+      Option(rows.head.getSeq[String](rows.head.fieldIndex("raw_tags")))
+        .map(_.toList)
+    }
+    // test_flickr.py:281-304
+    assert(tagsOf(fixture("flickr/image_data_varying_tags_whitespace.json"))
+      .contains(Seq("tag1", "tag2", "tag3")))
+    assert(tagsOf(fixture("flickr/image_data_unsorted_tags.json"))
+      .contains(Seq("tag1", "tag2", "tag3")))
+    assert(tagsOf(fixture("flickr/image_data_long_tags_string.json"),
+      maxLen = 37).contains(
+      Seq("tag1", "tag2", "tag3", "tag4", "tag5", "tag6")))
+    assert(tagsOf("""{"id": "aslkjb"}""").isEmpty)
+    assert(tagsOf("""{"id": "aslkjb", "tags": ""}""").isEmpty)
+  }
+
+  test("flickr: missing owner or id drops the record") {
+    val base = fixture("flickr/image_data_complete_example.json")
+    for (killed <- Seq("owner", "id")) {
+      val broken = base.replace(s""""$killed":""", s""""${killed}_gone":""")
+      assert(broken != base)
+      assert(ConcreteProviders.flickr(spark,
+        Seq(flickrBatch(broken)).toDS()).count() == 0, s"killed=$killed")
+    }
+  }
+
+  test("flickr: realistic 30-photo response keeps all; non-ok stat drops") {
+    val raw = fixture("flickr/flickr_example_pretty.json")
+    assert(ConcreteProviders.flickr(spark, Seq(raw).toDS()).count() == 30)
+    val notOk = raw.replace("\"ok\"", "\"notok\"")
+    assert(ConcreteProviders.flickr(spark, Seq(notOk).toDS()).count() == 0)
+    // `photos` present but no `photo` list (test_flickr.py:79-87)
+    val partial = """{"photos": {"page": 1, "pages": 1, "perpage": 500,
+      | "total": "30"}, "stat": "ok"}""".stripMargin
+    assert(ConcreteProviders.flickr(spark, Seq(partial).toDS()).count() == 0)
+  }
+
+  // ---- wikimedia commons (concrete config: MediaWiki query.pages) -----
+
+  private def wmResponse(pageJson: String, pageKey: String = "1"): String =
+    s"""{"batchcomplete": "", "query": {"pages": {"$pageKey": $pageJson}}}"""
+
+  test("wikimedia: reference image_data_example -> expected record") {
+    val page = fixture("wikimedia/image_data_example.json")
+    val got = ConcreteProviders.wikimedia(spark,
+      Seq(wmResponse(page, "81754323")).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_wikimedia_commons.py:253-296 expected record
+    assert(r.getAs[Long]("foreign_identifier") == 81754323L)
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://commons.wikimedia.org/w/index.php?curid=81754323")
+    assert(r.getAs[String]("url") ==
+      "https://upload.wikimedia.org/wikipedia/commons/2/25/20120925_" +
+        "PlozevetBretagne_LoneTree_DSC07971_PtrQs.jpg")
+    assert(r.getAs[String]("media_type") == "image")
+    assert(r.getAs[String]("license") == "by-sa" &&
+      r.getAs[String]("license_version") == "4.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by-sa/4.0/")
+    assert(r.getAs[Long]("width") == 5514 && r.getAs[Long]("height") == 3102)
+    assert(r.getAs[String]("creator") == "PtrQs")
+    assert(r.getAs[String]("creator_url") ==
+      "//commons.wikimedia.org/wiki/User:PtrQs")
+    assert(r.getAs[String]("title") ==
+      "20120925 PlozevetBretagne LoneTree DSC07971 PtrQs")
+    assert(r.getAs[String]("filetype") == "jpg")
+    assert(r.getAs[Long]("filesize") == 11863148L)
+    assert(r.getAs[String]("provider") == "wikimedia")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta_data")
+    assert(meta.getAs[Long]("global_usage_count") == 0L)
+    assert(meta.getAs[String]("description") == "SONY DSC")
+    assert(meta.getAs[String]("date_originally_created") ==
+      "2012-09-25 16:23:02")
+    assert(meta.getAs[String]("last_modified_at_source") ==
+      "2019-09-01 00:38:47")
+    assert(meta.getSeq[String](meta.fieldIndex("categories")) == Seq(
+      "Coasts of Plozévet", "No QIC by usr:PtrQs",
+      "Photographs taken with Minolta AF Zoom 28-70mm F2.8 G",
+      "Self-published work", "Taken with Sony DSLR-A900",
+      "Trees in Finistère"))
+    assert(meta.isNullAt(meta.fieldIndex("latitude")) &&
+      meta.isNullAt(meta.fieldIndex("channels")))
+    assert(r.isNullAt(r.fieldIndex("duration")) &&
+      r.isNullAt(r.fieldIndex("category")))
+  }
+
+  test("wikimedia: artist variants parse like lxml iterlinks/text") {
+    import graft.functions.CleanFunctions
+    // (fixture, expected creator, expected creator_url) —
+    // test_wikimedia_commons.py:327-375
+    val cases = Seq(
+      ("image_info_artist_string.json", "Artist Name", null),
+      ("image_info_artist_link.json", "link text", "https://test.com/linkspot"),
+      ("image_info_artist_div.json", "Jona Lendering", null),
+      ("image_info_artist_internal_link.json", "NotaRealUser",
+        "//commons.wikimedia.org/w/index.php?title=User:NotaRealUser&" +
+          "action=edit&redlink=1"),
+      ("image_info_artist_partial_link.json", "Jeff & Brian from Eastbourne",
+        "https://www.flickr.com/people/16707908@N07"))
+    val artistSchema = StructType(Seq(StructField("extmetadata",
+      StructType(Seq(StructField("Artist",
+        StructType(Seq(StructField("value", StringType)))))))))
+    for ((rel, creator, url) <- cases) {
+      val r = Seq(fixture(s"wikimedia/$rel")).toDF("value")
+        .select(from_json(col("value"), artistSchema)
+          .getField("extmetadata").getField("Artist").getField("value")
+          .as("a"))
+        .select(
+          CleanFunctions.htmlTextNodes(col("a"), "").as("creator"),
+          CleanFunctions.htmlFirstLink(col("a")).as("creator_url"))
+        .collect().head
+      assert(r.getAs[String]("creator") == creator, rel)
+      assert(r.getAs[String]("creator_url") == url, rel)
+    }
+  }
+
+  test("wikimedia: title cleanup strips File: and known extensions") {
+    // test_wikimedia_commons.py:241-251
+    def clean(objectName: Option[String], pageTitle: Option[String]): String =
+      Seq((objectName.orNull, pageTitle.orNull)).toDF("o", "t")
+        .select(ConcreteProviders.wmCleanTitle(col("o"), col("t")).as("r"))
+        .collect().head.getAs[String]("r")
+    assert(clean(Some("File:filename.jpg"), None) == "filename")
+    assert(clean(None, Some("filename.jpeg")) == "filename")
+    assert(clean(Some("No Extension Here"), None) == "No Extension Here")
+    assert(clean(Some(".jpg"), None) == ".jpg") // dot at position 0 kept
+    assert(clean(Some("a.tar.png"), None) == "a.tar")
+    assert(clean(Some("keep.tif"), None) == "keep.tif") // unknown ext kept
+  }
+
+  test("wikimedia: html description scraped with internal spacing kept") {
+    import graft.functions.CleanFunctions
+    val descSchema = StructType(Seq(StructField("imageinfo",
+      ArrayType(StructType(Seq(StructField("extmetadata",
+        StructType(Seq(StructField("ImageDescription",
+          StructType(Seq(StructField("value", StringType)))))))))))))
+    val got = Seq(fixture("wikimedia/image_data_html_description.json"))
+      .toDF("value")
+      .select(element_at(from_json(col("value"), descSchema)
+        .getField("imageinfo"), 1)
+        .getField("extmetadata").getField("ImageDescription")
+        .getField("value").as("d"))
+      .select(CleanFunctions.htmlTextNodes(col("d"), " ").as("t"))
+      .collect().head.getAs[String]("t")
+    // test_wikimedia_commons.py:392-399 — note the DOUBLE space after
+    // "Titel(s): " (text node ends with a space, the join adds another)
+    assert(got == "Identificatie Titel(s):  Allegorie op kunstenaar " +
+      "Francesco Mazzoli, bekend als Parmigianino")
+  }
+
+  test("wikimedia: continuation batches merge per page, usage sums") {
+    val raws = Seq(
+      fixture("wikimedia/continuation/wmc_pretty1.json"),
+      fixture("wikimedia/continuation/wmc_pretty2.json"),
+      fixture("wikimedia/continuation/wmc_pretty3.json"))
+    val merged = ConcreteProviders.wikimediaMergedPages(spark, raws.toDS())
+    // expected counts = len(globalusage) in the reference's own merged
+    // fixture wmc_pretty123.json (test_wikimedia_commons.py:102-128)
+    val expected = Map(
+      18263872L -> 1L, 44672185L -> 3L, 44672190L -> 2L, 44672194L -> 2L,
+      44672195L -> 2L, 44672196L -> 2L, 44672207L -> 1L, 44672210L -> 0L,
+      44672212L -> 16L)
+    val got = merged.select("pageid", "global_usage_count")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // single page pair: left carries 3 usages + imageinfo, right none
+    val pair = ConcreteProviders.wikimediaMergedPages(spark, Seq(
+      wmResponse(fixture("wikimedia/continuation/page_44672185_left.json")),
+      wmResponse(fixture("wikimedia/continuation/page_44672185_right.json")))
+      .toDS())
+    val row = pair.collect().head
+    assert(row.getAs[Long]("global_usage_count") == 3L)
+    assert(!row.isNullAt(row.fieldIndex("imageinfo")))
+  }
+
+  test("wikimedia: audio stream metadata (ogg header, wav fallback)") {
+    val metaSchema = StructType(Seq(StructField("metadata", StringType)))
+    def fieldsOf(raw: String): org.apache.spark.sql.Row =
+      Seq(raw).toDF("value")
+        .select(ConcreteProviders.wmAudioStreamFields(
+          from_json(col("value"), metaSchema).getField("metadata")).as("f"))
+        .select(col("f.*")).collect().head
+    // test_wikimedia_commons.py:425-447
+    val ogg = fieldsOf(fixture("wikimedia/audio_filedata_ogg.json"))
+    assert(ogg.getAs[Long]("sample_rate") == 48000L &&
+      ogg.getAs[Long]("bit_rate") == 112000L &&
+      ogg.getAs[Long]("channels") == 2L)
+    val wavRaw = fixture("wikimedia/audio_filedata_wav.json")
+    val wav = fieldsOf(wavRaw)
+    assert(wav.getAs[Long]("sample_rate") == 48000L &&
+      wav.getAs[Long]("bit_rate") == 768000L &&
+      wav.getAs[Long]("channels") == 1L)
+    // no audio stream tree at all -> nothing extracted
+    val noStreams = fieldsOf(wavRaw.replace("\"audio\"", "\"audioX\""))
+    assert(noStreams.isNullAt(0) && noStreams.isNullAt(1) &&
+      noStreams.isNullAt(2))
+    // bit rate above INT_MAX is nulled (wikimedia_commons.py:374)
+    val overflow = fieldsOf(wavRaw.replace("768000", "4294967294"))
+    assert(overflow.isNullAt(overflow.fieldIndex("bit_rate")) &&
+      overflow.getAs[Long]("sample_rate") == 48000L &&
+      overflow.getAs[Long]("channels") == 1L)
+  }
+
+  test("wikimedia: audio record through the full pipeline") {
+    val oggInfo = fixture("wikimedia/audio_filedata_ogg.json").trim
+    val info = s"""{"mediatype": "AUDIO",
+      | "extmetadata": {
+      |   "LicenseUrl": {"value": "https://creativecommons.org/licenses/by-sa/4.0"},
+      |   "ObjectName": {"value": "Pronunciation of example"},
+      |   "Categories": {"value": "English pronunciation|Audio files"}},
+      | ${oggInfo.stripPrefix("{")}""".stripMargin
+    val page = s"""{"pageid": 7, "title": "File:x.ogg",
+      | "imageinfo": [$info]}""".stripMargin
+    val got = ConcreteProviders.wikimedia(spark,
+      Seq(wmResponse(page, "7")).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("media_type") == "audio")
+    assert(r.getAs[String]("provider") == "wikimedia_audio")
+    // duration 2.9 s -> int(2.9 * 1000) = 2900, double math as in Python
+    assert(r.getAs[Int]("duration") == 2900)
+    assert(r.getAs[Long]("sample_rate") == 48000L &&
+      r.getAs[Long]("bit_rate") == 112000L)
+    assert(r.getAs[org.apache.spark.sql.Row]("meta_data")
+      .getAs[Long]("channels") == 2L)
+    assert(r.getAs[String]("category") == "pronunciation")
+    assert(r.isNullAt(r.fieldIndex("width")))
+  }
+
+  test("wikimedia: invalid mediatype / missing license / no media drop") {
+    // test_wikimedia_commons.py:298-301
+    val invalid = """{"pageid": 9, "title": "File:v.webm",
+      | "imageinfo": [{"mediatype": "VIDEO", "url": "https://x/v.webm",
+      |   "extmetadata": {"LicenseUrl":
+      |     {"value": "https://creativecommons.org/licenses/by/4.0"}}}]}"""
+      .stripMargin
+    assert(ConcreteProviders.wikimedia(spark,
+      Seq(wmResponse(invalid, "9")).toDS()).count() == 0)
+    // page without imageinfo (response_small_with_continue.json)
+    val small = fixture("wikimedia/response_small_with_continue.json")
+    assert(ConcreteProviders.wikimediaMergedPages(spark,
+      Seq(small).toDS()).count() == 1)
+    assert(ConcreteProviders.wikimedia(spark, Seq(small).toDS()).count() == 0)
+    // license url that maps to nothing drops the record
+    val badLic = """{"pageid": 10, "title": "File:b.jpg",
+      | "imageinfo": [{"mediatype": "BITMAP", "url": "https://x/b.jpg",
+      |   "extmetadata": {"LicenseUrl": {"value": "https://example.com/"}}}]}"""
+      .stripMargin
+    assert(ConcreteProviders.wikimedia(spark,
+      Seq(wmResponse(badLic, "10")).toDS()).count() == 0)
+  }
+
+  test("wikimedia: continuation planning + timestamp pair helpers") {
+    import ConcreteProviders.{wmAdjustForNextIteration, wmDefaultProps,
+      wmTimestampPair, WmReturnProps}
+    // test_wikimedia_commons.py:33-37
+    assert(wmTimestampPair("2018-01-15") == ("1515974400", "1516060800"))
+    val gai = "example||gaicontinue"
+    // test_wikimedia_commons.py:480-529 — four token shapes
+    assert(wmAdjustForNextIteration(Map.empty, wmDefaultProps, Some(gai)) ==
+      (wmDefaultProps, Map("continue" -> "||", "gaicontinue" -> gai)))
+    val ii = Map(
+      "iicontinue" -> "The_Railway_Chronicle_1844.pdf|20221209222801",
+      "gaicontinue" -> "20221209222614|x.pdf",
+      "continue" -> "gaicontinue||globalusage")
+    assert(wmAdjustForNextIteration(ii, wmDefaultProps, Some(gai)) ==
+      (Map("prop" -> WmReturnProps.queryAll,
+        "iiprop" -> WmReturnProps.mediaNoMetadata),
+        Map("continue" -> "gaicontinue||", "gaicontinue" -> gai)))
+    val gu = Map(
+      "gucontinue" -> "Samuel_van_Hoogstraten.jpg|wikidatawiki|28903920",
+      "gaicontinue" -> "Portland_Street.jpg",
+      "continue" -> "gaicontinue||imageinfo")
+    assert(wmAdjustForNextIteration(gu, wmDefaultProps, Some(gai)) ==
+      (Map("prop" -> WmReturnProps.queryNoPopularity,
+        "iiprop" -> WmReturnProps.mediaAll),
+        Map("continue" -> "gaicontinue||", "gaicontinue" -> gai)))
+    val both = ii ++ gu + ("continue" -> "gaicontinue||")
+    assert(wmAdjustForNextIteration(both, wmDefaultProps, Some(gai)) ==
+      (Map("prop" -> WmReturnProps.queryNoPopularity,
+        "iiprop" -> WmReturnProps.mediaNoMetadata),
+        Map("continue" -> "gaicontinue||", "gaicontinue" -> gai)))
   }
 }
