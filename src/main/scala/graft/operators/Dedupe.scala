@@ -357,12 +357,15 @@ object Dedupe {
     * broadcast-semi-joins the small candidate id set against it, so only
     * flagged documents' text is ever read.
     *
-    * Plan shape: one codegen'd signature map over the batch (persisted —
-    * the within-batch and batch-vs-corpus candidate arms are concurrent
-    * consumers), two band equi-joins whose work scales with true
-    * collisions, one-join exact verify over candidate pairs, and
-    * [[incrementalComponents]]' label contraction (≤ |new edges| rows
-    * propagated + one broadcast relabel scan of the label frame).
+    * Plan shape: one codegen'd signature map over the batch (banded +
+    * persisted — consumed by its own bucket rows and the corpus
+    * prefilter key set), a broadcast semi-join that streams the corpus
+    * signature scan down to colliding band rows BEFORE any exchange,
+    * one bucket aggregation over batch + colliding rows, exact verify
+    * over candidate pairs, and [[incrementalComponents]]' label
+    * contraction (≤ |new edges| rows propagated; the corpus label
+    * table only ever streams against broadcast sides). Shuffled bytes
+    * are O(batch + true collisions) end to end.
     *
     * Output: (node, label) for every clustered doc — identical to a
     * from-scratch [[connectedComponents]] over the full corpus ∪ batch
@@ -374,28 +377,24 @@ object Dedupe {
       textCol: String, shingleK: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double, caches: CacheHandle = CacheHandle.session)
       : DataFrame = {
-    // ONE fused candidate pass over batch ∪ corpus bands: the batch is
-    // signed in-line (codegen'd map — its only consumer is this pass,
-    // so no persist job), the corpus side is a columnar read of the
-    // persisted signature table (arrays only, no text), and both flow
-    // into one bucket aggregation. Within-batch and batch-vs-corpus
-    // candidates fall out of the SAME buckets — pairs are emitted
-    // in-row with an is_new flag per endpoint and corpus-corpus pairs
-    // (already folded into the persisted labels) are filtered before
-    // they ever leave the bucket row. vs the two-arm form (bucket-group
-    // the batch + band-join batch×corpus): one shuffle instead of
-    // three, no eager batch-signature materialization job, and the
-    // corpus bands move once.
+    // Candidate pass, O(batch + true collisions) SHUFFLED BYTES: the
+    // batch is signed once (codegen'd map), banded, and persisted (two
+    // consumers: its own bucket rows and the corpus prefilter key set);
+    // the corpus side is a columnar read of the persisted signature
+    // table (arrays only, no text) whose band rows are SEMI-JOINED
+    // against the batch's (band, band_sig) key set BEFORE the bucket
+    // shuffle. The key set is batch-sized, so the planner broadcasts it
+    // and the corpus scan streams — no corpus row ever enters an
+    // exchange unless it collides with a batch band. (The r13 sf10
+    // probe motivated this: without the prefilter the bucket groupBy
+    // shuffled every corpus band row, which made the "incremental" pass
+    // scale with |corpus| — batch-size-insensitive wall times.) Within-
+    // batch and batch-vs-corpus candidates still fall out of the SAME
+    // buckets, pairs are emitted in-row with an is_new flag, and
+    // corpus-corpus pairs (already folded into the persisted labels)
+    // cannot survive the prefilter+is_new gate.
     val nBands = numHashes / rowsPerBand
-    // batch signatures carry the trailing distinct-shingle count, like
-    // the persisted corpus signatures — the size-ratio verify-prune
-    // (see minhashCandidatePairs) then drops provably-hopeless pairs
-    // in-row before the verify ever sees them
-    val tagged = minhashWide(batch, idCol, textCol, shingleK, numHashes,
-        withCount = true)
-      .withColumn("is_new", lit(true))
-      .unionByName(corpusSig.withColumn("is_new", lit(false)))
-    val buckets = tagged
+    def bandRows(df: DataFrame): DataFrame = df
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_sig", array_join(
         transform(
@@ -403,6 +402,19 @@ object Dedupe {
             lit(rowsPerBand)),
           x => x.cast("string")),
         "|"))
+    // batch signatures carry the trailing distinct-shingle count, like
+    // the persisted corpus signatures — the size-ratio verify-prune
+    // (see minhashCandidatePairs) then drops provably-hopeless pairs
+    // in-row before the verify ever sees them
+    val batchBands = CacheHandle.eager(caches.track(bandRows(
+      minhashWide(batch, idCol, textCol, shingleK, numHashes,
+        withCount = true)
+        .withColumn("is_new", lit(true))).persist()))
+    val corpusHits = bandRows(
+        corpusSig.withColumn("is_new", lit(false)))
+      .join(batchBands.select("band", "band_sig").distinct(),
+        Seq("band", "band_sig"), "left_semi")
+    val buckets = batchBands.unionByName(corpusHits)
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(struct(col("doc"),
         element_at(col("sig"), numHashes + 1).as("cnt"),
@@ -428,10 +440,8 @@ object Dedupe {
           p => p("keep"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     // inline verify: the candidate frame has ONE consumer (the role-row
-    // broadcast build), so no persist job exists anywhere in the
-    // nightly path — candidates, verification, and the label
-    // contraction all execute lazily inside the contracted
-    // propagation's init job
+    // broadcast build), so verification flows lazily into the edge
+    // persist inside incrementalComponents
     val verified = verifyJaccardInline(pairs.distinct(), textLookup,
       idCol, textCol, shingleK, minJaccard)
     incrementalComponents(corpusLabels, verified, "doc_a", "doc_b",
@@ -861,44 +871,52 @@ object Dedupe {
       aCol: String, bCol: String, maxIter: Int = 25,
       caches: CacheHandle = CacheHandle.session): DataFrame = {
     val l = labels.select(col("node"), col("label"))
-    // `newEdges` has exactly ONE consumer (the contraction below), so a
-    // live verify pipeline flows straight through: the whole
-    // candidate-verify lineage executes once, inside the contracted
-    // propagation's init job. (The r12 form consumed the edge frame
-    // twice — contraction + an unseen-endpoint scan — which forced
-    // callers to eagerly persist the verified pairs as their own job;
-    // unseen endpoints are now derived from the contracted CC output
-    // instead, see `newRows`.)
-    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
-    // contract endpoints to their existing component labels
-    val la = l.select(col("node").as("a"), col("label").as("la"))
-    val lb = l.select(col("node").as("b"), col("label").as("lb"))
-    val contracted = e.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+    // The edge frame is SMALL (tonight's verified pairs) and consumed
+    // by the endpoint scan + the contraction, so it is persisted —
+    // one materialization job for the whole candidate-verify lineage.
+    // The corpus label table, by contrast, must NEVER be shuffled:
+    // every join below streams it against a broadcast small side (the
+    // r13 sf10 probe showed the previous left-outer contractions
+    // sort-merge-shuffled the corpus labels twice, making the nightly
+    // path scale with |corpus| instead of |batch|).
+    val e = CacheHandle.eager(caches.track(
+      newEdges.select(col(aCol).as("a"), col(bCol).as("b")).persist()))
+    val touched = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    // labels of touched nodes only: corpus labels STREAM through a
+    // broadcast semi-join (no exchange), output is edge-sized
+    val lt = CacheHandle.eager(caches.track(
+      l.join(broadcast(touched), Seq("node"), "left_semi").persist()))
+    // contract endpoints to their existing component labels — all
+    // broadcast joins over edge-sized frames
+    val la = lt.select(col("node").as("a"), col("label").as("la"))
+    val lb = lt.select(col("node").as("b"), col("label").as("lb"))
+    val contracted = e.join(broadcast(la), Seq("a"), "left")
+      .join(broadcast(lb), Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("ca"),
         coalesce(col("lb"), col("b")).as("cb"))
       .filter(col("ca") =!= col("cb"))
     // components over the contracted graph: (old label or new node id)
     // → merged label. connectedComponents returns it checkpointed, so
-    // the two consumers below (relabel join + new-node anti-join) read
+    // the two consumers below (relabel join + new-node derivation) read
     // materialized blocks, not the propagation lineage.
     val merged = connectedComponents(contracted, "ca", "cb",
       maxIter = maxIter)
       .withColumnRenamed("node", "old_label")
       .withColumnRenamed("label", "merged")
-    // corpus rewrite: one narrow scan, broadcast of the merge map
+    // corpus rewrite: one streaming scan, broadcast of the merge map
     val updated = l.join(broadcast(merged),
         l("label") === merged("old_label"), "left")
       .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
-    // unseen endpoints enter with their merged labels. Every unseen
-    // node IS covered by `merged`: its contracted edge keeps
-    // ca = node ≠ cb (it has no label to contract to), so it survives
-    // the intra-component filter. And an existing component's label is
-    // by invariant one of its own nodes, so old_label ∉ labels.node
-    // identifies exactly the unseen endpoints — no second scan of the
-    // edge frame needed.
-    val newRows = merged.join(l, merged("old_label") === l("node"),
-        "left_anti")
-      .select(col("old_label").as("node"), col("merged").as("label"))
+    // unseen endpoints (touched ∖ labeled) enter with their merged
+    // labels. Every unseen node IS covered by `merged`: its contracted
+    // edge keeps ca = node ≠ cb (it has no label to contract to), so it
+    // survives the intra-component filter and appears keyed by its own
+    // id. Both sides here are edge-sized — broadcast joins only.
+    val unseen = touched.join(broadcast(lt), Seq("node"), "left_anti")
+    val newRows = unseen.join(broadcast(merged),
+        unseen("node") === merged("old_label"))
+      .select(col("node"), col("merged").as("label"))
     updated.union(newRows)
   }
 

@@ -51,21 +51,29 @@ object SignatureStore {
     * signature and label tables. The corpus-scale cost lives HERE, once
     * per corpus version — never in the nightly path.
     */
-  /** @param outPartitions files per committed table. The nightly reader
-    *   scans the signature table once and the label table several times
-    *   (contraction sides + relabel), so at local/bench corpus sizes a
-    *   32-file layout per 2,500-row table pays a listing + per-file task
-    *   floor on every scan — the default packs each snapshot into one
-    *   file. A production store sizes this to corpus bytes / ~128 MB
-    *   (0 = keep the upstream partitioning).
+  /** Rows per committed file under AUTO packing. ~50k signature rows ≈
+    * 5-8 MB parquet — small enough that bench-scale tables stay one
+    * file (no listing/task floor), large enough that a 100× corpus
+    * commits tens of files and every nightly scan parallelizes. The r13
+    * probe caught the failure mode this guards: a 484k-row corpus
+    * packed into ONE 49 MB file read as ONE task made the nightly path
+    * single-threaded — 2× SLOWER than from-scratch regardless of batch
+    * size, because maxPartitionBytes only splits files larger than
+    * itself.
+    */
+  val autoRowsPerFile: Long = 50000L
+
+  /** @param outPartitions files per committed table: -1 (default) =
+    *   AUTO from the materialized row count (ceil(rows /
+    *   [[autoRowsPerFile]]), capped at 64); 0 = keep the upstream
+    *   partitioning; >0 explicit. A production store sizes this to
+    *   corpus bytes / ~128 MB.
     */
   def build(spark: SparkSession, root: String, corpus: DataFrame,
       idCol: String, textCol: String, shingleK: Int, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double,
       caches: CacheHandle = CacheHandle.session,
-      outPartitions: Int = 1): Unit = {
-    def pack(df: DataFrame): DataFrame =
-      if (outPartitions > 0) df.coalesce(outPartitions) else df
+      outPartitions: Int = -1): Unit = {
     // persisted: consumed by the commit write AND the candidate pass.
     // withCount: the trailing distinct-shingle count feeds the
     // size-ratio verify-prune, here and in every later incremental run
@@ -73,6 +81,11 @@ object SignatureStore {
     val sig = CacheHandle.eager(caches.track(
       Dedupe.minhashWide(corpus, idCol, textCol, shingleK, numHashes,
         withCount = true).persist()))
+    val parts =
+      if (outPartitions >= 0) outPartitions
+      else autoPartitions(sig.count())
+    def pack(df: DataFrame): DataFrame =
+      if (parts > 0) df.coalesce(parts) else df
     VersionedTable.commit(pack(sig), sigsRoot(root))
     val cand = CacheHandle.eager(caches.track(
       Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand,
@@ -106,7 +119,22 @@ object SignatureStore {
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
       mergedLabels: DataFrame): Unit = {
     val sigs = VersionedTable.read(spark, sigsRoot(root))
-    VersionedTable.commit(sigs.union(batchSig), sigsRoot(root))
+    // persist: the count (for AUTO file sizing) and the commit write
+    // must not each re-sign the batch
+    val merged = sigs.union(batchSig).persist()
+    try
+      // repack under the AUTO layout so file count tracks corpus growth
+      // (read parallelism) — the rewrite is O(corpus SIGNATURES), a few
+      // longs per document, not O(corpus text); a delta-file layout
+      // (commit only batch files + a manifest) is the next refinement
+      // if even that rewrite matters
+      VersionedTable.commit(
+        merged.coalesce(autoPartitions(merged.count())), sigsRoot(root))
+    finally merged.unpersist()
     VersionedTable.commit(mergedLabels, labelsRoot(root))
   }
+
+  private def autoPartitions(rows: Long): Int =
+    math.max(1L, math.min(64L,
+      (rows + autoRowsPerFile - 1) / autoRowsPerFile)).toInt
 }

@@ -265,6 +265,58 @@ object DedupeQueries extends QueryPack {
     },
     Some(dedupClustersOracle))
 
+  /** The nightly loop CLOSED, end to end: two consecutive batches flow
+    * through the persisted store — build corpus state (half the docs),
+    * fold night 1's batch in and COMMIT the merged labels + batch
+    * signatures ([[graft.operators.SignatureStore.appendBatch]], an
+    * atomic version flip), then night 2's batch reads night 1's
+    * committed state and commits again. The result surface is what a
+    * reader sees in the store AFTER the second commit — and it must
+    * equal a from-scratch clustering of the full corpus (same
+    * transitive-closure oracle as q59/q79). This is the operator q79
+    * benchmarks, exercised the way a pipeline actually runs it:
+    * version v → batch → version v+1 → batch → version v+2.
+    *
+    * The store is a fresh temp dir per run BY DESIGN: the query commits
+    * versions as it goes, so replaying over yesterday's folded store
+    * would re-add already-present docs (a real pipeline never feeds the
+    * same batch twice; idempotent re-ingest is [[q68]]'s anti-join
+    * surface).
+    */
+  val q80 = Q("q80_store_nightly_loop",
+    (s, dir) => {
+      import graft.operators.SignatureStore
+      val docs = Tables(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q80_store").toString
+      val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
+      val (sig0, labels0) = SignatureStore.ensureCorpusState(s, store,
+        docs.filter(col("doc_id") % 4 < 2), "doc_id", "text", k, n, rpb, minJ)
+      // night 1: fold batch 1, commit v+1
+      val batch1 = docs.filter(col("doc_id") % 4 === 2)
+      val merged1 = Dedupe.incrementalFromStore(sig0, labels0, batch1,
+        docs, "doc_id", "text", k, n, rpb, minJ)
+      SignatureStore.appendBatch(s, store,
+        Dedupe.minhashWide(batch1, "doc_id", "text", k, n,
+          withCount = true), merged1)
+      // night 2: read the FLIPPED store, fold batch 2, commit v+2
+      val (sig1, labels1) = SignatureStore.read(s, store)
+      val batch2 = docs.filter(col("doc_id") % 4 === 3)
+      val merged2 = Dedupe.incrementalFromStore(sig1, labels1, batch2,
+        docs, "doc_id", "text", k, n, rpb, minJ)
+      SignatureStore.appendBatch(s, store,
+        Dedupe.minhashWide(batch2, "doc_id", "text", k, n,
+          withCount = true), merged2)
+      // what any reader sees after the loop ran twice
+      val (_, labelsFinal) = SignatureStore.read(s, store)
+      labelsFinal
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
+        .select(col("node").as("doc"), col("label").as("cluster"),
+          col("cluster_size"))
+    },
+    Some(dedupClustersOracle))
+
   /** Incremental dedup: LSH candidates between a NEW batch (every 4th
     * document — a large nightly ingest) and the EXISTING corpus, from
     * independently computed signatures. The corpus side is what a real
@@ -466,5 +518,5 @@ object DedupeQueries extends QueryPack {
       GROUP BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79)
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80)
 }
