@@ -982,19 +982,72 @@ object Dedupe {
     * of the corpus (n-gram overlap is the standard published recipe).
     *
     * Scale shape: the benchmark suite is SMALL by definition, so its
-    * distinct shingle set broadcasts; the corpus-side shingle explode
-    * (with multiplicity — no corpus-wide distinct shuffle) joins it
-    * map-side, and the only shuffle in the plan carries HIT rows
-    * (corpus shingles that appear in some benchmark doc) into the
-    * per-(doc, bench) distinct count. A corpus with zero contamination
-    * shuffles zero rows.
+    * distinct shingle set broadcasts twice — once as a Bloom filter
+    * probed INSIDE the corpus scan (the codegen'd
+    * [[graft.functions.ShingleHitsExpr]] walks each document once and
+    * emits only might-match shingles, so a clean corpus materializes
+    * zero shingle rows; the exploded form built one UnsafeRow per
+    * corpus TOKEN only to discard ~all of them at the join), and once
+    * as the exact string set whose equi-join kills the Bloom's false
+    * positives. The only shuffle in the plan carries HIT rows (corpus
+    * shingles that appear in some benchmark doc) into the per-(doc,
+    * bench) count. A corpus with zero contamination shuffles — and now
+    * explodes — zero rows. Building the Bloom filter runs two actions
+    * over the (small) benchmark frame at plan-construction time; like
+    * the IVF centroid collects, that is a plan PARAMETER, O(bench).
     *
     * Output: (doc, bench_id, n_overlap, overlap_frac) for pairs at or
     * above the threshold, overlap_frac = distinct shared shingles /
     * benchmark doc's distinct shingles.
+    *
+    * @param prefilterFpp Bloom false-positive rate; only affects how
+    *   many non-hit shingles survive to the exact join (cost), never
+    *   the result.
     */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, shingleK: Int, minOverlap: Double,
+      maxDocChars: Int = TextAnalysis.defaultMaxDocChars,
+      prefilterFpp: Double = 0.001,
+      caches: CacheHandle = CacheHandle.session): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // two plan-construction actions over the persisted bench shingles:
+    // the sizing count (which doubles as the cache materialization —
+    // no separate eager job) and the Bloom aggregate over the cache
+    val bsh = caches.track(
+      shingleRows(bench, idCol, textCol, shingleK, maxDocChars)
+        .select(col("doc").as("bench_id"), col("shingle")).persist())
+    val nBench = bsh.count()
+    val bloom = corpus.sparkSession.sparkContext.broadcast(
+      bsh.stat.bloomFilter("shingle", math.max(1L, nBench),
+        prefilterFpp))
+    val bsz = bsh.groupBy("bench_id").agg(count(lit(1)).as("bench_sz"))
+    val hits = corpus.select(col(idCol).as("doc"),
+      explode(ColumnBridge.column(graft.functions.ShingleHitsExpr(
+        ColumnBridge.expression(
+          TextAnalysis.capDoc(col(textCol), maxDocChars)),
+        shingleK, bloom))).as("shingle"))
+    // count(1), not countDistinct: the expression emits each of a
+    // doc's shingles at most once, and (bench_id, shingle) is distinct
+    // by construction, so the join fans out uniquely
+    hits.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("doc"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .withColumn("overlap_frac",
+        col("n_overlap") / col("bench_sz").cast("double"))
+      .filter(col("overlap_frac") >= lit(minOverlap))
+      .select(col("doc"), col("bench_id"), col("n_overlap"),
+        col("overlap_frac"))
+  }
+
+  /** The pre-r13 exploded decontamination plan, kept as the oracle for
+    * the fused form's parity spec (and as the shape to fall back to if
+    * a caller cannot run plan-construction actions): every corpus
+    * shingle becomes a row and probes the broadcast benchmark set.
+    * Results are identical to [[contamination]] by construction.
+    */
+  def contaminationExplode(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, minOverlap: Double,
       maxDocChars: Int = TextAnalysis.defaultMaxDocChars): DataFrame = {
     val bsh = shingleRows(bench, idCol, textCol, shingleK, maxDocChars)
       .select(col("doc").as("bench_id"), col("shingle"))

@@ -819,6 +819,26 @@ class OperatorSpec extends SparkSpec {
     assert(cols == Seq("doc", "bench_id", "n_overlap", "overlap_frac"))
   }
 
+  test("contamination: fused Bloom-prefilter plan equals the exploded plan") {
+    // parity oracle for the r13 fused path (ShingleHitsExpr): identical
+    // rows on real testdata, including multi-bench fan-out, threshold
+    // filtering, and docs shorter than k words. A high FPP exercises
+    // the false-positive kill at the exact join.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    for (fpp <- Seq(0.001, 0.4)) {
+      val fused = rows(Dedupe.contamination(corpus, bench, "doc_id",
+        "text", shingleK = 5, minOverlap = 0.1, prefilterFpp = fpp))
+      val exploded = rows(Dedupe.contaminationExplode(corpus, bench,
+        "doc_id", "text", shingleK = 5, minOverlap = 0.1))
+      assert(fused == exploded && fused.nonEmpty)
+    }
+  }
+
   test("simhash near-dup: identical docs at hamming 0, pigeonhole bound enforced") {
     val txt = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
