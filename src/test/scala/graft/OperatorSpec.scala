@@ -819,6 +819,33 @@ class OperatorSpec extends SparkSpec {
     assert(cols == Seq("doc", "bench_id", "n_overlap", "overlap_frac"))
   }
 
+  test("contamination: fused plan handles multi-byte UTF-8, empty tokens, nulls") {
+    // boundary cases the testdata parity run can't exercise: multi-byte
+    // text (0x20 must never split inside a UTF-8 sequence), doubled /
+    // leading / trailing spaces (empty tokens are words, matching
+    // split(text, " ")), a doc shorter than k words, and NULL text
+    val bench = Seq(
+      (100L, "héllo wörld ∆x über  end"),  // note doubled space: empty token
+      (101L, " lead tail ")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "héllo wörld ∆x copy"),
+      (2L, " lead tail "),
+      (3L, "short"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val fused = rows(Dedupe.contamination(corpus, bench, "doc_id",
+      "text", shingleK = 2, minOverlap = 0.1))
+    val exploded = rows(Dedupe.contaminationExplode(corpus, bench,
+      "doc_id", "text", shingleK = 2, minOverlap = 0.1))
+    assert(fused == exploded)
+    // doc 2 matches bench 101 exactly: its 2-shingles over words
+    // ("", "lead", "tail", "") are all shared
+    assert(fused.exists { case (d, b, _, f) => d == 2L && b == 101L && f == 1.0 })
+  }
+
   test("contamination: fused Bloom-prefilter plan equals the exploded plan") {
     // parity oracle for the r13 fused path (ShingleHitsExpr): identical
     // rows on real testdata, including multi-bench fan-out, threshold
