@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
+
+/** Product quantization — the compression layer that makes exhaustive
+  * ANN feasible at 100 TB. The vector space R^dim is split into M
+  * subspaces of ds = dim/M dimensions; each subspace gets its own
+  * K-codeword codebook (per-subspace Lloyd k-means); a vector is stored
+  * as its M nearest-codeword indices. With M=8, K=16 a 256-byte
+  * float[64] becomes 8 codes — a ~64× smaller table whose full scan is
+  * the asymmetric-distance (ADC) search: per query build one M×K
+  * lookup table of subspace dot products, then score every stored code
+  * row with M array lookups (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — public literature, not the
+  * reference, which has no ANN at all; this extends SURVEY §2's
+  * beyond-reference similarity family alongside IVF and SRP-LSH).
+  *
+  * Scale shape:
+  *  - training: per Lloyd pass, ONE corpus scan — the encode expression
+  *    assigns all M subspaces in a single codegen'd loop, and the new
+  *    means are (M·K) per-dim averages with map-side partial
+  *    aggregation, so the shuffle carries O(partitions · M·K·ds)
+  *    doubles regardless of corpus size. Like
+  *    [[Similarity.kmeansCentroids]], each pass COLLECTS its M·K·ds
+  *    doubles (~8 KB) and re-enters as a plan literal — plan depth
+  *    stays constant, no pass re-executes downstream.
+  *  - the codebook is a driver-side constant broadcast into every
+  *    expression (addReferenceObj), exactly like IVF centroids and SRP
+  *    planes — never a joined table.
+  *  - search: queries (tiny) carry their LUT column and broadcast; the
+  *    corpus side streams the CODE table (written once by
+  *    [[writeIndex]]) — the 64×-smaller scan is the point. Composed
+  *    with IVF ([[writeIvfIndex]] / [[ivfTopK]]) the scan also prunes
+  *    to the probed cells' parquet partitions: IVF-PQ, the standard
+  *    billion-vector layout.
+  *
+  * Determinism (oracle + re-run reproducibility): codebook seeds are
+  * the K lowest-id vectors' subvectors (code = id-rank), iteration
+  * count fixed, argmin ties break toward the lower code, all sums
+  * left-to-right in index order at double precision. A cell that loses
+  * all members keeps its previous codeword (both engines implement the
+  * same carry-over rule).
+  */
+object Pq {
+
+  def encodeCol(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), codebooks))
+
+  def lutCol(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(vec), codebooks))
+
+  def adcCol(codes: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut), k))
+
+  /** Per-subspace Lloyd k-means. Returns codebooks(m)(code) =
+    * ds-dim centroid. One corpus pass per iteration (all subspaces
+    * fused); `iters` mean-updates after seeding.
+    */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val ds = dim / m
+    require(m * ds == dim, s"dim $dim not divisible into $m subspaces")
+    // seeds: the k lowest-id vectors, k×dim doubles — a plan parameter
+    val seedRows = vectors.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    require(seedRows.length == k, s"need ≥ $k vectors to seed, got ${seedRows.length}")
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k, ds)((mi, ki, j) => seedRows(ki)(mi * ds + j))
+    val avgs = (1 to ds).map(j =>
+      avg(element_at(col("sub"), j)).as(s"__a$j"))
+    for (_ <- 1 to iters) {
+      val next = cb.map(_.map(_.clone()))
+      vectors
+        .select(col(vecCol).as("v"),
+          posexplode(encodeCol(col(vecCol), cb.map(_.map(_.toSeq).toSeq).toSeq)))
+        .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+        .withColumn("sub",
+          transform(slice(col("v"), col("m") * ds + 1, lit(ds)),
+            x => x.cast("double")))
+        .groupBy("m", "code")
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .foreach { r =>
+          val (mi, ki) = (r.getInt(0), r.getInt(1))
+          var j = 0
+          while (j < ds) { next(mi)(ki)(j) = r.getDouble(2 + j); j += 1 }
+        }
+      cb = next
+    }
+    cb.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** The corpus as its PQ code table: (idCol, codes array<int>). This
+    * is the frame worth materializing — it is what ADC scans.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(idCol),
+      encodeCol(col(vecCol), codebooks).as("codes"))
+
+  /** Exhaustive ADC top-k: broadcast queries (carrying their LUTs)
+    * against the code table; per-row work is M lookups. Rank ties
+    * break toward the lower neighbor id.
+    */
+  def topK(queries: DataFrame, corpusCodes: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val kCodes = codebooks.head.size
+    val q = queries.select(col(idCol).as("vec_id"),
+      lutCol(col(vecCol), codebooks).as("lut"))
+    broadcast(q)
+      .crossJoin(corpusCodes.select(col(idCol).as("neighbor_id"),
+        col("codes")))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("score", adcCol(col("codes"), col("lut"), kCodes))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Materialize the code table (one encode pass; the raw vectors are
+    * not carried — re-join them by id for exact re-ranking if needed).
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], path: String): Unit =
+    encode(corpus, idCol, vecCol, codebooks)
+      .write.mode("overwrite").parquet(path)
+
+  def topKIndexed(spark: SparkSession, indexPath: String,
+      queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    topK(queries, spark.read.parquet(indexPath), codebooks,
+      idCol, vecCol, k)
+
+  /** IVF-PQ index: code table partitioned by IVF cell. A probe reads
+    * nprobe/ncells of a table that is already ~64× smaller than the
+    * raw vectors — the standard billion-vector serving layout.
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      path: String): Unit = {
+    val cells = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    encode(corpus, idCol, vecCol, codebooks)
+      .join(cells, idCol)
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+  }
+
+  /** ADC search over the probed cells only: the probed cell set is a
+    * plan parameter pruning the partitioned scan (directories never
+    * opened), then the same broadcast-LUT scoring as [[topK]].
+    */
+  def ivfTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
+      centroids: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      dim: Int = -1): DataFrame = {
+    val kCodes = codebooks.head.size
+    val probed = Similarity.probeCells(queries, centroids, idCol, vecCol,
+      nprobe, dim)
+      .withColumn("lut", lutCol(col("qv"), codebooks))
+      .select("vec_id", "cell_id", "lut")
+    val cellSet = probed.select("cell_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val codes = spark.read.parquet(indexPath)
+      .filter(col("cell_id").isin(cellSet: _*))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("cell_id"))
+    broadcast(probed).join(codes, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("score", adcCol(col("codes"), col("lut"), kCodes))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search coverage over the `embeddings` table
@@ -292,5 +292,73 @@ object SimilarityQueries extends QueryPack {
         FROM scored)
       WHERE rn <= 5"""))
 
-  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62, q72)
+  /** Product-quantization ANN — the compression scale path (IVF prunes
+    * WHICH vectors are read; PQ shrinks WHAT is read ~64×: float[64] →
+    * 8 codes). Codebooks are per-subspace k-means (M=8, K=16, min-id
+    * seeds, 1 fixed Lloyd mean-update — deterministic), the corpus is
+    * its code table, and search is the asymmetric-distance scan: one
+    * M×K dot-product LUT per query, M lookups per corpus row. The
+    * oracle replicates training, encoding and ADC in SQL (empty cells
+    * keep their seed codeword on both sides). Rank-only output.
+    */
+  val q81 = Q("q81_pq_ann",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cb = Pq.train(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 1, dim = 64)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      Pq.topK(emb.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "embedding", k = 10)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    },
+    Some("""
+      WITH ms AS (SELECT unnest(range(8)) AS m),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 16)),
+      cb0 AS (SELECT m.m, s.code, list_slice(s.v, m.m*8+1, m.m*8+8) AS cw
+              FROM seeds s CROSS JOIN ms m),
+      sub AS (SELECT e.vec_id, m.m,
+                     list_slice(CAST(e.embedding AS DOUBLE[]),
+                                m.m*8+1, m.m*8+8) AS sub
+              FROM embeddings e CROSS JOIN ms m),
+      a1 AS (SELECT vec_id, m, code FROM (
+               SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_distance(s.sub, c.cw) ASC, c.code ASC) AS rn
+               FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rn = 1),
+      means AS (SELECT m, code, list(mv ORDER BY d) AS cw FROM (
+                  SELECT a.m, a.code, u.d, AVG(u.v) AS mv
+                  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+                    LATERAL (SELECT unnest(s.sub) AS v,
+                             generate_subscripts(s.sub, 1) AS d) u
+                  GROUP BY a.m, a.code, u.d) GROUP BY m, code),
+      cb1 AS (SELECT * FROM means
+              UNION ALL
+              SELECT c.m, c.code, c.cw FROM cb0 c
+              WHERE NOT EXISTS (SELECT 1 FROM means x
+                                WHERE x.m = c.m AND x.code = c.code)),
+      codes AS (SELECT vec_id, m, code FROM (
+                  SELECT s.vec_id, s.m, c.code,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY list_distance(s.sub, c.cw) ASC, c.code ASC) AS rn
+                  FROM sub s JOIN cb1 c ON c.m = s.m) WHERE rn = 1),
+      lut AS (SELECT q.vec_id, c.m, c.code,
+                     list_dot_product(
+                       list_slice(CAST(q.embedding AS DOUBLE[]),
+                                  c.m*8+1, c.m*8+8), c.cw) AS val
+              FROM embeddings q CROSS JOIN cb1 c WHERE q.vec_id < 10),
+      scored AS (SELECT l.vec_id, t.vec_id AS neighbor_id,
+                        SUM(l.val) AS score
+                 FROM codes t JOIN lut l ON l.m = t.m AND l.code = t.code
+                 WHERE t.vec_id <> l.vec_id
+                 GROUP BY l.vec_id, t.vec_id)
+      SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id ASC) AS rn FROM scored)
+      WHERE rn <= 10"""))
+
+  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62, q72, q81)
 }
