@@ -323,6 +323,73 @@ object TextQueries extends QueryPack {
         (CAST(sum_fp AS DOUBLE) / 1024.0) / n_tokens >= -3.0 AS keep
       FROM sc"""))
 
+  /** BM25 keyword retrieval (Retrieval.bm25TopKOverDocs): the
+    * inverted-index top-k — tf/df/dl/N exact longs, avgdl an exact
+    * long ratio, per-posting contributions mirrored bit-for-bit in the
+    * oracle, per-doc scores summed as DECIMAL (order-independent) so
+    * tie-breaks agree. Three bag-of-words queries over the corpus
+    * vocabulary; rank-only output.
+    */
+  private val bm25Queries = Seq(
+    0 -> Seq("spark", "join", "merge"),
+    1 -> Seq("window", "filter", "sort", "customer"),
+    2 -> Seq("vector", "hash", "batch", "slow"))
+
+  private val bm25QueryValues = bm25Queries
+    .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+    .mkString(", ")
+
+  val q82 = Q("q82_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      val qt = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      graft.operators.Retrieval.bm25TopKOverDocs(
+        Tables(s, dir, "documents"), "doc_id", "text", qt, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"))
+    },
+    Some(s"""
+      WITH qt(query_id, term) AS (VALUES $bm25QueryValues),
+      toks AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                   AS term
+               FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT COUNT(*) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                    AS avgdl
+                FROM dl),
+      qpost AS (SELECT t.* FROM tf t
+                WHERE t.term IN (SELECT DISTINCT term FROM qt)),
+      dfq AS (SELECT term, COUNT(*) AS df FROM qpost GROUP BY term),
+      scored AS (
+        SELECT q.query_id, p.doc_id,
+          SUM(CAST(
+            ln(CAST(1.0 AS DOUBLE) +
+               (s.n - d.df + CAST(0.5 AS DOUBLE)) /
+               (d.df + CAST(0.5 AS DOUBLE))) *
+            (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+            (p.tf + CAST(1.2 AS DOUBLE) *
+              (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+               CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+            AS DECIMAL(28,12))) AS score
+        FROM qt q
+        JOIN qpost p ON p.term = q.term
+        JOIN dfq d ON d.term = q.term
+        JOIN dl l ON l.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id)
+      SELECT CAST(query_id AS INTEGER) AS query_id,
+             CAST(rn AS BIGINT) AS rank, doc_id
+      FROM (SELECT query_id, doc_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored)
+      WHERE rn <= 10"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71, q78)
+    q71, q78, q82)
 }
