@@ -126,6 +126,30 @@ object Pq {
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Two-stage search — ADC shortlist, exact re-rank: the production
+    * shape. Stage 1 scans the (64× smaller) code table for a
+    * `shortlist`-sized candidate set per query; stage 2 fetches ONLY
+    * the shortlisted raw vectors (an id equi-join, |queries|·shortlist
+    * rows) and re-ranks by exact cosine. Quantization error affects
+    * recall only, never the ordering of what is returned.
+    */
+  def topKReranked(queries: DataFrame, corpusCodes: DataFrame,
+      corpusVecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val cand = topK(queries, corpusCodes, codebooks, idCol, vecCol,
+      shortlist).select("vec_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+    cand
+      .join(corpusVecs.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(q), "vec_id")
+      .withColumn("cos", Similarity.cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Materialize the code table (one encode pass; the raw vectors are
     * not carried — re-join them by id for exact re-ranking if needed).
     */

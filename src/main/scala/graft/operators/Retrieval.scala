@@ -53,13 +53,24 @@ object Retrieval {
     * standard bag-of-words query form.
     */
   def bm25TopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      k1: Double = 1.2, b: Double = 0.75,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
+      : DataFrame = {
+    // four consumers derive from the postings frame (dl, stats via dl,
+    // qpost, df via qpost) — unpersisted, each re-runs the whole
+    // tokenize+aggregate lineage (measured 4 passes at sf0.1); eager so
+    // concurrent AQE stages can't race the unmaterialized cache either
+    val post = graft.core.CacheHandle.eager(caches.track(
+      postings.persist()))
+    // dl also has two consumers (stats + the score join); cached, its
+    // corpus-wide aggregation runs once
+    val dl = graft.core.CacheHandle.eager(caches.track(
+      post.groupBy("doc_id").agg(sum("tf").as("dl")).persist()))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     // postings of queried terms only — the broadcast semi-join is what
     // keeps the scored set proportional to matches, not to the corpus
-    val qpost = postings.join(
+    val qpost = post.join(
       broadcast(queryTerms.select("term").distinct()), "term")
     val dfq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib =

@@ -292,28 +292,12 @@ object SimilarityQueries extends QueryPack {
         FROM scored)
       WHERE rn <= 5"""))
 
-  /** Product-quantization ANN — the compression scale path (IVF prunes
-    * WHICH vectors are read; PQ shrinks WHAT is read ~64×: float[64] →
-    * 8 codes). Codebooks are per-subspace k-means (M=8, K=16, min-id
-    * seeds, 1 fixed Lloyd mean-update — deterministic), the corpus is
-    * its code table, and search is the asymmetric-distance scan: one
-    * M×K dot-product LUT per query, M lookups per corpus row. The
-    * oracle replicates training, encoding and ADC in SQL (empty cells
-    * keep their seed codeword on both sides). Rank-only output.
+  /** Shared oracle CTE chain for the PQ queries (q81/q83): training
+    * (seeds → one Lloyd mean-update with empty-cell carry-over),
+    * encoding, per-query LUTs, and the summed ADC scores. See q81's
+    * scaladoc for the operator description.
     */
-  val q81 = Q("q81_pq_ann",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val cb = Pq.train(emb, "vec_id", "embedding",
-        m = 8, k = 16, iters = 1, dim = 64)
-      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
-      Pq.topK(emb.filter(col("vec_id") < 10), codes, cb,
-        "vec_id", "embedding", k = 10)
-        .select(col("vec_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"))
-    },
-    Some("""
-      WITH ms AS (SELECT unnest(range(8)) AS m),
+  private val pqCtes = """ms AS (SELECT unnest(range(8)) AS m),
       seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
                        CAST(embedding AS DOUBLE[]) AS v
                 FROM (SELECT vec_id, embedding FROM embeddings
@@ -354,11 +338,70 @@ object SimilarityQueries extends QueryPack {
                         SUM(l.val) AS score
                  FROM codes t JOIN lut l ON l.m = t.m AND l.code = t.code
                  WHERE t.vec_id <> l.vec_id
-                 GROUP BY l.vec_id, t.vec_id)
+                 GROUP BY l.vec_id, t.vec_id)"""
+
+  private def trainedCodebook(s: org.apache.spark.sql.SparkSession,
+      dir: String) = Pq.train(Tables(s, dir, "embeddings"),
+    "vec_id", "embedding", m = 8, k = 16, iters = 1, dim = 64)
+
+  /** Product-quantization ANN — the compression scale path (IVF prunes
+    * WHICH vectors are read; PQ shrinks WHAT is read ~64×: float[64] →
+    * 8 codes). Codebooks are per-subspace k-means (M=8, K=16, min-id
+    * seeds, 1 fixed Lloyd mean-update — deterministic), the corpus is
+    * its code table, and search is the asymmetric-distance scan: one
+    * M×K dot-product LUT per query, M lookups per corpus row. The
+    * oracle replicates training, encoding and ADC in SQL (empty cells
+    * keep their seed codeword on both sides). Rank-only output.
+    */
+  val q81 = Q("q81_pq_ann",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cb = trainedCodebook(s, dir)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      Pq.topK(emb.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "embedding", k = 10)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    },
+    Some(s"""
+      WITH $pqCtes
       SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
         SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
           ORDER BY score DESC, neighbor_id ASC) AS rn FROM scored)
       WHERE rn <= 10"""))
 
-  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62, q72, q81)
+  /** Two-stage PQ search: ADC shortlist (50) from the code table, then
+    * exact cosine re-rank of ONLY the shortlisted raw vectors — the
+    * production serving shape (quantization error affects recall, never
+    * the ordering of what is returned). The oracle extends q81's CTE
+    * chain with the candidate cut and the exact re-rank. Rank-only.
+    */
+  val q83 = Q("q83_pq_rerank",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cb = trainedCodebook(s, dir)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      Pq.topKReranked(emb.filter(col("vec_id") < 10), codes, emb, cb,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    },
+    Some(s"""
+      WITH $pqCtes,
+      cand AS (SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= 50),
+      rer AS (SELECT c.vec_id, c.neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.vec_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+      SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rn FROM rer)
+      WHERE rn <= 10"""))
+
+  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62, q72, q81, q83)
 }

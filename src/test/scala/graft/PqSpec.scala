@@ -108,6 +108,27 @@ class PqSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("rerank returns the exact-cosine ordering of the ADC shortlist") {
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Pq.topKReranked(queries, codes, emb, cb,
+      "vec_id", "embedding", k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val shortlists = Pq.topK(queries, codes, cb, "vec_id", "embedding", 50)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSeq }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = shortlists.flatMap { case (qid, ids) =>
+      ids.map(id => (id, cosine(raw(qid), raw(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("ADC ranking carries real signal: planted near-dups surface") {
     // q44's ground truth: same-label pairs with cosine >= 0.35. For each
     // left vector, its near-dup partner should appear in the PQ top-10
