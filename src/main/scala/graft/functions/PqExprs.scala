@@ -221,10 +221,83 @@ case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     copy(child = c)
 }
 
+/** All queries' ADC scores for one corpus row in ONE loop:
+  * scores(q) = Σ_m luts(q·M·K + m·K + codes(m)). `luts` is the
+  * row-major flattening of every query's M×K lookup table — a plan
+  * parameter (addReferenceObj broadcast), exactly like the codebook.
+  *
+  * Why not a broadcast join of (query, lut) against the code table:
+  * the joined row then CARRIES the 1 KB lut array, and the join
+  * materializes |corpus|·|queries| such rows — measured 8.5s of pure
+  * row-copy CPU for 200k × 10 at the 100× point, ~30× the actual ADC
+  * arithmetic. One generated loop over a referenced double[] does the
+  * same lookups with zero per-pair materialization; the exploded
+  * output row is (id, query_idx, score) — skinny.
+  */
+case class PqAdcAllExpr(child: Expression, luts: Array[Double],
+    nq: Int, m: Int, k: Int)
+  extends UnaryExpression {
+
+  require(luts.length == nq * m * k, "luts length != nq*m*k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_all requires array<int> codes, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(c: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val out = new Array[Double](nq)
+    val mk = m * k
+    var qi = 0
+    while (qi < nq) {
+      var s = 0.0
+      var mi = 0
+      while (mi < m) {
+        s += luts(qi * mk + mi * k + codes.getInt(mi))
+        mi += 1
+      }
+      out(qi) = s
+      qi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val lutsRef = ctx.addReferenceObj("pqLuts", luts, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val qi = ctx.freshName("qi")
+      val mi = ctx.freshName("mi")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $out = new double[$nq];
+         |for (int $qi = 0; $qi < $nq; $qi++) {
+         |  double $s = 0.0;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    $s += $lutsRef[$qi * ${m * k} + $mi * $k + $c.getInt($mi)];
+         |  }
+         |  $out[$qi] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcAllExpr =
+    copy(child = c)
+}
+
 /** score = Σ_m lut(m·K + codes(m)) — the ADC inner loop: approximate
-  * dot(query, corpusVec) from M table lookups. This is the entire
-  * per-row work of the corpus-scale scan. `k` is the codebook size the
-  * lut was built with (lut.length = M·K).
+  * dot(query, corpusVec) from M table lookups. `k` is the codebook
+  * size the lut was built with (lut.length = M·K). Kept as the
+  * single-pair kernel (spec baseline, SQL-surface candidate); the
+  * corpus-scale scan uses [[PqAdcAllExpr]], which scores every query
+  * per row without a join.
   */
 case class PqAdcExpr(left: Expression, right: Expression, k: Int)
   extends BinaryExpression {

@@ -105,21 +105,44 @@ object Pq {
     corpus.select(col(idCol),
       encodeCol(col(vecCol), codebooks).as("codes"))
 
-  /** Exhaustive ADC top-k: broadcast queries (carrying their LUTs)
-    * against the code table; per-row work is M lookups. Rank ties
-    * break toward the lower neighbor id.
+  /** Every query's LUT, collected in id order — a plan parameter
+    * (|queries| × M·K doubles), exactly like IVF centroids and probe
+    * cell lists. The LUT computation itself runs distributed (one
+    * [[PqLutExpr]] pass over the query frame); only the result rides
+    * the plan. Queries with a null vector have no LUT and are skipped.
+    */
+  private def collectLuts(queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]])
+      : (Array[Long], Array[Double]) = {
+    val rows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), lutCol(col(vecCol), codebooks))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    (rows.map(_._1), rows.flatMap(_._2))
+  }
+
+  /** Exhaustive ADC top-k. One pass over the code table: a single
+    * generated loop scores ALL queries per corpus row against the
+    * referenced LUT matrix ([[graft.functions.PqAdcAllExpr]] — a
+    * broadcast join would materialize |corpus|·|queries| rows each
+    * carrying a 1 KB lut copy; measured ~30× the ADC arithmetic), then
+    * a posexplode emits skinny (query, neighbor, score) rows and the
+    * rank window's group-limit keeps top-k per query before the
+    * shuffle. Rank ties break toward the lower neighbor id.
     */
   def topK(queries: DataFrame, corpusCodes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]], idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val kCodes = codebooks.head.size
-    val q = queries.select(col(idCol).as("vec_id"),
-      lutCol(col(vecCol), codebooks).as("lut"))
-    broadcast(q)
-      .crossJoin(corpusCodes.select(col(idCol).as("neighbor_id"),
-        col("codes")))
+    val (qids, luts) = collectLuts(queries, idCol, vecCol, codebooks)
+    val (m, kCodes) = (codebooks.size, codebooks.head.size)
+    val scores = ColumnBridge.column(graft.functions.PqAdcAllExpr(
+      ColumnBridge.expression(col("codes")), luts, qids.length, m, kCodes))
+    corpusCodes
+      .select(col(idCol).as("neighbor_id"), posexplode(scores))
+      .select(element_at(lit(qids), col("pos") + 1).as("vec_id"),
+        col("neighbor_id"), col("col").as("score"))
       .filter(col("neighbor_id") =!= col("vec_id"))
-      .withColumn("score", adcCol(col("codes"), col("lut"), kCodes))
       .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -179,25 +202,37 @@ object Pq {
 
   /** ADC search over the probed cells only: the probed cell set is a
     * plan parameter pruning the partitioned scan (directories never
-    * opened), then the same broadcast-LUT scoring as [[topK]].
+    * opened), then the same one-loop all-query scoring as [[topK]] —
+    * the (query, cell) probe pairs filter the skinny exploded rows via
+    * a broadcast semi-join, so no fat lut row ever crosses a join.
     */
   def ivfTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
       centroids: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       dim: Int = -1): DataFrame = {
-    val kCodes = codebooks.head.size
+    val (m, kCodes) = (codebooks.size, codebooks.head.size)
     val probed = Similarity.probeCells(queries, centroids, idCol, vecCol,
-      nprobe, dim)
-      .withColumn("lut", lutCol(col("qv"), codebooks))
-      .select("vec_id", "cell_id", "lut")
-    val cellSet = probed.select("cell_id").distinct()
-      .collect().map(_.get(0)).toSeq
-    val codes = spark.read.parquet(indexPath)
+      nprobe, dim).select("vec_id", "cell_id")
+    val probedPairs = probed.collect().map(r => (r.getLong(0), r.get(1)))
+    val cellSet = probedPairs.map(_._2).distinct.toSeq
+    val (qids, luts) = collectLuts(queries, idCol, vecCol, codebooks)
+    val scores = ColumnBridge.column(graft.functions.PqAdcAllExpr(
+      ColumnBridge.expression(col("codes")), luts, qids.length, m, kCodes))
+    val probedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probedPairs.toSeq.map {
+        case (v, c) => org.apache.spark.sql.Row(v, c) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        probed.schema("cell_id"))))
+    spark.read.parquet(indexPath)
       .filter(col("cell_id").isin(cellSet: _*))
-      .select(col(idCol).as("neighbor_id"), col("codes"), col("cell_id"))
-    broadcast(probed).join(codes, Seq("cell_id"))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        posexplode(scores))
+      .select(element_at(lit(qids), col("pos") + 1).as("vec_id"),
+        col("neighbor_id"), col("cell_id"), col("col").as("score"))
+      .join(broadcast(probedDf), Seq("vec_id", "cell_id"), "left_semi")
       .filter(col("neighbor_id") =!= col("vec_id"))
-      .withColumn("score", adcCol(col("codes"), col("lut"), kCodes))
       .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)

@@ -14,18 +14,18 @@ import org.apache.spark.sql.functions._
   * data_refresh_task_factory.py:183-240 — so this is the engine-native
   * equivalent of what the reference outsources).
   *
-  * Scale shape — the inverted-index join, never a corpus × queries
-  * product:
-  *  - the postings table (term, doc_id, tf) and the per-doc length
-  *    table are corpus statistics computed in ONE tokenize+aggregate
-  *    pass and worth materializing ([[writeIndex]]); df/N/avgdl are
-  *    by-products of the same pass.
-  *  - query terms (tiny) BROADCAST against postings, so only the
-  *    postings rows of queried terms survive the scan (with the index
-  *    sorted by term, row groups of unqueried terms are skipped via
-  *    min/max pruning); the only corpus-scale shuffle is the final
-  *    per-(query, doc) score aggregation, whose input is already
-  *    pruned to matching postings.
+  * Scale shape — NOTHING corpus-sized ever shuffles:
+  *  - the direct path ([[bm25TopKOverDocs]]) COMPILES the query terms
+  *    into one per-doc byte-scan expression (tf per term + dl in a
+  *    single pass, no token explode, no join) — everything after the
+  *    scan is match-sized. Two rejected formulations, kept as the
+  *    record of why: aggregating the full vocabulary first (12.1M
+  *    postings rows shuffled + cached, 8.4M-row doc-length shuffle at
+  *    the 100× point) and exploding 80M token rows through a
+  *    broadcast semi-join (179 s CPU) — both for 3 queries;
+  *  - the indexed path materializes postings term-sorted (row-group
+  *    pruning skips unqueried terms) plus a doclens/stats companion,
+  *    so a query batch reads only its terms' postings.
   *
   * Determinism (oracle parity): tf/df/N/dl are exact longs; avgdl is
   * an exact long ratio cast to double (NOT a float avg, whose
@@ -37,51 +37,58 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Lowercased alphanumeric tokens; empties dropped by callers. */
+  /** Lowercased alphanumeric tokens (may contain empty strings — every
+    * consumer filters them, as a RELATIONAL filter after the explode,
+    * never an interpreted ArrayFilter lambda over the array).
+    */
   def tokensCol(text: Column): Column = split(lower(text), "[^a-z0-9]+")
 
-  /** (doc_id, term, tf) — one tokenize pass, map-side combined. */
+  /** Doc length (non-empty token count) as one codegen'd byte scan —
+    * proven equal to size-of-filtered-split by [[TokenCountExpr]]'s
+    * definition-parity argument and RetrievalSpec.
+    */
+  def tokenCountCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TokenCountExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** The tokens themselves via the same byte scan (no regex, no UTF-16
+    * conversion, no empty boundary tokens to filter) — what the hot
+    * explode paths consume; spec-asserted equal to
+    * `explode(tokensCol) minus empties`.
+    */
+  def fastTokensCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TokenizeExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** (doc_id, term, tf) over the full vocabulary — the index-build
+    * pass (one tokenize + one aggregation). Query-time paths never
+    * call this; they filter to query terms before aggregating.
+    */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(tokensCol(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
+        explode(fastTokensCol(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-k for a (query_id, term) frame against a postings table
-    * and its per-doc-length companion. `queryTerms` must be distinct
-    * per (query_id, term) — repeated query terms count once, the
-    * standard bag-of-words query form.
+  /** BM25 scoring core. `qtf`: (doc_id, term, tf, dl) for query terms
+    * only; `stats`: one row (n, avgdl); `queryTerms`: (query_id, term),
+    * distinct per pair (repeated query terms count once — the standard
+    * bag-of-words query form).
     */
-  def bm25TopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75,
-      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
-      : DataFrame = {
-    // four consumers derive from the postings frame (dl, stats via dl,
-    // qpost, df via qpost) — unpersisted, each re-runs the whole
-    // tokenize+aggregate lineage (measured 4 passes at sf0.1); eager so
-    // concurrent AQE stages can't race the unmaterialized cache either
-    val post = graft.core.CacheHandle.eager(caches.track(
-      postings.persist()))
-    // dl also has two consumers (stats + the score join); cached, its
-    // corpus-wide aggregation runs once
-    val dl = graft.core.CacheHandle.eager(caches.track(
-      post.groupBy("doc_id").agg(sum("tf").as("dl")).persist()))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    // postings of queried terms only — the broadcast semi-join is what
-    // keeps the scored set proportional to matches, not to the corpus
-    val qpost = post.join(
-      broadcast(queryTerms.select("term").distinct()), "term")
-    val dfq = qpost.groupBy("term").agg(count(lit(1)).as("df"))
+  private def score(qtf: DataFrame, stats: DataFrame,
+      queryTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val dfq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib =
       log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) *
         (col("tf") * (lit(k1) + lit(1.0))) /
         (col("tf") + lit(k1) *
           (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    broadcast(queryTerms).join(qpost, "term")
+    broadcast(queryTerms).join(qtf, "term")
       .join(broadcast(dfq), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c", contrib.cast("decimal(28,12)"))
       .groupBy("query_id", "doc_id").agg(sum("c").as("score"))
@@ -91,26 +98,70 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
 
-  /** Convenience: tokenize + score in one call (the oracle-checked
-    * query path). Real deployments split this: [[writeIndex]] once,
-    * [[topKIndexed]] per query batch.
+  /** Direct path — the query-compiled scan: the distinct query terms
+    * (a plan parameter, like broadcast ANN queries) compile into ONE
+    * per-doc byte-scan expression returning `[dl, tf…]`
+    * ([[graft.functions.QueryTermCountsExpr]]); a |terms|+1-wide
+    * posexplode filtered to tf > 0 yields the match-sized (doc, term,
+    * tf, dl) frame, and N/avgdl aggregate over the same cached scan.
+    * No token explode, no corpus-scale join or shuffle anywhere — the
+    * two earlier formulations of this operator (full-vocabulary
+    * aggregation; exploded-token broadcast semi-join) cost 230 s and
+    * 179 s of CPU at the 100× point against this one's ~25 s scan.
     */
   def bm25TopKOverDocs(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: DataFrame, k: Int): DataFrame =
-    bm25TopK(postings(docs, idCol, textCol), queryTerms, k)
+      queryTerms: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
+      : DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val terms = queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    val counts = ColumnBridge.column(
+      graft.functions.QueryTermCountsExpr(
+        ColumnBridge.expression(col(textCol)), terms.toSeq))
+    val qs = graft.core.CacheHandle.eager(caches.track(docs
+      .select(col(idCol).as("doc_id"), counts.as("a")).persist()))
+    val stats = qs.agg(
+      sum(when(element_at(col("a"), 1) > 0, 1L).otherwise(0L)).as("n"),
+      (sum(element_at(col("a"), 1)).cast("double") /
+        sum(when(element_at(col("a"), 1) > 0, 1L).otherwise(0L))
+          .cast("double")).as("avgdl"))
+    val qtf = qs
+      .select(col("doc_id"), element_at(col("a"), 1).as("dl"),
+        posexplode(col("a")))
+      .filter(col("pos") >= 1 && col("col") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(lit(terms), col("pos")).as("term"),
+        col("col").as("tf"))
+    score(qtf, stats, queryTerms, k, k1, b)
+  }
 
   /** Materialize the inverted index: postings repartitioned and sorted
     * by term (parquet min/max row-group pruning makes a term lookup
-    * skip everything else). At 100 TB this is the one corpus pass;
-    * every retrieval after it reads only queried terms' postings.
+    * skip everything else) plus the doclens table — the one corpus
+    * pass; every retrieval after it reads only queried terms' postings
+    * and the tiny stats.
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, parts: Int = 32): Unit =
+      path: String, parts: Int = 32): Unit = {
     postings(docs, idCol, textCol)
       .repartition(parts, col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docs.select(col(idCol).as("doc_id"),
+        tokenCountCol(col(textCol)).as("dl"))
+      .filter(col("dl") > 0)
+      .write.mode("overwrite").parquet(s"$path/doclens")
+  }
 
   def topKIndexed(spark: SparkSession, indexPath: String,
-      queryTerms: DataFrame, k: Int): DataFrame =
-    bm25TopK(spark.read.parquet(indexPath), queryTerms, k)
+      queryTerms: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val doclens = spark.read.parquet(s"$indexPath/doclens")
+    val qtf = spark.read.parquet(s"$indexPath/postings")
+      .join(broadcast(queryTerms.select("term").distinct()), "term")
+      .join(doclens, "doc_id")
+    val stats = doclens.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    score(qtf, stats, queryTerms, k, k1, b)
+  }
 }

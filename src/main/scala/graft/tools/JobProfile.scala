@@ -39,6 +39,17 @@ object JobProfile {
           lines.add(f"job ${je.jobId}%3d ${dt}%7.3fs  ${desc.take(90)}")
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        val tm = si.taskMetrics
+        lines.add(f"  stage ${si.stageId}%3d ${wall}%7.3fs tasks=${si.numTasks}%4d " +
+          f"cpu=${tm.executorCpuTime / 1e9}%6.2fs run=${tm.executorRunTime / 1e3}%6.2fs " +
+          f"gc=${tm.jvmGCTime / 1e3}%5.2fs in=${tm.inputMetrics.recordsRead}%9d " +
+          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(40)}")
+      }
     })
     // interleaved A/B when several queries are named (args 1..n-1 with
     // the last arg numeric = reps): alternation cancels slow machine

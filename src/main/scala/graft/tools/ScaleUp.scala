@@ -54,8 +54,15 @@ object ScaleUp {
   }
 
   def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // file count scales with the factor (min the base count): a 100×
+    // table written as ONE file is ONE row group is ONE task for every
+    // scan — at sf10 that capped each corpus pass at the file's 4 row
+    // groups on a 32-core box and silently floored the measured
+    // parallelism (the SignatureStore lesson, applied to the generator).
+    // Real corpora arrive in many files; the scaled ones should too.
+    def scaled(base: Int): Int = base * math.max(1, factor / 10)
     def save(name: String, df: DataFrame, parts: Int = 1): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      df.repartition(scaled(parts)).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
 
     // dimension constants: fixed regardless of scale, as in TPC-H

@@ -42,4 +42,49 @@ class RetrievalSpec extends SparkSpec {
           .cast("long").as("dl"))
     assert(p.exceptAll(direct).isEmpty && direct.exceptAll(p).isEmpty)
   }
+
+  test("TokenizeExpr equals the regex split minus empties, incl. edges") {
+    val edge = Seq("", "  ", "a", " a b ", "a--b__c", "héllo wörld 5",
+      "ALL CAPS 123", "tab\tsep\nnewline", "ünïcödé", "a1b2c3", "9 to 5")
+      .toDF("text")
+    val both = edge.union(docs.select("text"))
+      .select(Retrieval.fastTokensCol(col("text")).as("fast"),
+        filter(Retrieval.tokensCol(col("text")), t => t =!= "").as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("QueryTermCountsExpr equals the exploded-join formulation") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val terms = Seq("join", "spark", "zzznothere", "a1b2c3")
+    val counts = ColumnBridge.column(
+      graft.functions.QueryTermCountsExpr(
+        ColumnBridge.expression(col("text")), terms))
+    val edge = Seq((9000L, "a1b2c3 JOIN join--spark. a1B2c3"),
+      (9001L, ""), (9002L, "héllo spark wörld")).toDF("doc_id", "text")
+    val src = docs.select("doc_id", "text").union(edge)
+    val fast = src.select(col("doc_id"),
+        element_at(counts, 1).as("dl"), posexplode(counts))
+      .filter(col("pos") >= 1 && col("col") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(lit(terms.toArray), col("pos")).as("term"),
+        col("col").as("tf"))
+    val slow = src.select(col("doc_id"),
+        size(Retrieval.fastTokensCol(col("text"))).cast("long").as("dl"),
+        explode(Retrieval.fastTokensCol(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "dl", "term", "tf")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("TokenCountExpr equals size of filtered split, incl. edge cases") {
+    val edge = Seq("", "  ", "a", " a b ", "a--b__c", "héllo wörld 5",
+      "ALL CAPS 123", "tab\tsep\nnewline", "ünïcödé", "a1b2c3")
+      .toDF("text")
+    val both = edge.union(docs.select("text"))
+      .select(Retrieval.tokenCountCol(col("text")).as("fast"),
+        size(filter(Retrieval.tokensCol(col("text")), t => t =!= ""))
+          .cast("long").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
 }
