@@ -109,7 +109,13 @@ object GraftExtensions {
       ("unicode_normalize", classOf[UnicodeNormalizeExpr],
         arity(2, "unicode_normalize(text, form)")(e =>
           UnicodeNormalizeExpr(e.head, UnicodeNormalizeExpr.formOf(
-            litString(e(1), "unicode_normalize form"))))))
+            litString(e(1), "unicode_normalize form"))))),
+      ("tokenize", classOf[graft.functions.TokenizeExpr],
+        arity(1, "tokenize(text)")(e =>
+          graft.functions.TokenizeExpr(e.head))),
+      ("token_count", classOf[graft.functions.TokenCountExpr],
+        arity(1, "token_count(text)")(e =>
+          graft.functions.TokenCountExpr(e.head))))
 
   /** Register every SQL-surface function on an existing session (the
     * extensions path requires registration at session BUILD time;

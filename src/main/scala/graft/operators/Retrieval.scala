@@ -153,6 +153,25 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/doclens")
   }
 
+  /** Reciprocal-rank fusion of several ranked lists (Cormack et al.'s
+    * RRF — public literature): fused(d) = Σ_lists 1/(k0 + rank_l(d)),
+    * the standard way to ensemble retrieval runs (parameter ensembles,
+    * query variants, lexical+dense hybrids) without comparable scores.
+    * Inputs are (query_id, rank, doc_id) frames — already top-k'd, so
+    * fusion works on match-sized data; contributions sum as DECIMAL
+    * (order-independent) with ties broken by doc_id, matching the
+    * oracle exactly.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame =
+    lists.reduce(_.unionByName(_))
+      .withColumn("c",
+        (lit(1.0) / (lit(k0) + col("rank"))).cast("decimal(28,12)"))
+      .groupBy("query_id", "doc_id").agg(sum("c").as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+
   def topKIndexed(spark: SparkSession, indexPath: String,
       queryTerms: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {

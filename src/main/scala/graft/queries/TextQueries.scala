@@ -339,19 +339,14 @@ object TextQueries extends QueryPack {
     .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
     .mkString(", ")
 
-  val q82 = Q("q82_bm25_topk",
-    (s, dir) => {
-      import s.implicits._
-      val qt = bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-        .toDF("query_id", "term")
-      graft.operators.Retrieval.bm25TopKOverDocs(
-        Tables(s, dir, "documents"), "doc_id", "text", qt, k = 10)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("doc_id"))
-    },
-    Some(s"""
-      WITH qt(query_id, term) AS (VALUES $bm25QueryValues),
+  /** Shared oracle CTE chain for the BM25 queries (q82/q84): corpus
+    * statistics + query-term postings. The engine computes the same
+    * values via the one-pass query-compiled scan
+    * (QueryTermCountsExpr); tf/df/N/dl are exact longs either way, so
+    * the formulations agree bit-for-bit.
+    */
+  private val bm25BaseCtes = s"""qt(query_id, term) AS
+        (VALUES $bm25QueryValues),
       toks AS (SELECT doc_id,
                  unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
                    AS term
@@ -365,24 +360,45 @@ object TextQueries extends QueryPack {
                 FROM dl),
       qpost AS (SELECT t.* FROM tf t
                 WHERE t.term IN (SELECT DISTINCT term FROM qt)),
-      dfq AS (SELECT term, COUNT(*) AS df FROM qpost GROUP BY term),
-      scored AS (
+      dfq AS (SELECT term, COUNT(*) AS df FROM qpost GROUP BY term)"""
+
+  /** One per-(query, doc) DECIMAL-summed BM25 score CTE for the given
+    * k1/b literals — mirrored term-for-term against the Spark contrib
+    * expression.
+    */
+  private def bm25ScoredCte(name: String, k1: String, b: String) = s"""
+      $name AS (
         SELECT q.query_id, p.doc_id,
           SUM(CAST(
             ln(CAST(1.0 AS DOUBLE) +
                (s.n - d.df + CAST(0.5 AS DOUBLE)) /
                (d.df + CAST(0.5 AS DOUBLE))) *
-            (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
-            (p.tf + CAST(1.2 AS DOUBLE) *
-              (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-               CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+            (p.tf * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+            (p.tf + CAST($k1 AS DOUBLE) *
+              (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE) +
+               CAST($b AS DOUBLE) * l.dl / s.avgdl))
             AS DECIMAL(28,12))) AS score
         FROM qt q
         JOIN qpost p ON p.term = q.term
         JOIN dfq d ON d.term = q.term
         JOIN dl l ON l.doc_id = p.doc_id
         CROSS JOIN stats s
-        GROUP BY q.query_id, p.doc_id)
+        GROUP BY q.query_id, p.doc_id)"""
+
+  private def bm25QueryFrame(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+  }
+
+  val q82 = Q("q82_bm25_topk",
+    (s, dir) => graft.operators.Retrieval.bm25TopKOverDocs(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        bm25QueryFrame(s), k = 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id")),
+    Some(s"""
+      WITH $bm25BaseCtes, ${bm25ScoredCte("scored", "1.2", "0.75")}
       SELECT CAST(query_id AS INTEGER) AS query_id,
              CAST(rn AS BIGINT) AS rank, doc_id
       FROM (SELECT query_id, doc_id, row_number() OVER
@@ -390,6 +406,47 @@ object TextQueries extends QueryPack {
             FROM scored)
       WHERE rn <= 10"""))
 
+  /** Reciprocal-rank fusion (q84): ensemble two BM25 parameterizations
+    * — standard (k1=1.2, b=0.75) and low-length-normalization
+    * (k1=2.0, b=0.25) — by 1/(60+rank) over each run's top-20, the
+    * score-free way to combine retrieval runs. Contributions sum as
+    * DECIMAL in both engines; rank-only output.
+    */
+  val q84 = Q("q84_rrf_fusion",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val qt = bm25QueryFrame(s)
+      val std = graft.operators.Retrieval.bm25TopKOverDocs(
+        docs, "doc_id", "text", qt, k = 20)
+      val lowNorm = graft.operators.Retrieval.bm25TopKOverDocs(
+        docs, "doc_id", "text", qt, k = 20, k1 = 2.0, b = 0.25)
+      graft.operators.Retrieval.rrfFuse(Seq(std, lowNorm), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"))
+    },
+    Some(s"""
+      WITH $bm25BaseCtes, ${bm25ScoredCte("scored_a", "1.2", "0.75")},
+      ${bm25ScoredCte("scored_b", "2.0", "0.25")},
+      ra AS (SELECT query_id, doc_id, rn FROM
+              (SELECT query_id, doc_id, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+                 AS rn FROM scored_a) WHERE rn <= 20),
+      rb AS (SELECT query_id, doc_id, rn FROM
+              (SELECT query_id, doc_id, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+                 AS rn FROM scored_b) WHERE rn <= 20),
+      u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+      fused AS (SELECT query_id, doc_id,
+                  SUM(CAST(CAST(1.0 AS DOUBLE) / (60 + rn)
+                      AS DECIMAL(28,12))) AS score
+                FROM u GROUP BY query_id, doc_id)
+      SELECT CAST(query_id AS INTEGER) AS query_id,
+             CAST(rn AS BIGINT) AS rank, doc_id
+      FROM (SELECT query_id, doc_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+            FROM fused)
+      WHERE rn <= 10"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71, q78, q82)
+    q71, q78, q82, q84)
 }

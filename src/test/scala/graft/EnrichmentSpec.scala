@@ -220,6 +220,17 @@ class EnrichmentSpec extends SparkSpec {
       col("ms") =!= col("ms_api")).count() == 0)
     assert(viaSql.filter(col("dp") =!= 11.0).count() == 0)
     assert(viaSql.filter(col("nsh") <= 0).count() == 0)
+    // tokenizer family: SQL surface equals the Column API
+    val tok = spark.sql("""
+      SELECT doc_id, tokenize(text) AS t, token_count(text) AS n
+      FROM sql_docs""")
+      .join(docs.select(col("doc_id"),
+        graft.operators.Retrieval.fastTokensCol(col("text")).as("t_api"),
+        graft.operators.Retrieval.tokenCountCol(col("text")).as("n_api")),
+        "doc_id")
+    assert(tok.filter(not(col("t") <=> col("t_api")) ||
+      col("n") =!= col("n_api")).count() == 0)
+    assert(tok.filter(col("n") =!= size(col("t"))).count() == 0)
     // constant-shape params are enforced
     intercept[Exception] {
       spark.sql("SELECT minhash_sig(text, doc_id, 8) FROM sql_docs")
