@@ -147,6 +147,48 @@ object Similarity {
       .select(col(labelCol), col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup (semantic deduplication — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * inside each cluster drop every vector whose cosine to a LOWER-ID
+    * vector of the same cluster is ≥ `threshold`. Keeping the lowest id
+    * of each duplicate neighborhood is the deterministic stand-in for
+    * the paper's arbitrary keep-one-per-group pick (same spirit as
+    * [[graft.operators.MergeUpsert.dedupeByKey]]'s min-key survivor).
+    * Output: (id, cell_id, keep) for every input vector.
+    *
+    * Scale shape: the pairwise quadratic runs WITHIN clusters only —
+    * k bounds the expected block at |corpus|/k — and oversized clusters
+    * are salt-split by [[nearDupPairsSalted]] so no single task owns a
+    * hot cluster's n². The assignment carries each vector THROUGH the
+    * argmax aggregation (`first` over the k broadcast-crossjoin copies)
+    * instead of joining assignments back to the corpus: one corpus
+    * shuffle, not two. The dropped-id set (typically ≪ corpus) joins
+    * back broadcast-sized.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double, dim: Int = -1,
+      maxBlock: Int = 4096,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
+      : DataFrame = {
+    val centroids = kmeansCentroids(vectors, idCol, vecCol, k, iters, dim)
+    val cells = caches.track(vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col(vecCol), col("centroid"), dim))
+      .groupBy(idCol)
+      .agg(min_by(col("cell_id"),
+          struct((-col("sim")).as("ns"), col("cell_id"))).as("cell_id"),
+        first(col(vecCol)).as(vecCol))
+      .persist())
+    // one action consumes `cells` via two arms (pair join + the final
+    // left join) — materialize before AQE stages race the cache
+    graft.core.CacheHandle.eager(cells)
+    val dropped = nearDupPairsSalted(cells, "cell_id", idCol, vecCol,
+        threshold, dim, maxBlock)
+      .select(col("vec_b").as("__drop")).distinct()
+    cells.join(dropped, cells(idCol) === col("__drop"), "left_outer")
+      .select(cells(idCol), col("cell_id"), col("__drop").isNull.as("keep"))
+  }
+
   /** Lloyd k-means centroids with deterministic seeding — the honest
     * IVF path for real corpora, which have no labels to seed cells from.
     *

@@ -195,10 +195,46 @@ object SimilarityQueries extends QueryPack {
                                    CAST(eb.embedding AS DOUBLE[]))))
             >= CAST(0.35 AS DOUBLE)"""))
 
+  /** Shared oracle CTE chain for the k-means queries (q72/q85): min-id
+    * seeds (cell_id = id-rank) + two Lloyd passes → final centroids
+    * `c2`. Each consumer appends its own corpus assignment over c2 —
+    * mirror of [[Similarity.kmeansCentroids]] with k=8, iters=2.
+    */
+  private val lloydCtes = """seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               CAST(embedding AS DOUBLE[]) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT 8)),
+      a1 AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN seeds c) WHERE rn = 1),
+      c1 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
+          SELECT a.cell_id, u.d, AVG(u.v) AS m
+          FROM a1 a JOIN embeddings e USING (vec_id),
+            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(e.embedding, 1) AS d) u
+          GROUP BY a.cell_id, u.d) GROUP BY cell_id),
+      a2 AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+      c2 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
+          SELECT a.cell_id, u.d, AVG(u.v) AS m
+          FROM a2 a JOIN embeddings e USING (vec_id),
+            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(e.embedding, 1) AS d) u
+          GROUP BY a.cell_id, u.d) GROUP BY cell_id)"""
+
   /** IVF with LEARNED centroids — the honest ANN scale path (real
     * corpora have no labels to seed cells from, unlike q46): k-means
     * (k=8, 2 fixed Lloyd iterations, min-id seeding — deterministic,
-    * no RNG), the corpus MATERIALIZED as a cell-partitioned parquet
+    * no RNG — shared oracle chain [[lloydCtes]]), the corpus
+    * MATERIALIZED as a cell-partitioned parquet
     * index via [[Similarity.writeIvfIndex]], and the probe running over
     * the index through partition pruning ([[Similarity.ivfTopKIndexed]])
     * — so the oracle covers centroid learning AND the indexed read
@@ -227,36 +263,8 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
     },
-    Some("""
-      WITH seeds AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
-               CAST(embedding AS DOUBLE[]) AS centroid
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT 8)),
-      a1 AS (SELECT vec_id, cell_id FROM (
-          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            c.centroid) DESC,
-                     c.cell_id ASC) AS rn
-          FROM embeddings e CROSS JOIN seeds c) WHERE rn = 1),
-      c1 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
-          SELECT a.cell_id, u.d, AVG(u.v) AS m
-          FROM a1 a JOIN embeddings e USING (vec_id),
-            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
-                     generate_subscripts(e.embedding, 1) AS d) u
-          GROUP BY a.cell_id, u.d) GROUP BY cell_id),
-      a2 AS (SELECT vec_id, cell_id FROM (
-          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            c.centroid) DESC,
-                     c.cell_id ASC) AS rn
-          FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
-      c2 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
-          SELECT a.cell_id, u.d, AVG(u.v) AS m
-          FROM a2 a JOIN embeddings e USING (vec_id),
-            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
-                     generate_subscripts(e.embedding, 1) AS d) u
-          GROUP BY a.cell_id, u.d) GROUP BY cell_id),
+    Some(s"""
+      WITH $lloydCtes,
       corpus_cells AS (
         SELECT neighbor_id, cell_id FROM (
           SELECT e.vec_id AS neighbor_id, c.cell_id,
@@ -403,5 +411,43 @@ object SimilarityQueries extends QueryPack {
           ORDER BY cos DESC, neighbor_id ASC) AS rn FROM rer)
       WHERE rn <= 10"""))
 
-  override def all: Seq[Q] = Seq(q30, q31, q44, q46, q62, q72, q81, q83)
+  /** SemDeDup ([[Similarity.semDedup]]): k-means clustering (the q72
+    * Lloyd chain, k=8, iters=2) + within-cluster cosine dedup at
+    * τ=0.35 — drop every vector with a lower-id same-cluster neighbor
+    * at or above the threshold. The oracle reuses [[lloydCtes]] and the
+    * q44 dot/norm formulation (both bit-parity precedents); output is
+    * (vec_id, cell_id, keep) over the whole corpus, so the hash check
+    * pins the clustering AND the drop decisions.
+    */
+  val q85 = Q("q85_semdedup",
+    (s, dir) => Similarity.semDedup(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, threshold = 0.35,
+      dim = 64, maxBlock = 256),
+    Some(s"""
+      WITH $lloydCtes,
+      cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(ea.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))))
+              >= CAST(0.35 AS DOUBLE))
+      SELECT c.vec_id, CAST(c.cell_id AS INT) AS cell_id,
+             d.vec_id IS NULL AS keep
+      FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""))
+
+  override def all: Seq[Q] =
+    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85)
 }
