@@ -304,6 +304,55 @@ object TextAnalysis {
   /** Out-of-vocabulary penalty: -16 bits in the same fixed point. */
   final val UnigramOovFp: Long = -16L * 1024L
 
+  /** TARGET-domain unigram LM for DSIR: same frozen-constant discipline
+    * as [[pretrainedUnigramFp]] (an LM is a constant shipped with the
+    * job), same vocabulary, probabilities derived from a domain-salted
+    * hash (`"t:" + word`) — the stand-in for an LM fit on the target
+    * distribution (e.g. Wikipedia) rather than the raw crawl.
+    */
+  val targetUnigramFp: Map[String, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    pretrainedUnigramFp.keySet.toSeq.sorted.map { w =>
+      md.reset()
+      val hex = md.digest(("t:" + w).getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+      w -> -(1024L + java.lang.Long.parseLong(hex.take(3), 16))
+    }.toMap
+  }
+
+  /** Target-LM OOV: one bit harsher than the raw LM's, so unknown
+    * words push AGAINST selection.
+    */
+  final val TargetOovFp: Long = -17L * 1024L
+
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    * importance weight = log2 p_target(doc) − log2 p_raw(doc) under two
+    * hashed-unigram LMs, averaged per token; keep documents whose
+    * average log-ratio clears `keepBits`.
+    *
+    * Both LMs share the vocabulary and both OOV constants are fixed, so
+    * the two-pass difference of sums equals ONE pass over the per-word
+    * DIFFERENCE table — the engine scores each document with a single
+    * codegen'd [[graft.functions.UnigramScoreExpr]] loop over the diff
+    * vocabulary (zero shuffle, pure projection; the selection threshold
+    * makes the operator embarrassingly parallel at any corpus size,
+    * unlike a global top-fraction sort). Sums are exact fixed-point
+    * integers, so keep/drop decisions are engine-independent.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetFp: Map[String, Long] = targetUnigramFp,
+      rawFp: Map[String, Long] = pretrainedUnigramFp,
+      targetOov: Long = TargetOovFp, rawOov: Long = UnigramOovFp,
+      keepBits: Double = 0.0): DataFrame = {
+    require(targetFp.keySet == rawFp.keySet,
+      "DSIR LMs must share a vocabulary for the one-pass diff form")
+    val diff = rawFp.map { case (w, f) => w -> (targetFp(w) - f) }
+    unigramLmScore(docs, idCol, textCol, diff, targetOov - rawOov,
+        keepBits)
+      .withColumnRenamed("sum_fp", "sum_ratio_fp")
+      .withColumnRenamed("avg_bits", "avg_ratio_bits")
+  }
+
   /** Per-document unigram-LM quality score (the CCNet perplexity
     * filter): total fixed-point log2-likelihood via the codegen'd
     * [[graft.functions.UnigramScoreExpr]] (one per-row loop, vocabulary

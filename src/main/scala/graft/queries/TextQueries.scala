@@ -447,6 +447,38 @@ object TextQueries extends QueryPack {
             FROM fused)
       WHERE rn <= 10"""))
 
+  private val dsirValues = TextAnalysis.pretrainedUnigramFp.toSeq.sorted
+    .map { case (w, f) =>
+      s"('$w', ${TextAnalysis.targetUnigramFp(w) - f}::BIGINT)" }
+    .mkString(", ")
+
+  /** DSIR data selection ([[TextAnalysis.dsirSelect]]): per-token
+    * average log2 p_target − log2 p_raw under the two frozen hashed-
+    * unigram LMs, keep when the ratio is non-negative. The engine runs
+    * ONE codegen'd loop over the per-word difference table; the oracle
+    * is the explode + diff-vocab-join formulation it replaces, with the
+    * diff VALUES generated from the same two Scala maps (single source
+    * of truth, like q78).
+    */
+  val q86 = Q("q86_dsir_select",
+    (s, dir) => TextAnalysis.dsirSelect(
+      Tables(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""
+      WITH v(word, fp) AS (VALUES $dsirValues),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+      sc AS (SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(coalesce(v.fp,
+                 ${TextAnalysis.TargetOovFp - TextAnalysis.UnigramOovFp}))
+                 AS BIGINT) AS sum_ratio_fp
+             FROM t LEFT JOIN v USING (word)
+             GROUP BY doc_id)
+      SELECT doc_id AS doc, n_tokens, sum_ratio_fp,
+        (CAST(sum_ratio_fp AS DOUBLE) / 1024.0) / n_tokens
+          AS avg_ratio_bits,
+        (CAST(sum_ratio_fp AS DOUBLE) / 1024.0) / n_tokens >= 0.0 AS keep
+      FROM sc"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71, q78, q82, q84)
+    q71, q78, q82, q84, q86)
 }

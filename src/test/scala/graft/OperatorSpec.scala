@@ -1203,4 +1203,25 @@ class OperatorSpec extends SparkSpec {
     // every table weight is a multiple of 1/1024 in [-6, -1) bits
     assert(fpTable.values.forall(v => v <= -1024 && v > -6 * 1024))
   }
+
+  test("dsirSelect: one-pass diff equals the two-LM difference of sums") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val diff = TextAnalysis.dsirSelect(docs, "doc_id", "text")
+      .select("doc", "sum_ratio_fp").as[(Long, Long)].collect().toMap
+    val tgt = TextAnalysis.unigramLmScore(docs, "doc_id", "text",
+        TextAnalysis.targetUnigramFp, TextAnalysis.TargetOovFp)
+      .select("doc", "sum_fp").as[(Long, Long)].collect().toMap
+    val raw = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .select("doc", "sum_fp").as[(Long, Long)].collect().toMap
+    assert(diff.keySet == tgt.keySet && diff.keySet == raw.keySet)
+    for ((d, v) <- diff) assert(v == tgt(d) - raw(d),
+      s"doc $d: diff $v != ${tgt(d)} - ${raw(d)}")
+    // the corpus must exercise both selection branches
+    val keeps = TextAnalysis.dsirSelect(docs, "doc_id", "text")
+      .select("keep").as[Boolean].collect()
+    assert(keeps.contains(true) && keeps.contains(false))
+  }
 }
