@@ -50,6 +50,35 @@ object Popularity {
       .agg(min(col(valueCol)).as("pct"))
   }
 
+  /** Several exact percentile_disc fractions in ONE pass: the same
+    * counts + cumulative window as [[percentileDisc]], then each
+    * fraction's "smallest value with cume_dist ≥ p" falls out of a
+    * single grouped `min(when(cum ≥ tot·p, value))` — one shuffled
+    * aggregate however many cutoffs are asked for (vs one full pass
+    * per fraction when calling [[percentileDisc]] repeatedly).
+    * Returns one row per key with columns `pct0, pct1, …` in `ps`
+    * order.
+    */
+  def percentileDiscMulti(df: DataFrame, keys: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cumW = byKey.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pcts = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= col("__tot") * lit(p), col(valueCol)))
+        .as(s"pct$i")
+    }
+    counts
+      .withColumn("__cum", sum("__n").over(cumW))
+      .withColumn("__tot", sum("__n").over(byKey))
+      .groupBy(keys.map(col): _*)
+      .agg(pcts.head, pcts.tail: _*)
+  }
+
   /** Popularity constant per key: `((1-p)/p) * (pct == 0 ? 1 : pct)`.
     * Mirrors sql.py:249-273 (zero percentile is clamped to 1 so the
     * constant never degenerates).

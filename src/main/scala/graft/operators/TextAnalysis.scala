@@ -362,18 +362,55 @@ object TextAnalysis {
     */
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
       vocabFp: Map[String, Long] = pretrainedUnigramFp,
-      oovFp: Long = UnigramOovFp, keepBits: Double = -3.0): DataFrame = {
+      oovFp: Long = UnigramOovFp, keepBits: Double = -3.0,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // null texts are dropped (SQL unnest-of-NULL semantics: a null doc
     // has no tokens, not a null score row)
-    docs.filter(col(textCol).isNotNull).select(col(idCol).as("doc"),
-        size(Dedupe.words(col(textCol))).cast("long").as("n_tokens"),
+    docs.filter(col(textCol).isNotNull).select(col(idCol).as("doc") +:
+        carry.map(col) :+
+        size(Dedupe.words(col(textCol))).cast("long").as("n_tokens") :+
         ColumnBridge.column(graft.functions.UnigramScoreExpr(
           ColumnBridge.expression(col(textCol)), vocabFp, oovFp))
-          .as("sum_fp"))
+          .as("sum_fp"): _*)
       .withColumn("avg_bits",
         (col("sum_fp").cast("double") / lit(1024.0)) / col("n_tokens"))
       .withColumn("keep", col("avg_bits") >= lit(keepBits))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document with the frozen unigram
+    * LM, cut each language's score distribution at its exact 1/3 and
+    * 2/3 percentile_disc, and bucket documents into head / middle /
+    * tail (head = most probable third; `keep` = not tail — CCNet
+    * trains on head+middle).
+    *
+    * Scale shape: scoring is the zero-shuffle [[unigramLmScore]]
+    * projection; both cutoffs come from ONE
+    * [[Popularity.percentileDiscMulti]] pass; the |langs|-row cutoff
+    * table joins back broadcast, so the corpus is never shuffled. The
+    * scored frame is persisted because one action consumes it via two
+    * arms (cutoff aggregate + final join).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
+      : DataFrame = {
+    val scored = caches.track(
+      unigramLmScore(docs, idCol, textCol, carry = Seq(langCol))
+        .select(col("doc"), col(langCol).as("lang"), col("avg_bits"))
+        .persist())
+    graft.core.CacheHandle.eager(scored)
+    val cuts = Popularity.percentileDiscMulti(scored, Seq("lang"),
+        "avg_bits", Seq(1.0 / 3, 2.0 / 3))
+      .withColumnRenamed("pct0", "p33").withColumnRenamed("pct1", "p67")
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("avg_bits") >= col("p67"), lit("head"))
+          .when(col("avg_bits") >= col("p33"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc"), col("lang"), col("avg_bits"), col("bucket"),
+        (col("bucket") =!= lit("tail")).as("keep"))
   }
 
   private[graft] def winnowFingerprintsWindowed(docs: DataFrame,

@@ -479,6 +479,41 @@ object TextQueries extends QueryPack {
         (CAST(sum_ratio_fp AS DOUBLE) / 1024.0) / n_tokens >= 0.0 AS keep
       FROM sc"""))
 
+  /** CCNet perplexity buckets ([[TextAnalysis.perplexityBuckets]]):
+    * per-language head/middle/tail thirds of the unigram-LM score
+    * distribution, cut at exact percentile_disc(1/3, 2/3). The oracle
+    * reuses q78's scoring CTEs and percentile_disc (the q10 parity
+    * precedent); avg_bits is an exact-integer ratio, so cutoff
+    * comparisons agree bit-for-bit across engines.
+    */
+  val q87 = Q("q87_perplexity_buckets",
+    (s, dir) => TextAnalysis.perplexityBuckets(
+      Tables(s, dir, "documents"), "doc_id", "text", "lang"),
+    Some(s"""
+      WITH v(word, fp) AS (VALUES $lmValues),
+      t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+      sc AS (SELECT doc_id, lang, count(*) AS n_tokens,
+               CAST(sum(coalesce(v.fp, ${TextAnalysis.UnigramOovFp}))
+                 AS BIGINT) AS sum_fp
+             FROM t LEFT JOIN v USING (word)
+             GROUP BY doc_id, lang),
+      a AS (SELECT doc_id, lang,
+              (CAST(sum_fp AS DOUBLE) / 1024.0) / n_tokens AS avg_bits
+            FROM sc),
+      c AS (SELECT lang,
+              percentile_disc(CAST(1 AS DOUBLE) / 3)
+                WITHIN GROUP (ORDER BY avg_bits) AS p33,
+              percentile_disc(CAST(2 AS DOUBLE) / 3)
+                WITHIN GROUP (ORDER BY avg_bits) AS p67
+            FROM a GROUP BY lang)
+      SELECT a.doc_id AS doc, a.lang, a.avg_bits,
+        CASE WHEN a.avg_bits >= c.p67 THEN 'head'
+             WHEN a.avg_bits >= c.p33 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+        a.avg_bits >= c.p33 AS keep
+      FROM a JOIN c USING (lang)"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71, q78, q82, q84, q86)
+    q71, q78, q82, q84, q86, q87)
 }

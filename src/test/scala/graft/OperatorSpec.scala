@@ -1224,4 +1224,48 @@ class OperatorSpec extends SparkSpec {
       .select("keep").as[Boolean].collect()
     assert(keeps.contains(true) && keeps.contains(false))
   }
+
+  test("percentileDiscMulti: one pass equals repeated percentileDisc") {
+    import graft.operators.Popularity
+    val events = Tables(spark, sfDir, "events")
+    val ps = Seq(1.0 / 3, 0.5, 2.0 / 3, 0.85)
+    val multi = Popularity.percentileDiscMulti(
+        events, Seq("event_type"), "value", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    for ((p, i) <- ps.zipWithIndex) {
+      val single = Popularity.percentileDisc(
+          events, Seq("event_type"), "value", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(single.keySet == multi.keySet)
+      for ((k, v) <- single)
+        assert(multi(k)(i) == v, s"p=$p key=$k: ${multi(k)(i)} != $v")
+    }
+  }
+
+  test("perplexityBuckets: per-language thirds, keep = head+middle") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.perplexityBuckets(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getBoolean(4)))
+    val byLang = out.groupBy(_._2)
+    for ((lang, rows) <- byLang) {
+      val n = rows.length
+      val counts = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // percentile_disc thirds: bucket sizes within 1 of n/3
+      for (b <- Seq("head", "middle", "tail"))
+        assert(math.abs(counts.getOrElse(b, 0) - n / 3.0) <= 1.0,
+          s"$lang $b: ${counts.getOrElse(b, 0)} of $n")
+      // every head score >= every middle score >= every tail score
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max)
+    }
+    for ((_, _, _, bucket, keep) <- out)
+      assert(keep == (bucket != "tail"))
+  }
 }
