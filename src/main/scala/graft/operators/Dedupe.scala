@@ -1141,4 +1141,66 @@ object Dedupe {
             struct(col("seg_idx"), col("seg"))))),
           s => s("seg")), " "), lit("")).as("kept_text"))
   }
+
+  /** Exact duplicate-SUBSTRING removal (ExactSubstr — Lee et al. 2022,
+    * arXiv:2107.06499): every `gramLen`-codepoint window whose text
+    * also occurs at a lexicographically EARLIER (doc, pos) is removed;
+    * overlapping or touching removals merge into spans and the
+    * remaining segments stitch back together. Unlike [[segmentDedup]]
+    * (fixed word segments) this catches duplicated runs at ANY
+    * alignment — the character-level analog of the reference's
+    * suffix-array dedup, re-expressed as hash-bucket + verify.
+    *
+    * Output: (id, clean_text, n_spans, removed_chars) for every doc.
+    *
+    * Plan shape, corpus-size honest: the rolling window hashes are ONE
+    * codegen'd per-row loop ([[graft.functions.GramHashesExpr]]) and
+    * their posexplode is the one corpus-sized shuffle (~8 B/codepoint
+    * on the hash key — the distributed stand-in for suffix-array
+    * construction, which is also O(corpus) bytes). Everything after
+    * the duplicated-hash filter is match-sized: real substrings are
+    * fetched only for collided hashes and re-verified by value before
+    * any removal (collisions can only ADD candidates, never change
+    * results), per-doc span lists ride one match-sized aggregation,
+    * and the stitch is one O(len) pass per doc
+    * ([[graft.functions.CutSpansExpr]]).
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+    val grams = d.select(col(idCol),
+        posexplode(ColumnBridge.column(graft.functions.GramHashesExpr(
+          ColumnBridge.expression(col(textCol)), gramLen))))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("__p"),
+        col("col").as("__h"))
+    // duplicated-hash candidates in the single corpus-sized shuffle
+    val cand = grams
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__n") > 1).drop("__n")
+    // candidates only: fetch the real window and keep every occurrence
+    // that is not its window's minimal (doc, pos)
+    val withGram = cand.join(d, Seq(idCol))
+      .withColumn("__g",
+        substring(col(textCol), col("__p"), lit(gramLen)))
+    val occ = struct(col(idCol), col("__p"))
+    val removals = withGram
+      .withColumn("__min",
+        min(occ).over(Window.partitionBy(col("__g"))))
+      .filter(occ =!= col("__min"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    val cut = ColumnBridge.column(graft.functions.CutSpansExpr(
+      ColumnBridge.expression(col(textCol)),
+      ColumnBridge.expression(
+        coalesce(col("__starts"), array().cast("array<int>"))),
+      gramLen))
+    d.join(removals, Seq(idCol), "left_outer")
+      .withColumn("__cut", cut)
+      .select(col(idCol), col("__cut.clean_text").as("clean_text"),
+        col("__cut.n_spans").as("n_spans"),
+        col("__cut.removed_chars").as("removed_chars"))
+  }
 }

@@ -517,6 +517,61 @@ object DedupeQueries extends QueryPack {
       FROM seg LEFT JOIN d ON md5(seg.seg) = d.seg_h
       GROUP BY doc_id"""))
 
+  /** Exact-substring dedup ([[Dedupe.exactSubstrDedup]], the
+    * ExactSubstr operator): remove every 40-codepoint window that also
+    * occurs at an earlier (doc, pos), spans merged, remainder
+    * stitched. The engine detects candidates on rolling hashes and
+    * verifies on the real substring; the oracle materializes every
+    * window directly (no hashes), so a hash-side bug cannot hide —
+    * clean_text, span counts and removed-char totals must all
+    * hash-match. At sf0.01 this strips the planted near-duplicate runs
+    * (24 docs) while leaving the rest byte-identical.
+    */
+  val q88 = Q("q88_substr_dedup",
+    (s, dir) => Dedupe.exactSubstrDedup(
+      Tables(s, dir, "documents"), "doc_id", "text", gramLen = 40),
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len
+                 FROM documents WHERE text IS NOT NULL),
+      pos AS (SELECT doc_id, text,
+                CAST(unnest(generate_series(1, len - 40 + 1)) AS INT) AS p
+              FROM d),
+      g AS (SELECT doc_id, p, substr(text, p, 40) AS gram FROM pos),
+      r AS (SELECT doc_id, p, row_number() OVER
+              (PARTITION BY gram ORDER BY doc_id, p) AS rn FROM g),
+      rem AS (SELECT doc_id, p FROM r WHERE rn > 1),
+      i AS (SELECT doc_id, p,
+              SUM(CASE WHEN prev IS NULL OR p - prev > 40
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY p) AS isl
+            FROM (SELECT doc_id, p,
+                    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                  FROM rem)),
+      sp AS (SELECT doc_id, isl, min(p) AS s, max(p) + 40 AS e
+             FROM i GROUP BY doc_id, isl),
+      segs AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+          s AS ke
+        FROM sp
+        UNION ALL
+        SELECT sp.doc_id, max(sp.e), min(d.len) + 1
+        FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id),
+      clean AS (SELECT segs.doc_id,
+                  string_agg(substr(d.text, ks, ke - ks), ''
+                             ORDER BY ks) AS ct
+                FROM segs JOIN d USING (doc_id)
+                WHERE ke > ks GROUP BY segs.doc_id),
+      agg AS (SELECT doc_id, count(*) AS n_spans, SUM(e - s) AS removed
+              FROM sp GROUP BY doc_id)
+      SELECT d.doc_id,
+        CASE WHEN a.doc_id IS NULL THEN d.text
+             ELSE coalesce(c.ct, '') END AS clean_text,
+        CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars
+      FROM d LEFT JOIN agg a USING (doc_id)
+             LEFT JOIN clean c USING (doc_id)"""))
+
   override def all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80)
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80, q88)
 }
