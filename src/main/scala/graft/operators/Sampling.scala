@@ -117,4 +117,31 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic per-group reservoir: exactly min(k, |group|) rows
+    * per group, chosen uniformly by md5 rank — the same seedless
+    * hash-gated discipline as [[bernoulli]], so re-runs (and the
+    * oracle) pick identical rows.
+    *
+    * The rank is the first 48 md5 bits of the id (exact in a Double),
+    * and selection runs through the O(k)-state
+    * [[graft.functions.TopKRowsAgg]] min-heap: map-side partial
+    * aggregation reduces every input partition to ≤ k candidates per
+    * group BEFORE the shuffle — the row_number window form would
+    * shuffle and sort every row of every group, the 100 TB failure
+    * mode for "take N examples per source". Output:
+    * (group, rank 1..k, id) in rank order.
+    */
+  def reservoir(df: DataFrame, groupCol: String, idCol: String, k: Int)
+      : DataFrame = {
+    graft.functions.TopKRowsAgg.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(expr(
+        s"top_k_rows(-CAST(conv(substring(md5(CAST($idCol AS STRING)), " +
+          s"1, 12), 16, 10) AS DOUBLE), $idCol, $k)").as("__picks"))
+      .select(col(groupCol),
+        posexplode(col("__picks")).as(Seq("__r", idCol)))
+      .select(col(groupCol), (col("__r") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
 }

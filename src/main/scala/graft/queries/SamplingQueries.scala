@@ -121,5 +121,25 @@ object SamplingQueries extends QueryPack {
       FROM documents JOIN r USING (lang)
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr"""))
 
-  override def all: Seq[Q] = Seq(q60, q61, q73, q74)
+  /** Per-group reservoir ([[Sampling.reservoir]]): exactly 20 docs per
+    * language, chosen by md5 rank through the O(k)-state bounded-heap
+    * aggregate (map-side partial aggregation — k rows per group cross
+    * the shuffle, not the group). The oracle is the row_number window
+    * form the heap replaces: first-12-hex md5 ordering equals the
+    * engine's parsed-48-bit numeric ordering because equal-length hex
+    * strings sort lexicographically as their values.
+    */
+  val q89 = Q("q89_reservoir",
+    (s, dir) => Sampling.reservoir(
+      Tables(s, dir, "documents"), "lang", "doc_id", k = 20),
+    Some("""
+      WITH r AS (SELECT lang, doc_id, row_number() OVER
+          (PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) ASC,
+                    doc_id ASC) AS rn
+        FROM documents)
+      SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+      FROM r WHERE rn <= 20"""))
+
+  override def all: Seq[Q] = Seq(q60, q61, q73, q74, q89)
 }

@@ -1268,4 +1268,30 @@ class OperatorSpec extends SparkSpec {
     for ((_, _, _, bucket, keep) <- out)
       assert(keep == (bucket != "tail"))
   }
+
+  test("reservoir: heap aggregate equals the window form; small groups whole") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Tables(spark, sfDir, "documents")
+    val k = 7
+    val got = Sampling.reservoir(docs, "lang", "doc_id", k)
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(substring(md5(col("doc_id").cast("string")), 1, 12).asc,
+        col("doc_id").asc)
+    val expect = docs.withColumn("rank",
+        row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expect)
+    // a group smaller than k survives whole, in contiguous rank order
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("doc_id", "lang")
+    val t = Sampling.reservoir(tiny, "lang", "doc_id", 10)
+      .as[(String, Long, Long)].collect()
+    assert(t.length == 3)
+    assert(t.filter(_._1 == "x").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(t.filter(_._1 == "y").map(_._2).toSeq == Seq(1L))
+  }
 }
