@@ -45,3 +45,34 @@ case class BloomMightContainExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression)
       : BloomMightContainExpr = copy(child = c)
 }
+
+/** LONG-key sibling of [[BloomMightContainExpr]]: probes with
+  * `mightContainLong`, bit-compatible with `putLong` — the insertion
+  * path `DataFrame.stat.bloomFilter` uses for integral columns.
+  */
+case class BloomMightContainLongExpr(child: Expression,
+    bloom: Broadcast[BloomFilter]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain_long requires BIGINT input, got ${child.dataType}")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[Broadcast[BloomFilter]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value())" +
+        s".mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BloomMightContainLongExpr = copy(child = c)
+}
