@@ -350,8 +350,10 @@ object Dedupe {
     * analog `common/popularity/README.md:9-12`) makes the nightly cost
     * O(batch + true collisions), independent of corpus size.
     *
-    * Inputs: `corpusSig` (doc, sig) and `corpusLabels` (node, label) as
-    * persisted by [[SignatureStore.ensureCorpusState]]; `batch` =
+    * Inputs: `corpusBands` (doc, band, band_sig, cnt) and
+    * `corpusLabels` (node, label) as persisted by
+    * [[SignatureStore.ensureCorpusState]] — the banding index is part
+    * of the store, so the nightly path never re-derives it; `batch` =
     * tonight's new documents; `textLookup` = a table resolving ANY
     * candidate doc id (batch or corpus) to its text — exact verification
     * broadcast-semi-joins the small candidate id set against it, so only
@@ -360,7 +362,7 @@ object Dedupe {
     * Plan shape: one codegen'd signature map over the batch (banded +
     * persisted — consumed by its own bucket rows and the corpus
     * prefilter key set), a broadcast semi-join that streams the corpus
-    * signature scan down to colliding band rows BEFORE any exchange,
+    * BAND scan down to colliding rows BEFORE any exchange,
     * one bucket aggregation over batch + colliding rows, exact verify
     * over candidate pairs, and [[incrementalComponents]]' label
     * contraction (≤ |new edges| rows propagated; the corpus label
@@ -372,7 +374,30 @@ object Dedupe {
     * (LSH banding is per-document deterministic, so the incremental
     * candidate arms partition the full-corpus candidate set exactly).
     */
-  def incrementalFromStore(corpusSig: DataFrame, corpusLabels: DataFrame,
+  /** Banded rows of a wide signature table (built `withCount = true`):
+    * (doc, band, band_sig, cnt) — the persisted form of the LSH
+    * banding index. Building these rows costs an interpreted
+    * slice/join pass per signature, so a store computes them ONCE per
+    * corpus version ([[SignatureStore.build]]/appendBatch) instead of
+    * re-deriving them from signatures every night (measured ~2.5s of
+    * the nightly floor at the 100× dir).
+    */
+  def bandRowsOf(sigWide: DataFrame, numHashes: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    sigWide
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_sig", array_join(
+        transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")),
+        "|"))
+      .select(col("doc"), col("band"), col("band_sig"),
+        element_at(col("sig"), numHashes + 1).as("cnt"))
+  }
+
+  def incrementalFromStore(corpusBands: DataFrame, corpusLabels: DataFrame,
       batch: DataFrame, textLookup: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double, caches: CacheHandle = CacheHandle.session)
@@ -380,8 +405,9 @@ object Dedupe {
     // Candidate pass, O(batch + true collisions) SHUFFLED BYTES: the
     // batch is signed once (codegen'd map), banded, and persisted (two
     // consumers: its own bucket rows and the corpus prefilter key set);
-    // the corpus side is a columnar read of the persisted signature
-    // table (arrays only, no text) whose band rows are SEMI-JOINED
+    // the corpus side is a columnar read of the persisted BAND table
+    // (doc, band, band_sig, cnt — banding computed once per corpus
+    // version, never re-derived nightly) whose rows are SEMI-JOINED
     // against the batch's (band, band_sig) key set BEFORE the bucket
     // shuffle. The key set is batch-sized, so the planner broadcasts it
     // and the corpus scan streams — no corpus row ever enters an
@@ -393,32 +419,22 @@ object Dedupe {
     // buckets, pairs are emitted in-row with an is_new flag, and
     // corpus-corpus pairs (already folded into the persisted labels)
     // cannot survive the prefilter+is_new gate.
-    val nBands = numHashes / rowsPerBand
-    def bandRows(df: DataFrame): DataFrame = df
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("band_sig", array_join(
-        transform(
-          slice(col("sig"), col("band") * rowsPerBand + 1,
-            lit(rowsPerBand)),
-          x => x.cast("string")),
-        "|"))
+    //
     // batch signatures carry the trailing distinct-shingle count, like
-    // the persisted corpus signatures — the size-ratio verify-prune
+    // the persisted corpus bands — the size-ratio verify-prune
     // (see minhashCandidatePairs) then drops provably-hopeless pairs
     // in-row before the verify ever sees them
-    val batchBands = CacheHandle.eager(caches.track(bandRows(
+    val batchBands = CacheHandle.eager(caches.track(bandRowsOf(
       minhashWide(batch, idCol, textCol, shingleK, numHashes,
-        withCount = true)
-        .withColumn("is_new", lit(true))).persist()))
-    val corpusHits = bandRows(
-        corpusSig.withColumn("is_new", lit(false)))
+        withCount = true), numHashes, rowsPerBand)
+        .withColumn("is_new", lit(true)).persist()))
+    val corpusHits = corpusBands.withColumn("is_new", lit(false))
       .join(batchBands.select("band", "band_sig").distinct(),
         Seq("band", "band_sig"), "left_semi")
     val buckets = batchBands.unionByName(corpusHits)
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(struct(col("doc"),
-        element_at(col("sig"), numHashes + 1).as("cnt"),
-        col("is_new")))).as("ds"))
+        col("cnt"), col("is_new")))).as("ds"))
       .filter(size(col("ds")) > 1 &&
         exists(col("ds"), d => d("is_new")))
     val pairs = buckets

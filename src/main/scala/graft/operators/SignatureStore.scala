@@ -34,16 +34,25 @@ object SignatureStore {
 
   def sigsRoot(root: String): String = s"$root/sigs"
   def labelsRoot(root: String): String = s"$root/labels"
+  def bandsRoot(root: String): String = s"$root/bands"
 
-  /** True iff both tables have a committed version. */
+  /** True iff all three tables have a committed version. */
   def exists(spark: SparkSession, root: String): Boolean =
     VersionedTable.currentVersion(spark, sigsRoot(root)).isDefined &&
-      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined
+      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined &&
+      VersionedTable.currentVersion(spark, bandsRoot(root)).isDefined
 
   /** Read the committed (sigs, labels) snapshot. */
   def read(spark: SparkSession, root: String): (DataFrame, DataFrame) =
     (VersionedTable.read(spark, sigsRoot(root)),
       VersionedTable.read(spark, labelsRoot(root)))
+
+  /** Read the committed LSH band index (doc, band, band_sig, cnt) —
+    * what the nightly candidate pass scans; banding is computed at
+    * commit time, once per corpus version, never per night.
+    */
+  def readBands(spark: SparkSession, root: String): DataFrame =
+    VersionedTable.read(spark, bandsRoot(root))
 
   /** Build the corpus state from scratch and commit it: sign every
     * corpus document (one codegen'd per-row loop), generate + verify
@@ -87,6 +96,12 @@ object SignatureStore {
     def pack(df: DataFrame): DataFrame =
       if (parts > 0) df.coalesce(parts) else df
     VersionedTable.commit(pack(sig), sigsRoot(root))
+    // the banding index is PART of the corpus version: deriving band
+    // rows costs an interpreted slice/join pass per signature, paid
+    // here once instead of by every nightly read
+    VersionedTable.commit(
+      pack(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
+      bandsRoot(root))
     val cand = CacheHandle.eager(caches.track(
       Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand,
         minSizeRatio = minJaccard).persist()))
@@ -97,8 +112,10 @@ object SignatureStore {
     VersionedTable.commit(pack(labels), labelsRoot(root))
   }
 
-  /** Read the committed corpus state, building it first if the store is
-    * empty — the idempotent entry point for jobs that own their store.
+  /** Read the committed corpus state — (band index, labels), the two
+    * tables the nightly path consumes — building the store first if it
+    * is empty. The idempotent entry point for jobs that own their
+    * store.
     */
   def ensureCorpusState(spark: SparkSession, root: String,
       corpus: => DataFrame, idCol: String, textCol: String,
@@ -107,7 +124,7 @@ object SignatureStore {
     if (!exists(spark, root))
       build(spark, root, corpus, idCol, textCol, shingleK, numHashes,
         rowsPerBand, minJaccard, caches)
-    read(spark, root)
+    (readBands(spark, root), VersionedTable.read(spark, labelsRoot(root)))
   }
 
   /** Close the nightly loop: commit the batch's signatures (union'd
@@ -117,20 +134,27 @@ object SignatureStore {
     * batch's signatures ([[Dedupe.minhashWide]] over the batch only).
     */
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
-      mergedLabels: DataFrame): Unit = {
+      mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int): Unit = {
     val sigs = VersionedTable.read(spark, sigsRoot(root))
-    // persist: the count (for AUTO file sizing) and the commit write
-    // must not each re-sign the batch
+    // persist: the count (for AUTO file sizing), the commit write and
+    // the band derivation must not each re-sign the batch
     val merged = sigs.union(batchSig).persist()
-    try
+    try {
       // repack under the AUTO layout so file count tracks corpus growth
       // (read parallelism) — the rewrite is O(corpus SIGNATURES), a few
       // longs per document, not O(corpus text); a delta-file layout
       // (commit only batch files + a manifest) is the next refinement
       // if even that rewrite matters
+      val parts = autoPartitions(merged.count())
+      VersionedTable.commit(merged.coalesce(parts), sigsRoot(root))
+      // band index: existing corpus bands + the batch's (banded once,
+      // at commit time — the nightly read must never re-derive them)
       VersionedTable.commit(
-        merged.coalesce(autoPartitions(merged.count())), sigsRoot(root))
-    finally merged.unpersist()
+        readBands(spark, root)
+          .unionByName(Dedupe.bandRowsOf(batchSig, numHashes, rowsPerBand))
+          .coalesce(parts),
+        bandsRoot(root))
+    } finally merged.unpersist()
     VersionedTable.commit(mergedLabels, labelsRoot(root))
   }
 

@@ -250,11 +250,11 @@ object DedupeQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val store = "/tmp/graft_q79_store_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      val (corpusSig, corpusLabels) = graft.operators.SignatureStore
+      val (corpusBands, corpusLabels) = graft.operators.SignatureStore
         .ensureCorpusState(s, store,
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           shingleK = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
-      val labels = Dedupe.incrementalFromStore(corpusSig, corpusLabels,
+      val labels = Dedupe.incrementalFromStore(corpusBands, corpusLabels,
         docs.filter(col("doc_id") % 2 === 1), docs, "doc_id", "text",
         shingleK = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
       labels
@@ -290,23 +290,24 @@ object DedupeQueries extends QueryPack {
       val store = java.nio.file.Files
         .createTempDirectory("graft_q80_store").toString
       val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
-      val (sig0, labels0) = SignatureStore.ensureCorpusState(s, store,
+      val (bands0, labels0) = SignatureStore.ensureCorpusState(s, store,
         docs.filter(col("doc_id") % 4 < 2), "doc_id", "text", k, n, rpb, minJ)
       // night 1: fold batch 1, commit v+1
       val batch1 = docs.filter(col("doc_id") % 4 === 2)
-      val merged1 = Dedupe.incrementalFromStore(sig0, labels0, batch1,
+      val merged1 = Dedupe.incrementalFromStore(bands0, labels0, batch1,
         docs, "doc_id", "text", k, n, rpb, minJ)
       SignatureStore.appendBatch(s, store,
         Dedupe.minhashWide(batch1, "doc_id", "text", k, n,
-          withCount = true), merged1)
+          withCount = true), merged1, n, rpb)
       // night 2: read the FLIPPED store, fold batch 2, commit v+2
-      val (sig1, labels1) = SignatureStore.read(s, store)
+      val bands1 = SignatureStore.readBands(s, store)
+      val (_, labels1) = SignatureStore.read(s, store)
       val batch2 = docs.filter(col("doc_id") % 4 === 3)
-      val merged2 = Dedupe.incrementalFromStore(sig1, labels1, batch2,
+      val merged2 = Dedupe.incrementalFromStore(bands1, labels1, batch2,
         docs, "doc_id", "text", k, n, rpb, minJ)
       SignatureStore.appendBatch(s, store,
         Dedupe.minhashWide(batch2, "doc_id", "text", k, n,
-          withCount = true), merged2)
+          withCount = true), merged2, n, rpb)
       // what any reader sees after the loop ran twice
       val (_, labelsFinal) = SignatureStore.read(s, store)
       labelsFinal

@@ -41,6 +41,11 @@ object IncrementalProbe {
     spark.sparkContext.setLogLevel("WARN")
     val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
     def timeIt[A](f: => A): Double = {
+      // cache hygiene: without this, run N's eager persists are logical-
+      // plan-identical to run N-1's and the cache manager serves them,
+      // silently turning repeated timings into cache reads (the same
+      // clearCache the bench harness does between runs)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val docs = Tables(spark, sfDir, "documents")
@@ -54,7 +59,8 @@ object IncrementalProbe {
             .persist()))
       Dedupe.connectedComponents(
         Dedupe.verifyJaccardOneJoin(cand, docs, "doc_id", "text", k, minJ),
-        "doc_a", "doc_b", distinctEdges = true).count()
+        "doc_a", "doc_b", distinctEdges = true)
+        .queryExecution.toRdd.count() // full materialization (no count-pruning)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     scratch() // warm-up
@@ -64,20 +70,38 @@ object IncrementalProbe {
       val batch = docs.filter(col("doc_id") % d === (d - 1))
       val store = java.nio.file.Files
         .createTempDirectory(s"graft_incprobe_$d").toString
-      val (sig, labels) = SignatureStore.ensureCorpusState(spark, store,
+      val (bands, labels) = SignatureStore.ensureCorpusState(spark, store,
         corpus, "doc_id", "text", k, n, rpb, minJ) // untimed build
       def nightly(): Double = timeIt {
-        Dedupe.incrementalFromStore(sig, labels, batch, docs,
-          "doc_id", "text", k, n, rpb, minJ).count()
+        Dedupe.incrementalFromStore(bands, labels, batch, docs,
+          "doc_id", "text", k, n, rpb, minJ)
+          .queryExecution.toRdd.count() // full materialization
       }
       nightly() // warm-up
       val t = median((1 to 3).map(_ => nightly()))
       (d, t)
     }
+    // empty-batch floor: the nightly cost that does not shrink with the
+    // batch — store scans, label rewrite, full-label output, fixed
+    // per-job overheads
+    val floorT = {
+      val corpus = docs
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_incprobe_floor").toString
+      val (bands, labels) = SignatureStore.ensureCorpusState(spark, store,
+        corpus, "doc_id", "text", k, n, rpb, minJ)
+      val emptyBatch = docs.filter(lit(false))
+      def night(): Double = timeIt {
+        Dedupe.incrementalFromStore(bands, labels, emptyBatch, docs,
+          "doc_id", "text", k, n, rpb, minJ)
+          .queryExecution.toRdd.count()
+      }
+      night(); median((1 to 3).map(_ => night()))
+    }
     val body = results.map { case (d, t) =>
       f""""1/$d":{"nightly_sec":$t%.2f,"vs_scratch":${t / base}%.2f}"""
     }.mkString(",")
-    println(f"""{"metric":"incremental_probe","scratch_sec":$base%.2f,$body,"sf":"$sfDir"}""")
+    println(f"""{"metric":"incremental_probe","scratch_sec":$base%.2f,$body,"empty_batch_floor_sec":$floorT%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

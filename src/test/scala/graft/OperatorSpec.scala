@@ -763,19 +763,24 @@ class OperatorSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     assert(!SignatureStore.exists(spark, root))
-    val (sig, labels) = SignatureStore.ensureCorpusState(spark, root,
+    val (bands, labels) = SignatureStore.ensureCorpusState(spark, root,
       corpus, "doc_id", "text", shingleK = 3, numHashes = 16,
       rowsPerBand = 4, minJaccard = 0.5)
     assert(SignatureStore.exists(spark, root))
     // persisted signatures = a fresh sign of the corpus, byte-equal
     // (withCount: the store appends the distinct-shingle count)
+    val sig = SignatureStore.read(spark, root)._1
     val freshSig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
       withCount = true)
     assert(sig.exceptAll(freshSig).isEmpty &&
       freshSig.exceptAll(sig).isEmpty)
+    // the persisted band index = fresh banding of those signatures
+    val freshBands = Dedupe.bandRowsOf(freshSig, 16, 4)
+    assert(bands.exceptAll(freshBands).isEmpty &&
+      freshBands.exceptAll(bands).isEmpty)
     // the nightly path (signs ONLY the batch, reads persisted state)
     // must match a from-scratch clustering of the full corpus
-    val inc = Dedupe.incrementalFromStore(sig, labels, batch, docs,
+    val inc = Dedupe.incrementalFromStore(bands, labels, batch, docs,
       "doc_id", "text", 3, 16, 4, 0.5)
     val sigAll = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16)
     val candAll = graft.core.CacheHandle.eager(
@@ -790,11 +795,16 @@ class OperatorSpec extends SparkSpec {
     assert(incSet == labelSet(scratch) && incSet.nonEmpty)
     // appendBatch closes the loop: tomorrow's snapshot holds corpus ∪
     // batch signatures and the merged labels, under bumped versions
-    val batchSig = Dedupe.minhashWide(batch, "doc_id", "text", 3, 16)
-    SignatureStore.appendBatch(spark, root, batchSig, inc)
+    val batchSig = Dedupe.minhashWide(batch, "doc_id", "text", 3, 16,
+      withCount = true)
+    SignatureStore.appendBatch(spark, root, batchSig, inc, 16, 4)
     val (sig2, labels2) = SignatureStore.read(spark, root)
     assert(sig2.count() == sigAll.count())
     assert(labelSet(labels2) == incSet)
+    // the band index grew with the batch and stays re-derivable
+    val bands2 = SignatureStore.readBands(spark, root)
+    assert(bands2.count() == bands.count() +
+      Dedupe.bandRowsOf(batchSig, 16, 4).count())
   }
 
   test("contamination: overlap fraction exact, below-threshold dropped") {
