@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ANALYZE/statistics pass every engine needs
+  * before it can size joins, pick broadcast sides, or validate a new
+  * ingest batch (the reference eyeballs per-batch `load metrics`;
+  * this is the generalized per-column form).
+  *
+  * ONE scan computes every column's stats simultaneously: row count,
+  * non-null count, exact distinct count, min and max. The multi-column
+  * `count(distinct …)` form compiles to Spark's Expand (input rows ×
+  * |columns| into a partial aggregate) — the standard single-pass
+  * trade. At 100 TB swap the exact distinct for
+  * [[graft.functions.KmvSketchAgg]] / `approx_count_distinct` per
+  * column: same plan shape, Expand feeding O(sketch) state instead of
+  * exact key sets.
+  *
+  * min/max are emitted as strings so one output schema covers every
+  * column type. Callers choose the profiled columns; double columns
+  * deserve a caveat — engines disagree on float-to-string rendering,
+  * so cross-engine comparisons should profile exact types (ints,
+  * strings, dates, decimals).
+  */
+object Profile {
+
+  /** One row per profiled column:
+    * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val).
+    */
+  def table(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      columns.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -81,5 +81,26 @@ object MaintenanceQueries extends QueryPack {
           >> ${32 - zBucketBits}) AS z_bucket
       FROM lineitem"""))
 
-  override def all: Seq[Q] = Seq(q58, q77)
+  private val profileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate")
+
+  /** Table profiling ([[graft.operators.Profile.table]]): the ANALYZE
+    * pass — per-column row/non-null/exact-distinct counts plus min/max
+    * (as strings), ONE scan for all columns via Spark's Expand. The
+    * oracle is the per-column UNION ALL the single pass replaces.
+    * Doubles are excluded by contract (engines disagree on float
+    * rendering); everything else round-trips exactly.
+    */
+  val q90 = Q("q90_profile",
+    (s, dir) => graft.operators.Profile.table(
+      Tables(s, dir, "orders"), profileCols),
+    Some(profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+        COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+        CAST(MIN($c) AS VARCHAR) AS min_val,
+        CAST(MAX($c) AS VARCHAR) AS max_val FROM orders"""
+    }.mkString(" UNION ALL ")))
+
+  override def all: Seq[Q] = Seq(q58, q77, q90)
 }

@@ -90,4 +90,33 @@ class MaintenanceSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("Profile.table: per-column stats match direct recomputes; nulls counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, None, Some(10)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(30))
+    ).toDF("id", "s", "v")
+    val prof = graft.operators.Profile.table(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(prof("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(prof("s") == ((4L, 3L, 2L, "a", "b")))
+    assert(prof("v") == ((4L, 3L, 2L, "10", "30")))
+    // one-pass profile equals column-at-a-time aggregation on real data
+    val orders = Tables(spark, sfDir, "orders")
+    val got = graft.operators.Profile.table(orders,
+      Seq("o_orderkey", "o_orderstatus")).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (c <- Seq("o_orderkey", "o_orderstatus")) {
+      val Array(nn, nd) = orders
+        .agg(count(col(c)), countDistinct(col(c))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(got(c) == ((nn, nd)), s"col $c")
+    }
+  }
 }
