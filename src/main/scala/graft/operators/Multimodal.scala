@@ -103,6 +103,32 @@ object Multimodal {
       col(bytesCol).as("content")).as[MediaBlob]
   }
 
+  /** Per-kind exact content dedup + storage accounting for a blob
+    * table: group by md5(content) within each media kind and report
+    * how many blobs, how many DISTINCT payloads, total bytes, and the
+    * bytes an exact dedup would reclaim (every copy past the first).
+    * The pre-training hygiene number for an image/audio corpus — run
+    * BEFORE any expensive decode/embed pass, since duplicate payloads
+    * multiply downstream cost byte-for-byte.
+    *
+    * Scale shape: one shuffle on (kind, fingerprint) with map-side
+    * partial aggregation (exact copies collapse in-partition), then a
+    * |kinds|-row rollup. The content column never shuffles — only its
+    * 16-byte fingerprint does.
+    */
+  def dedupStats(df: DataFrame, idCol: String, kindCol: String,
+      bytesCol: String): DataFrame =
+    df.filter(col(bytesCol).isNotNull)
+      .select(col(kindCol).as("kind"), md5(col(bytesCol)).as("fp"),
+        length(col(bytesCol)).cast("long").as("n_bytes"))
+      .groupBy("kind", "fp")
+      .agg(count(lit(1)).as("cnt"), min("n_bytes").as("bytes"))
+      .groupBy("kind")
+      .agg(sum(col("cnt")).as("n_blobs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("bytes")).as("total_bytes"),
+        sum((col("cnt") - 1) * col("bytes")).as("reclaim_bytes"))
+
   /** A resized payload: new dims + (stub) re-encoded bytes. */
   case class ResizedBlob(id: Long, kind: String, width: Int, height: Int,
       scale: Double, content: Array[Byte])

@@ -397,6 +397,39 @@ object EnrichmentQueries extends QueryPack {
              s.c AS c
       FROM target t FULL JOIN staged s ON t.doc_id = s.doc_id"""))
 
+  /** Per-kind blob dedup + storage accounting
+    * ([[graft.operators.Multimodal.dedupStats]]): exact content
+    * fingerprint groups within each media kind → blobs, distinct
+    * payloads, total bytes, reclaimable bytes. Blobs are synthesized
+    * from document text like q37 (64-char truncation so the corpus
+    * carries real duplicate payloads); only the 16-byte fingerprint
+    * ever shuffles.
+    */
+  val q91 = Q("q91_blob_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val kind = when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+      graft.operators.Multimodal.dedupStats(
+        d.select(col("doc_id"), kind.as("kind"),
+          substring(col("text"), 1, 64).cast("binary").as("content")),
+        "doc_id", "kind", "content")
+    },
+    Some("""
+      WITH b AS (SELECT
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          md5(substr(text, 1, 64)) AS fp,
+          octet_length(encode(substr(text, 1, 64))) AS n_bytes
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT kind, fp, COUNT(*) AS cnt, MIN(n_bytes) AS bytes
+            FROM b GROUP BY kind, fp)
+      SELECT kind, CAST(SUM(cnt) AS BIGINT) AS n_blobs,
+        COUNT(*) AS n_distinct,
+        CAST(SUM(cnt * bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM((cnt - 1) * bytes) AS BIGINT) AS reclaim_bytes
+      FROM g GROUP BY kind"""))
+
   override def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91)
 }

@@ -112,6 +112,22 @@ class EnrichmentSpec extends SparkSpec {
       viaExpr.exceptAll(decoded).isEmpty)
   }
 
+  test("multimodal dedupStats: counts, bytes and reclaim per kind") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, "image", "aaaa"), (2L, "image", "aaaa"), (3L, "image", "bb"),
+      (4L, "audio", "cccc"), (5L, "audio", "cccc"), (6L, "audio", "cccc")
+    ).toDF("id", "kind", "s")
+      .select(col("id"), col("kind"), col("s").cast("binary").as("content"))
+    val got = Multimodal.dedupStats(blobs, "id", "kind", "content")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // image: 3 blobs, 2 distinct, 4+4+2=10 bytes, one dup "aaaa" = 4
+    assert(got("image") == ((3L, 2L, 10L, 4L)))
+    // audio: 3 copies of "cccc": 12 total, 8 reclaimable
+    assert(got("audio") == ((3L, 1L, 12L, 8L)))
+  }
+
   test("multimodal decode reads real PNG/JPEG/GIF headers: true " +
     "width/height/channels") {
     import java.awt.image.BufferedImage
