@@ -239,6 +239,47 @@ object RelationalQueries extends QueryPack {
                AS top_orders
       FROM r WHERE rn <= 3 GROUP BY o_custkey"""))
 
+  /** ROLLUP hierarchy totals: per-(flag, status) sums plus per-flag
+    * subtotals plus the grand total in ONE aggregation — Spark's
+    * `rollup` compiles to a single Expand-fed hash aggregate, not
+    * three passes. Decimal accumulation keeps the sums
+    * order-independent; NULL grouping cells mark subtotal rows on
+    * both engines identically.
+    */
+  val q92 = Q("q92_rollup",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** PIVOT event types into columns: one row per event_type bucket of
+    * users × per-type counts — Spark's `pivot` with an EXPLICIT value
+    * list stays a single aggregation (no distinct-values pre-query,
+    * the scale rule for pivots); the oracle is the FILTER-aggregate
+    * form the pivot desugars to.
+    */
+  val q93 = Q("q93_pivot",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .select(col("user_bucket"),
+        coalesce(col("click"), lit(0L)).as("click"),
+        coalesce(col("view"), lit(0L)).as("view"),
+        coalesce(col("purchase"), lit(0L)).as("purchase")),
+    Some("""
+      SELECT user_id % 10 AS user_bucket,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      FROM events GROUP BY user_id % 10"""))
+
   override def all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q55)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q55, q92, q93)
 }

@@ -196,4 +196,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("Window"))
     assert(p.toLowerCase.contains("simhash"))
   }
+
+  test("q92: rollup is ONE Expand-fed aggregate, not three passes") {
+    val p = plan("q92_rollup")
+    assert(p.contains("Expand"))
+    // one shuffle total: grouping-set aggregation, no union of passes
+    assert(!p.contains("Union"))
+    assert(p.split("Exchange").length - 1 <= 1)
+  }
+
+  test("q93: explicit-values pivot runs without a distinct pre-query") {
+    val p = plan("q93_pivot")
+    // no distinct-values pre-pass and no per-value join/union fan-out;
+    // Spark desugars to count-then-pivotfirst = exactly two exchanges
+    assert(!p.contains("Union") && !p.contains("Join"))
+    assert(p.contains("pivotfirst"))
+    assert(p.split("Exchange").length - 1 <= 2)
+  }
 }
