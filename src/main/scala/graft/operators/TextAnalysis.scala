@@ -413,6 +413,37 @@ object TextAnalysis {
         (col("bucket") =!= lit("tail")).as("keep"))
   }
 
+  /** Per-document keyword extraction: the `topK` terms of each doc by
+    * the rarity-weighted score tf/df (term count in the doc over the
+    * term's document frequency). tf/df is monotone in idf for a fixed
+    * tf and — unlike tf·log(N/df) — compares EXACTLY across engines
+    * (one IEEE divide of two integers on both sides), so rank ties
+    * cannot flip on log rounding; the full BM25 weighting lives in
+    * [[Retrieval]] where scores are decimal-summed. Ties break to the
+    * lexicographically smallest term.
+    *
+    * Plan shape: token explode + (doc, term) count — the honest
+    * corpus-sized pass any global-df statistic needs; the df table is
+    * vocabulary-sized (≪ corpus rows; AQE broadcasts it when small,
+    * shuffle-joins otherwise), and the final per-doc top-k window runs
+    * over the already-aggregated (doc, term) frame, not raw tokens.
+    */
+  def keyTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(Dedupe.words(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc")
+      .orderBy((col("tf").cast("double") / col("df")).desc,
+        col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("doc", "rank", "term")
+  }
+
   private[graft] def winnowFingerprintsWindowed(docs: DataFrame,
       idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc").orderBy("p")

@@ -514,6 +514,26 @@ object TextQueries extends QueryPack {
         a.avg_bits >= c.p33 AS keep
       FROM a JOIN c USING (lang)"""))
 
+  /** Per-doc keyword extraction ([[TextAnalysis.keyTerms]]): top-3
+    * terms by the exactly-comparable rarity score tf/df, ties to the
+    * smallest term. Rank-only output; the oracle recomputes tf, df and
+    * the identical IEEE divide.
+    */
+  val q94 = Q("q94_key_terms",
+    (s, dir) => TextAnalysis.keyTerms(
+      Tables(s, dir, "documents"), "doc_id", "text", topK = 3),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+             GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      r AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+              ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS rn
+            FROM tf JOIN df USING (term))
+      SELECT doc_id AS doc, CAST(rn AS BIGINT) AS rank, term
+      FROM r WHERE rn <= 3"""))
+
   override def all: Seq[Q] = Seq(q27, q28, q29, q45, q52, q53, q54, q67,
-    q71, q78, q82, q84, q86, q87)
+    q71, q78, q82, q84, q86, q87, q94)
 }
