@@ -208,5 +208,33 @@ object EventQueries extends QueryPack {
       SELECT sp.user_id, sp.day, w.window_id
       FROM sp JOIN w ON sp.slo_us < w.whi_us AND w.wlo_us < sp.shi_us"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70, q76)
+  /** SLIDING event-time windows (1 h length, 15 min slide): each event
+    * lands in exactly 4 overlapping windows — `window(ts, len, slide)`
+    * is the batch twin of the Structured Streaming form
+    * ([[graft.streaming.EventStreams]] uses the same operator under a
+    * watermark). Spark expands windows in-row (one Expand, slide-count
+    * rows per event, then a normal hash agg); the oracle replicates
+    * the expansion with a 4-row range product over epoch-aligned
+    * 15-minute buckets. Decimal value sums, q32's discipline.
+    */
+  val q95 = Q("q95_sliding_windows",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(k.k AS INT) * INTERVAL '15 minutes' AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events, (SELECT unnest(range(4)) AS k) k
+      GROUP BY 1, 2"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70, q76, q95)
 }
