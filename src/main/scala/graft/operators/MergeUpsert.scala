@@ -151,6 +151,56 @@ object MergeUpsert {
     * uuid; existing identifiers are stable across merges. Run AFTER
     * merge so only newly-inserted rows mint ids.
     */
+  /** SCD Type-2 merge: fold a staged snapshot into a dimension HISTORY
+    * table instead of overwriting in place (the [[merge]] above is the
+    * reference's SCD1 semantics; warehouses also need the
+    * validity-interval form).
+    *
+    * History schema = key cols + tracked attrs + (valid_from,
+    * valid_to), valid_to NULL marking the current row. For each key:
+    *  - staged row equal to the current row (all `tracked` attrs) →
+    *    unchanged;
+    *  - staged row differing → the current row CLOSES
+    *    (valid_to = batchId) and the staged row opens
+    *    (valid_from = batchId, valid_to = NULL);
+    *  - brand-new key → opens at batchId;
+    *  - key absent from the batch → unchanged (SCD2 never deletes).
+    * Already-closed rows pass through untouched.
+    *
+    * One full-outer join of current-vs-staged on the keys (closed rows
+    * never join), then each joined row EXPLODES in-row into its 1 or 2
+    * output rows (a changed key yields close + open) — the join
+    * executes once, no union arms re-running it, no window, no second
+    * shuffle. NULL-safe attr comparison via `<=>`.
+    */
+  def scd2Merge(history: DataFrame, staged: DataFrame, keys: Seq[String],
+      tracked: Seq[String], batchId: Long): DataFrame = {
+    val outCols = keys ++ tracked ++ Seq("valid_from", "valid_to")
+    val closed = history.filter(col("valid_to").isNotNull)
+    val cur = history.filter(col("valid_to").isNull)
+      .withColumn("__in_t", lit(true)).alias("t")
+    val s = staged.withColumn("__in_s", lit(true)).alias("s")
+    val joined = cur.join(s, keys, "full_outer")
+    val changed = col("__in_t").isNotNull && col("__in_s").isNotNull &&
+      !tracked.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    def row(side: String, from: Column, to: Column) =
+      struct(tracked.map(c => col(s"$side.$c").as(c)) ++
+        Seq(from.as("valid_from"), to.cast("long").as("valid_to")): _*)
+    val keepCur = row("t", col("t.valid_from"), col("t.valid_to"))
+    val closeCur = row("t", col("t.valid_from"), lit(batchId))
+    val open = row("s", lit(batchId), lit(null))
+    val emitted =
+      when(changed, array(closeCur, open))
+        .when(col("__in_t").isNotNull, array(keepCur))
+        .otherwise(array(open))
+    closed.select(outCols.map(col): _*)
+      .unionByName(joined
+        .select(keys.map(col) :+ explode(emitted).as("r"): _*)
+        .select(keys.map(col) ++
+          (tracked ++ Seq("valid_from", "valid_to"))
+            .map(c => col(s"r.$c").as(c)): _*))
+  }
+
   def assignIdentifiers(df: DataFrame, idCol: String = "identifier")
       : DataFrame = {
     val existing = if (df.columns.contains(idCol)) col(idCol)

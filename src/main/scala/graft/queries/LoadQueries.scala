@@ -306,5 +306,80 @@ object LoadQueries extends QueryPack {
              COUNT(DISTINCT sample_rate) AS n_rates
       FROM ex GROUP BY fmt"""))
 
-  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51, q65)
+  /** SCD Type-2 history merge ([[MergeUpsert.scd2Merge]]): the
+    * validity-interval upsert the in-place merge (q13) does not cover.
+    * History carries pre-closed rows (passthrough), the batch carries
+    * changed, unchanged (no-op) and brand-new keys; changed keys close
+    * at the batch id and re-open with staged attrs. One full-outer
+    * join, each joined row exploding in-row into its 1-2 output rows.
+    */
+  val q96 = Q("q96_scd2_merge",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val closedHist = c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          concat(lit("old "), col("c_name")).as("c_name"),
+          col("c_mktsegment"),
+          lit(0L).as("valid_from"), lit(1L).as("valid_to"))
+      val current = c.select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"),
+        when(col("c_custkey") % 11 === 0, 1L).otherwise(0L)
+          .as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val staged = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" v2")).as("c_name"),
+          col("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 0 &&
+            col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("new "), col("c_name")).as("c_name"),
+            col("c_mktsegment")))
+      MergeUpsert.scd2Merge(closedHist.unionByName(current), staged,
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), batchId = 2L)
+    },
+    Some("""
+      WITH hist AS (
+        SELECT c_custkey, 'old ' || c_name AS c_name, c_mktsegment,
+               CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM customer),
+      staged AS (
+        SELECT c_custkey, c_name || ' v2' AS c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new ' || c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 13 = 0),
+      cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+      j AS (SELECT coalesce(c.c_custkey, s.c_custkey) AS c_custkey,
+              c.c_name AS tn, c.c_mktsegment AS tm,
+              c.valid_from AS tf, c.valid_to AS tt,
+              s.c_name AS sn, s.c_mktsegment AS sm,
+              c.c_custkey IS NOT NULL AS in_t,
+              s.c_custkey IS NOT NULL AS in_s
+            FROM cur c FULL JOIN staged s ON c.c_custkey = s.c_custkey),
+      flags AS (SELECT *,
+              (in_t AND in_s AND NOT (tn IS NOT DISTINCT FROM sn
+                 AND tm IS NOT DISTINCT FROM sm)) AS changed
+            FROM j)
+      SELECT c_custkey, c_name, c_mktsegment, valid_from, valid_to
+      FROM hist WHERE valid_to IS NOT NULL
+      UNION ALL
+      SELECT c_custkey, tn, tm, tf,
+             CASE WHEN changed THEN CAST(2 AS BIGINT) ELSE tt END
+      FROM flags WHERE in_t
+      UNION ALL
+      SELECT c_custkey, sn, sm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM flags WHERE changed OR NOT in_t"""))
+
+  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51, q65, q96)
 }

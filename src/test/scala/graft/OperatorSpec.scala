@@ -1279,6 +1279,44 @@ class OperatorSpec extends SparkSpec {
       assert(keep == (bucket != "tail"))
   }
 
+  test("scd2Merge: close/open/new/no-op branches; one open row per key") {
+    import spark.implicits._
+    import graft.operators.MergeUpsert
+    val history = Seq(
+      // key 1: one closed version + a current one
+      (1L, "one-v1", Some(0L), Some(5L)),
+      (1L, "one-v2", Some(5L), None),
+      (2L, "two", Some(0L), None),     // unchanged by the batch
+      (3L, "three", Some(0L), None)    // absent from the batch
+    ).toDF("k", "name", "valid_from", "valid_to")
+      .select(col("k"), col("name"), col("valid_from").cast("long"),
+        col("valid_to").cast("long"))
+    val staged = Seq(
+      (1L, "one-v3"),                  // changed -> close + open
+      (2L, "two"),                     // no-op
+      (9L, "nine")                     // brand-new key
+    ).toDF("k", "name")
+    val out = MergeUpsert.scd2Merge(history, staged, Seq("k"),
+        Seq("name"), batchId = 7L)
+      .as[(Long, String, Long, Option[Long])].collect()
+    val expect = Set(
+      (1L, "one-v1", 0L, Some(5L)),    // pre-closed passthrough
+      (1L, "one-v2", 5L, Some(7L)),    // closed by the batch
+      (1L, "one-v3", 7L, None),        // re-opened
+      (2L, "two", 0L, None),           // no-op
+      (3L, "three", 0L, None),         // untouched
+      (9L, "nine", 7L, None))          // new
+    assert(out.toSet == expect)
+    // invariant: exactly one open row per key
+    assert(out.filter(_._4.isEmpty).groupBy(_._1).forall(_._2.length == 1))
+    // idempotence: replaying the same batch at a later id changes nothing
+    val replay = MergeUpsert.scd2Merge(
+      MergeUpsert.scd2Merge(history, staged, Seq("k"), Seq("name"), 7L),
+      staged, Seq("k"), Seq("name"), batchId = 8L)
+      .as[(Long, String, Long, Option[Long])].collect()
+    assert(replay.toSet == expect)
+  }
+
   test("reservoir: heap aggregate equals the window form; small groups whole") {
     import spark.implicits._
     import graft.operators.Sampling
