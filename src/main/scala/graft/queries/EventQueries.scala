@@ -236,5 +236,49 @@ object EventQueries extends QueryPack {
       FROM events, (SELECT unnest(range(4)) AS k) k
       GROUP BY 1, 2"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q56, q63, q64, q70, q76, q95)
+  /** Retention cohorts: users grouped by first-activity week, then for
+    * each (cohort, weeks-since) the count of still-active users and the
+    * retention rate. Three aggregations, each shuffle keyed smaller
+    * than the last (events → (user, week) distinct → per-user min →
+    * cohort counts); the |cohorts|-row size table broadcasts back for
+    * the rate. Rate = one IEEE divide of two exact longs — bit-equal
+    * across engines. Monday-start date_trunc('week') on both sides.
+    */
+  val q99 = Q("q99_retention",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val uw = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+      val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort"))
+      val act = uw.join(cohorts, "user_id")
+        .withColumn("k", (datediff(col("week"), col("cohort")) / 7)
+          .cast("int"))
+        .groupBy("cohort", "k")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohorts.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("k"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+    },
+    Some("""
+      WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                  FROM events),
+      cohorts AS (SELECT user_id, MIN(week) AS cohort FROM uw
+                  GROUP BY user_id),
+      act AS (SELECT c.cohort,
+                CAST(datediff('day', c.cohort, uw.week) / 7 AS INT) AS k,
+                COUNT(DISTINCT uw.user_id) AS n_active
+              FROM uw JOIN cohorts c USING (user_id)
+              GROUP BY 1, 2),
+      sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts
+                GROUP BY cohort)
+      SELECT cohort, k, n_active, cohort_size,
+        CAST(n_active AS DOUBLE) / cohort_size AS retention
+      FROM act JOIN sizes USING (cohort)"""))
+
+  override def all: Seq[Q] =
+    Seq(q32, q33, q56, q63, q64, q70, q76, q95, q99)
 }

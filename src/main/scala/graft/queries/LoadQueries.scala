@@ -381,5 +381,53 @@ object LoadQueries extends QueryPack {
       SELECT c_custkey, sn, sm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
       FROM flags WHERE changed OR NOT in_t"""))
 
-  override def all: Seq[Q] = Seq(q13, q14, q15, q16, q49, q51, q65, q96)
+  /** Point-in-time (PIT) join against the q96 SCD2 history: each order
+    * resolves the customer-name VERSION valid at its as-of point
+    * (valid_from ≤ t < valid_to, NULL = open). The join is EQUI-keyed
+    * on the customer key — per-key version chains are tiny, so the
+    * interval test is a post-join filter, never a range join; history
+    * intervals partition the timeline per key, so every order matches
+    * exactly one version (row count = orders, asserted by the oracle
+    * hash). The dimension side broadcasts when small (AQE).
+    */
+  val q97 = Q("q97_pit_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val history = MergeUpsert.scd2Merge(
+        c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to")),
+        c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit(" v2")).as("c_name"),
+            col("c_mktsegment")),
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), batchId = 1L)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 3).as("as_of"))
+      orders.join(history,
+          orders("o_custkey") === history("c_custkey") &&
+            col("valid_from") <= col("as_of") &&
+            (col("valid_to").isNull || col("as_of") < col("valid_to")))
+        .select(col("o_orderkey"), col("as_of"), col("c_name"),
+          col("valid_from"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT c_custkey, c_name, CAST(0 AS BIGINT) AS valid_from,
+               CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 END AS BIGINT)
+                 AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name || ' v2', CAST(1 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM customer WHERE c_custkey % 7 = 0),
+      o AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS as_of
+            FROM orders)
+      SELECT o.o_orderkey, o.as_of, h.c_name, h.valid_from
+      FROM o JOIN hist h ON h.c_custkey = o.o_custkey
+       AND h.valid_from <= o.as_of
+       AND (h.valid_to IS NULL OR o.as_of < h.valid_to)"""))
+
+  override def all: Seq[Q] =
+    Seq(q13, q14, q15, q16, q49, q51, q65, q96, q97)
 }

@@ -63,5 +63,44 @@ object PopularityQueries extends QueryPack {
              e.value / (e.value + c.constant) AS score
       FROM events e LEFT JOIN consts c USING (event_type)"""))
 
-  override def all: Seq[Q] = Seq(q10, q11, q12)
+  /** Per-group equi-depth histogram: quartile cutpoints from ONE
+    * [[Popularity.percentileDiscMulti]] pass (exact percentile_disc,
+    * value-typed so comparisons are engine-exact), then bucket counts
+    * from a broadcast join of the |groups|×3 cutoff table back against
+    * the fact scan — the ANALYZE histogram a cost-based optimizer
+    * feeds on, built without ever sorting the fact table globally.
+    */
+  val q98 = Q("q98_equidepth_hist",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+      val cuts = Popularity.percentileDiscMulti(li, Seq("flag"), "v",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("flag"), col("pct0").as("c1"), col("pct1").as("c2"),
+          col("pct2").as("c3"))
+      li.join(broadcast(cuts), "flag")
+        .withColumn("bucket",
+          (col("v") > col("c1")).cast("int") +
+            (col("v") > col("c2")).cast("int") +
+            (col("v") > col("c3")).cast("int"))
+        .groupBy("flag", "bucket")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag,
+                    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      cuts AS (SELECT flag,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS c1,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS c2,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS c3
+        FROM li GROUP BY flag)
+      SELECT flag,
+        CAST(v > c1 AS INT) + CAST(v > c2 AS INT) + CAST(v > c3 AS INT)
+          AS bucket,
+        COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+      FROM li JOIN cuts USING (flag)
+      GROUP BY 1, 2"""))
+
+  override def all: Seq[Q] = Seq(q10, q11, q12, q98)
 }
