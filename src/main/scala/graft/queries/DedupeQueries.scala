@@ -142,10 +142,15 @@ object DedupeQueries extends QueryPack {
     * over the full corpus would, so both check against the same
     * recursive transitive-closure oracle.
     */
-  private val dedupClustersOracle = """
-      WITH RECURSIVE w AS (SELECT doc_id,
+  /** The cluster-resolution CTE chain (shingles → minhash → bands →
+    * candidates → exact verify → transitive closure `lab` + sizes
+    * `cs`), parameterized by the source relation so the capstone
+    * pipeline (q100) can run it over a filtered corpus. Used inside a
+    * `WITH RECURSIVE`.
+    */
+  private def clusterCtes(src: String) = s"""w AS (SELECT doc_id,
                string_split(substr(text, 1, 1048576), ' ') AS ws
-             FROM documents),
+             FROM $src),
       sh AS (SELECT DISTINCT doc_id AS doc,
                ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
              FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
@@ -180,7 +185,10 @@ object DedupeQueries extends QueryPack {
                 SELECT e.src AS node, reach.r AS r
                 FROM edges e JOIN reach ON reach.node = e.dst),
       lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
-      cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)"""
+
+  private val dedupClustersOracle = s"""
+      WITH RECURSIVE ${clusterCtes("documents")}
       SELECT lab.node AS doc, lab.cluster, cs.cluster_size
       FROM lab JOIN cs ON cs.cluster = lab.cluster"""
 
@@ -573,6 +581,154 @@ object DedupeQueries extends QueryPack {
       FROM d LEFT JOIN agg a USING (doc_id)
              LEFT JOIN clean c USING (doc_id)"""))
 
+  private val pipelineWeights = Map("en" -> 2.0, "de" -> 1.0,
+    "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+
+  private val pipelineWeightValues = pipelineWeights.toSeq.sorted
+    .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+
+  private val pipelineLmValues = graft.operators.TextAnalysis
+    .pretrainedUnigramFp.toSeq.sorted
+    .map { case (w, fp) => s"('$w', ${fp}::BIGINT)" }.mkString(", ")
+
+  /** THE CAPSTONE: the full training-data curation pipeline as one
+    * query — every stage an operator the suite verifies individually,
+    * composed the way a nightly corpus build runs them, with every
+    * per-document decision in the output so the oracle hash pins the
+    * whole pipeline, not just the survivor count:
+    *
+    *  1. quality: unigram-LM keep (q78's operator);
+    *  2. exact dedup: min-id keeper per content hash (q22's rule);
+    *  3. near-dup: MinHash-LSH candidates → exact-verify → connected
+    *     components, keep each cluster's minimum (q59's machinery);
+    *  4. decontamination: drop docs overlapping the held-out benchmark
+    *     set (q66, bench = every 7th doc, external to the corpus);
+    *  5. mixture: deterministic md5-gated source mix over the
+    *     SURVIVORS (q74's arithmetic — rates derive from survivor
+    *     counts, as a real pipeline samples after cleaning).
+    *
+    * Plan notes: stages 1-2 are one projection + one hash-partitioned
+    * window over the corpus; stage 3 is the banded candidate pipeline
+    * (never all-pairs); stage 4 broadcasts the benchmark shingle set
+    * (Bloom + exact, zero corpus shuffle for clean docs); stage 5 is a
+    * narrow filter from a |langs|-row broadcast rate table. The flag
+    * frames join back on the doc key; `base` persists because the
+    * survivor filter and the final projection both consume it in one
+    * action.
+    */
+  val q100 = Q("q100_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0 &&
+        col("text").isNotNull)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val lm = TextAnalysis.unigramLmScore(corpus, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("keep").as("lm_keep"))
+      val ex = corpus.select(col("doc_id"),
+        (col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .as("exact_keep"))
+      val sig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+        withCount = true)
+      val cand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sig, 16, 4, minSizeRatio = 0.5)
+          .persist()))
+      val labels = Dedupe.connectedComponents(
+        Dedupe.verifyJaccardOneJoin(cand, corpus, "doc_id", "text", 3,
+          0.5),
+        "doc_a", "doc_b", distinctEdges = true)
+      val contam = Dedupe.contamination(corpus, bench, "doc_id", "text",
+          shingleK = 5, minOverlap = 0.5)
+        .select(col("doc").as("doc_id")).distinct()
+        .withColumn("__c", lit(true))
+      val base = CacheHandle.eager(CacheHandle.session.track(
+        corpus.select(col("doc_id"), col("lang"))
+          .join(lm, Seq("doc_id"))
+          .join(ex, Seq("doc_id"))
+          .join(labels.withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("near_keep",
+            col("label").isNull || col("label") === col("doc_id"))
+          .withColumn("contaminated", col("__c").isNotNull)
+          .drop("label", "__c")
+          .persist()))
+      val survivors = base.filter(col("lm_keep") && col("exact_keep") &&
+        col("near_keep") && !col("contaminated"))
+      val selected = graft.operators.Sampling.sourceMix(survivors,
+          "doc_id", "lang", pipelineWeights)
+        .select(col("doc_id")).withColumn("__s", lit(true))
+      base.join(selected, Seq("doc_id"), "left")
+        .select(col("doc_id").as("doc"), col("lang"), col("lm_keep"),
+          col("exact_keep"), col("near_keep"), col("contaminated"),
+          col("__s").isNotNull.as("selected"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (SELECT * FROM documents
+        WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+      ${clusterCtes("corpus")},
+      lmv(word, fp) AS (VALUES $pipelineLmValues),
+      lt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM corpus),
+      lmsc AS (SELECT doc_id, count(*) AS n,
+                 CAST(sum(coalesce(lmv.fp,
+                   ${graft.operators.TextAnalysis.UnigramOovFp}))
+                   AS BIGINT) AS sfp
+               FROM lt LEFT JOIN lmv USING (word) GROUP BY doc_id),
+      lm AS (SELECT doc_id,
+               (CAST(sfp AS DOUBLE) / 1024.0) / n >= -3.0 AS lm_keep
+             FROM lmsc),
+      ex AS (SELECT doc_id, doc_id = MIN(doc_id) OVER
+               (PARTITION BY md5(text)) AS exact_keep
+             FROM corpus),
+      bw AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents WHERE doc_id % 7 = 0),
+      csh5 AS (SELECT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM w) t),
+      bsh5 AS (SELECT DISTINCT doc_id AS bench_id,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM bw) t),
+      bsz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM bsh5 GROUP BY 1),
+      cont AS (SELECT DISTINCT doc FROM (
+          SELECT c.doc, b.bench_id, COUNT(DISTINCT c.shingle) AS n_ov
+          FROM csh5 c JOIN bsh5 b USING (shingle) GROUP BY 1, 2) h
+        JOIN bsz USING (bench_id)
+        WHERE CAST(n_ov AS DOUBLE) / bench_sz >= CAST(0.5 AS DOUBLE)),
+      base AS (SELECT c.doc_id AS doc, c.lang, lm.lm_keep, ex.exact_keep,
+               (lab.cluster IS NULL OR lab.cluster = c.doc_id)
+                 AS near_keep,
+               (ct.doc IS NOT NULL) AS contaminated
+             FROM corpus c
+             JOIN lm ON lm.doc_id = c.doc_id
+             JOIN ex ON ex.doc_id = c.doc_id
+             LEFT JOIN lab ON lab.node = c.doc_id
+             LEFT JOIN cont ct ON ct.doc = c.doc_id),
+      surv AS (SELECT * FROM base WHERE lm_keep AND exact_keep
+               AND near_keep AND NOT contaminated),
+      wts(lang, wt) AS (VALUES $pipelineWeightValues),
+      nn AS (SELECT lang, COUNT(*) AS cnt FROM surv JOIN wts USING (lang)
+             GROUP BY lang),
+      tt AS (SELECT MIN(cnt / wt) AS t FROM nn JOIN wts USING (lang)),
+      rr AS (SELECT nn.lang,
+               CASE WHEN wts.wt * tt.t / nn.cnt >= 1 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(wts.wt * tt.t / nn.cnt *
+                      4294967296.0) AS BIGINT)) END AS thr
+             FROM nn JOIN wts ON nn.lang = wts.lang CROSS JOIN tt)
+      SELECT b.doc, b.lang, b.lm_keep, b.exact_keep, b.near_keep,
+             b.contaminated, coalesce(sv.sel, FALSE) AS selected
+      FROM base b LEFT JOIN (
+        SELECT s.doc, substr(md5(CAST(s.doc AS VARCHAR)), 1, 8) < rr.thr
+          AS sel
+        FROM surv s JOIN rr USING (lang)) sv ON sv.doc = b.doc"""))
+
   override def all: Seq[Q] =
-    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80, q88)
+    Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80, q88,
+      q100)
 }
