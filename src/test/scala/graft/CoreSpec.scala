@@ -147,4 +147,19 @@ class CoreSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("ORC sink + scan round-trips and pushes filters down") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like the parquet paths
+    val plan = back.filter(col("l_orderkey") === 42)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_orderkey,42)"), plan.take(800))
+  }
 }
