@@ -728,7 +728,71 @@ object DedupeQueries extends QueryPack {
           AS sel
         FROM surv s JOIN rr USING (lang)) sv ON sv.doc = b.doc"""))
 
+  /** Quality-aware dedup survivorship: within each near-dup cluster
+    * keep the HIGHEST-quality copy (unigram-LM score, ties to the
+    * smallest id) instead of q59/q100's arbitrary min-id keeper — what
+    * a production pipeline actually wants from its duplicates. Cluster
+    * labels come from the q59 machinery; singleton docs are their own
+    * keeper. The keeper pick is one window over the cluster partition
+    * (cluster sizes are tiny — bounded by true duplicate groups);
+    * avg_bits is an exact-integer ratio so the ordering is
+    * engine-identical.
+    */
+  val q101 = Q("q101_best_keeper",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16,
+        withCount = true)
+      val cand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sig, 16, 4, minSizeRatio = 0.5)
+          .persist()))
+      val labels = Dedupe.connectedComponents(
+        Dedupe.verifyJaccardOneJoin(cand, docs, "doc_id", "text", 3,
+          0.5),
+        "doc_a", "doc_b", distinctEdges = true)
+      val scored = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("avg_bits"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("avg_bits").desc, col("doc_id").asc)
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("cluster",
+          coalesce(col("label"), col("doc_id")))
+        .join(scored, Seq("doc_id"))
+        .withColumn("keeper", first(col("doc_id")).over(w))
+        .select(col("doc_id").as("doc"), col("cluster"), col("keeper"),
+          (col("doc_id") === col("keeper")).as("keep"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${clusterCtes("documents")},
+      lmv(word, fp) AS (VALUES $pipelineLmValues),
+      lt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE text IS NOT NULL),
+      lmsc AS (SELECT doc_id, count(*) AS n,
+                 CAST(sum(coalesce(lmv.fp,
+                   ${graft.operators.TextAnalysis.UnigramOovFp}))
+                   AS BIGINT) AS sfp
+               FROM lt LEFT JOIN lmv USING (word) GROUP BY doc_id),
+      sc AS (SELECT doc_id,
+               (CAST(sfp AS DOUBLE) / 1024.0) / n AS avg_bits
+             FROM lmsc),
+      allc AS (SELECT d.doc_id AS doc,
+                 coalesce(lab.cluster, d.doc_id) AS cluster, sc.avg_bits
+               FROM documents d
+               LEFT JOIN lab ON lab.node = d.doc_id
+               JOIN sc ON sc.doc_id = d.doc_id
+               WHERE d.text IS NOT NULL),
+      k AS (SELECT cluster, doc AS keeper FROM (
+              SELECT cluster, doc, row_number() OVER (PARTITION BY cluster
+                ORDER BY avg_bits DESC, doc ASC) AS rn FROM allc)
+            WHERE rn = 1)
+      SELECT a.doc, a.cluster, k.keeper, a.doc = k.keeper AS keep
+      FROM allc a JOIN k USING (cluster)"""))
+
   override def all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80, q88,
-      q100)
+      q100, q101)
 }
