@@ -394,7 +394,17 @@ object Dedupe {
           x => x.cast("string")),
         "|"))
       .select(col("doc"), col("band"), col("band_sig"),
-        element_at(col("sig"), numHashes + 1).as("cnt"))
+        // fail fast on a count-less signature table (withCount=false):
+        // a silently-NULL cnt would make the size-ratio prune drop
+        // candidate pairs — duplicates missed with no error
+        when(size(col("sig")) === numHashes + 1,
+          element_at(col("sig"), numHashes + 1))
+          .otherwise(raise_error(concat(
+            lit(s"bandRowsOf: expected signature arrays of ${numHashes + 1} " +
+              "elements (numHashes + trailing distinct-shingle count; " +
+              "build with withCount=true), got "),
+            size(col("sig")).cast("string"))))
+          .as("cnt"))
   }
 
   def incrementalFromStore(corpusBands: DataFrame, corpusLabels: DataFrame,

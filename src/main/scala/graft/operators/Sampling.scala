@@ -134,11 +134,25 @@ object Sampling {
     */
   def reservoir(df: DataFrame, groupCol: String, idCol: String, k: Int)
       : DataFrame = {
-    graft.functions.TopKRowsAgg.register(df.sparkSession)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the payload rides TopKRowsAgg's LONG slot: a non-numeric id would
+    // cast to NULL and be silently skipped (empty picks, no error) —
+    // reject it up front instead
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"reservoir: id column '$idCol' must be numeric (got $idType) — " +
+        "TopKRowsAgg carries the id as a LONG payload")
+    // built via the Column API (no SQL-string interpolation: column
+    // names needing backticks parse fine, nothing to inject)
+    val rank = negate(conv(
+      substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double"))
+    val picks = ColumnBridge.column(graft.functions.TopKRowsAgg(
+      ColumnBridge.expression(rank),
+      ColumnBridge.expression(col(idCol).cast("long")),
+      k).toAggregateExpression())
     df.groupBy(col(groupCol))
-      .agg(expr(
-        s"top_k_rows(-CAST(conv(substring(md5(CAST($idCol AS STRING)), " +
-          s"1, 12), 16, 10) AS DOUBLE), $idCol, $k)").as("__picks"))
+      .agg(picks.as("__picks"))
       .select(col(groupCol),
         posexplode(col("__picks")).as(Seq("__r", idCol)))
       .select(col(groupCol), (col("__r") + 1).cast("long").as("rank"),

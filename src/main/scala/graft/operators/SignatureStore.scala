@@ -36,11 +36,36 @@ object SignatureStore {
   def labelsRoot(root: String): String = s"$root/labels"
   def bandsRoot(root: String): String = s"$root/bands"
 
-  /** True iff all three tables have a committed version. */
+  /** True iff the two FOUNDATIONAL tables (signatures, labels) have a
+    * committed version. The band index is derived state: a store
+    * committed under the pre-bands layout still EXISTS — requiring
+    * bands here made [[ensureCorpusState]] silently rebuild the whole
+    * corpus state on such a store; instead the bands are derived from
+    * the committed signatures and committed in place ([[ensureBands]]).
+    */
   def exists(spark: SparkSession, root: String): Boolean =
     VersionedTable.currentVersion(spark, sigsRoot(root)).isDefined &&
-      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined &&
-      VersionedTable.currentVersion(spark, bandsRoot(root)).isDefined
+      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined
+
+  /** True iff the derived band index has a committed version. */
+  def hasBands(spark: SparkSession, root: String): Boolean =
+    VersionedTable.currentVersion(spark, bandsRoot(root)).isDefined
+
+  /** Upgrade path for a sigs+labels-only store (pre-bands layout):
+    * derive the band index from the committed signatures and commit it,
+    * once. No-op when the bands table already exists.
+    */
+  def ensureBands(spark: SparkSession, root: String, numHashes: Int,
+      rowsPerBand: Int): Unit =
+    if (!hasBands(spark, root)) {
+      val sig = VersionedTable.read(spark, sigsRoot(root))
+      val rows = sig.count()
+      val nBands = numHashes / rowsPerBand
+      VersionedTable.commit(
+        Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)
+          .coalesce(autoPartitions(rows * nBands)),
+        bandsRoot(root))
+    }
 
   /** Read the committed (sigs, labels) snapshot. */
   def read(spark: SparkSession, root: String): (DataFrame, DataFrame) =
@@ -51,8 +76,14 @@ object SignatureStore {
     * what the nightly candidate pass scans; banding is computed at
     * commit time, once per corpus version, never per night.
     */
-  def readBands(spark: SparkSession, root: String): DataFrame =
+  def readBands(spark: SparkSession, root: String): DataFrame = {
+    if (!hasBands(spark, root))
+      throw new IllegalStateException(
+        s"SignatureStore at $root has no committed band index " +
+          "(pre-bands layout); call ensureBands/ensureCorpusState to " +
+          "derive it from the committed signatures")
     VersionedTable.read(spark, bandsRoot(root))
+  }
 
   /** Build the corpus state from scratch and commit it: sign every
     * corpus document (one codegen'd per-row loop), generate + verify
@@ -90,17 +121,28 @@ object SignatureStore {
     val sig = CacheHandle.eager(caches.track(
       Dedupe.minhashWide(corpus, idCol, textCol, shingleK, numHashes,
         withCount = true).persist()))
+    val sigRows = sig.count()
     val parts =
       if (outPartitions >= 0) outPartitions
-      else autoPartitions(sig.count())
+      else autoPartitions(sigRows)
     def pack(df: DataFrame): DataFrame =
       if (parts > 0) df.coalesce(parts) else df
     VersionedTable.commit(pack(sig), sigsRoot(root))
     // the banding index is PART of the corpus version: deriving band
     // rows costs an interpreted slice/join pass per signature, paid
-    // here once instead of by every nightly read
+    // here once instead of by every nightly read. Its file count is
+    // sized from the BAND row count (nBands × signatures) — reusing
+    // the signature-table partition count packed band files ~nBands×
+    // over autoRowsPerFile, shrinking nightly band-scan parallelism
+    // (the exact single-file failure mode AUTO packing exists to fix).
+    val nBands = numHashes / rowsPerBand
+    val bandParts =
+      if (outPartitions >= 0) outPartitions
+      else autoPartitions(sigRows * nBands)
+    def packBands(df: DataFrame): DataFrame =
+      if (bandParts > 0) df.coalesce(bandParts) else df
     VersionedTable.commit(
-      pack(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
+      packBands(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
       bandsRoot(root))
     val cand = CacheHandle.eager(caches.track(
       Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand,
@@ -124,6 +166,7 @@ object SignatureStore {
     if (!exists(spark, root))
       build(spark, root, corpus, idCol, textCol, shingleK, numHashes,
         rowsPerBand, minJaccard, caches)
+    else ensureBands(spark, root, numHashes, rowsPerBand)
     (readBands(spark, root), VersionedTable.read(spark, labelsRoot(root)))
   }
 
@@ -145,14 +188,17 @@ object SignatureStore {
       // longs per document, not O(corpus text); a delta-file layout
       // (commit only batch files + a manifest) is the next refinement
       // if even that rewrite matters
-      val parts = autoPartitions(merged.count())
-      VersionedTable.commit(merged.coalesce(parts), sigsRoot(root))
+      val mergedRows = merged.count()
+      VersionedTable.commit(merged.coalesce(autoPartitions(mergedRows)),
+        sigsRoot(root))
       // band index: existing corpus bands + the batch's (banded once,
-      // at commit time — the nightly read must never re-derive them)
+      // at commit time — the nightly read must never re-derive them).
+      // File count sized from BAND rows (nBands × signatures), not the
+      // signature-table partition count — see build()
       VersionedTable.commit(
         readBands(spark, root)
           .unionByName(Dedupe.bandRowsOf(batchSig, numHashes, rowsPerBand))
-          .coalesce(parts),
+          .coalesce(autoPartitions(mergedRows * (numHashes / rowsPerBand))),
         bandsRoot(root))
     } finally merged.unpersist()
     VersionedTable.commit(mergedLabels, labelsRoot(root))

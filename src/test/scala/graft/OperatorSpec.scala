@@ -1342,4 +1342,58 @@ class OperatorSpec extends SparkSpec {
     assert(t.filter(_._1 == "x").map(_._2).sorted.toSeq == Seq(1L, 2L))
     assert(t.filter(_._1 == "y").map(_._2).toSeq == Seq(1L))
   }
+
+  test("store guards: pre-bands store upgrades in place, count-less " +
+      "signatures fail fast, reservoir rejects non-numeric ids") {
+    import graft.sources.VersionedTable
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("sigstore2").toString
+    SignatureStore.build(spark, root, corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
+    // simulate a store committed under the pre-bands layout
+    val bandsDir = new java.io.File(SignatureStore.bandsRoot(root))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(bandsDir)
+    // sigs+labels suffice for existence; direct band read names the fix
+    assert(SignatureStore.exists(spark, root))
+    assert(!SignatureStore.hasBands(spark, root))
+    val err = intercept[IllegalStateException] {
+      SignatureStore.readBands(spark, root)
+    }
+    assert(err.getMessage.contains("ensureBands"))
+    // ensureCorpusState derives + commits the bands — an UPGRADE, not a
+    // silent full rebuild: the signatures version must not move
+    val sigV = VersionedTable.currentVersion(
+      spark, SignatureStore.sigsRoot(root))
+    val (bands, _) = SignatureStore.ensureCorpusState(spark, root,
+      corpus, "doc_id", "text", 3, 16, 4, 0.5)
+    assert(VersionedTable.currentVersion(
+      spark, SignatureStore.sigsRoot(root)) == sigV)
+    val fresh = Dedupe.bandRowsOf(
+      Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+        withCount = true), 16, 4)
+    assert(bands.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(bands).isEmpty)
+    // a count-less signature table (withCount=false) must ERROR in
+    // banding, not silently NULL cnt (which would make the size-ratio
+    // prune drop candidate pairs — missed duplicates with no signal)
+    val noCnt = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+      withCount = false)
+    val e = intercept[Throwable] {
+      Dedupe.bandRowsOf(noCnt, 16, 4).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (t.getMessage + "|") + msgs(t.getCause)
+    assert(msgs(e).contains("bandRowsOf"))
+    // reservoir: a non-numeric id column is rejected up front instead
+    // of silently yielding empty picks
+    intercept[IllegalArgumentException] {
+      Sampling.reservoir(
+        docs.withColumn("sid", col("doc_id").cast("string")),
+        "lang", "sid", 3)
+    }
+  }
 }
