@@ -129,27 +129,75 @@ object Multimodal {
         sum(col("cnt") * col("bytes")).as("total_bytes"),
         sum((col("cnt") - 1) * col("bytes")).as("reclaim_bytes"))
 
-  /** A resized payload: new dims + (stub) re-encoded bytes. */
+  /** A resized payload: new dims + re-encoded bytes (real for
+    * JVM-decodable images, pass-through otherwise — `reencoded` says
+    * which).
+    */
   case class ResizedBlob(id: Long, kind: String, width: Int, height: Int,
-      scale: Double, content: Array[Byte])
+      scale: Double, reencoded: Boolean, content: Array[Byte])
 
-  /** Fit-inside-box resize. The geometry (aspect-preserving scale,
-    * never upscale) is real; the re-encode is the stub part — content
-    * passes through untouched where a codec would re-encode. Runs per
-    * partition so a real resizer inits once per partition.
+  /** Full raster decode of one payload — used by the resize path, NOT
+    * the metadata pass ([[imageMeta]] stays header-only: at 100 TB the
+    * stats/dedup queries must never touch pixels). Returns None for
+    * payloads no JVM codec decodes (audio/video/junk) or corrupt images
+    * (quarantine-over-crash, same policy as S6).
+    */
+  private[operators] def decodeRaster(content: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
+
+  /** Real pixel resize: decode the raster, bilinear-scale it to
+    * (w, h), re-encode as PNG (lossless — the resized payload stays
+    * deterministic and re-decodable). None where no codec applies.
+    */
+  private[operators] def resizeRaster(content: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    decodeRaster(content).map { img =>
+      val hasAlpha = img.getColorModel.hasAlpha
+      val out = new java.awt.image.BufferedImage(w, h,
+        if (hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Fit-inside-box resize. Geometry (aspect-preserving scale, never
+    * upscale) applies to every payload; payloads a JVM codec decodes
+    * are REALLY resampled (bilinear) and re-encoded as PNG
+    * (`reencoded = true`); everything else — undecodable kinds, or
+    * scale 1.0 where re-encoding would only transcode — passes its
+    * bytes through untouched. Runs per partition so codec init
+    * amortizes across the batch.
     */
   def resize(decoded: Dataset[DecodedMeta], blobs: Dataset[MediaBlob],
       maxW: Int, maxH: Int): Dataset[ResizedBlob] = {
     import blobs.sparkSession.implicits._
-    val joined = decoded.toDF().select("id", "kind", "width", "height")
+    val joined = decoded.toDF()
+      .select("id", "kind", "width", "height", "decoder")
       .join(blobs.toDF().drop("kind"), "id")
-      .as[(Long, String, Int, Int, Array[Byte])]
+      .as[(Long, String, Int, Int, String, Array[Byte])]
     joined.mapPartitions { iter =>
-      iter.map { case (id, kind, w, h, content) =>
+      iter.map { case (id, kind, w, h, decoder, content) =>
         val scale = math.min(1.0,
           math.min(maxW.toDouble / w, maxH.toDouble / h))
-        ResizedBlob(id, kind, (w * scale).toInt, (h * scale).toInt,
-          scale, content)
+        val nw = math.max(1, (w * scale).toInt)
+        val nh = math.max(1, (h * scale).toInt)
+        val real =
+          if (decoder != "stub" && scale < 1.0)
+            resizeRaster(content, nw, nh)
+          else None
+        ResizedBlob(id, kind, nw, nh, scale, real.isDefined,
+          real.getOrElse(content))
       }
     }
   }

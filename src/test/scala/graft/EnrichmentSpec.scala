@@ -169,6 +169,46 @@ class EnrichmentSpec extends SparkSpec {
     assert(junk.decoder == "stub" && junk.width >= 64 && junk.height >= 64)
   }
 
+  test("multimodal resize really resamples pixels for decodable images") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // a 200x100 two-tone PNG: left half red, right half blue
+    val img = new BufferedImage(200, 100, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 200; y <- 0 until 100)
+      img.setRGB(x, y, if (x < 100) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val junk = "not an image at all".getBytes("UTF-8")
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, "image", png), (2L, "audio", junk))
+        .toDF("id", "kind", "content"), "id", "kind", "content")
+    val decoded = Multimodal.decode(blobs)
+    val resized = Multimodal.resize(decoded, blobs, 100, 100)
+      .collect().map(r => r.id -> r).toMap
+    val r1 = resized(1L)
+    // geometry: 200x100 into a 100x100 box -> 100x50 at scale 0.5
+    assert(r1.width == 100 && r1.height == 50 && r1.scale == 0.5)
+    assert(r1.reencoded)
+    // the payload is a REAL image of exactly those dims…
+    val out = ImageIO.read(new java.io.ByteArrayInputStream(r1.content))
+    assert(out != null && out.getWidth == 100 && out.getHeight == 50)
+    // …whose pixels survived the resample: left red, right blue
+    val lp = out.getRGB(10, 25)
+    val rp = out.getRGB(90, 25)
+    assert(((lp >> 16) & 0xff) > 200 && (lp & 0xff) < 50, "left half red")
+    assert((rp & 0xff) > 200 && ((rp >> 16) & 0xff) < 50, "right half blue")
+    // undecodable payloads keep geometry semantics, bytes untouched
+    val r2 = resized(2L)
+    assert(!r2.reencoded && java.util.Arrays.equals(r2.content, junk))
+    // an image already inside the box: scale 1.0, no transcode
+    val fit = Multimodal.resize(decoded, blobs, 640, 480)
+      .collect().find(_.id == 1L).get
+    assert(fit.scale == 1.0 && !fit.reencoded &&
+      java.util.Arrays.equals(fit.content, png))
+  }
+
   test("multimodal resize geometry, frame fan-out, stub embeddings") {
     val docs = Tables(spark, sfDir, "documents").limit(20)
     val blobs = Multimodal.asBlobs(
