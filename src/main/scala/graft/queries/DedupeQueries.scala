@@ -792,7 +792,145 @@ object DedupeQueries extends QueryPack {
       SELECT a.doc, a.cluster, k.keeper, a.doc = k.keeper AS keep
       FROM allc a JOIN k USING (cluster)"""))
 
+  /** The capstone pipeline (q100) with q101's QUALITY-AWARE
+    * survivorship live in the near-dup stage: each cluster keeps its
+    * highest-unigram-LM copy (ties to the smallest id) instead of the
+    * arbitrary min-id — the keeper a production pipeline actually
+    * wants, now composed with every other stage (quality gate, exact
+    * dedup, decontamination, mixture over the CHANGED survivor set).
+    * Output adds the keeper column so the oracle hash pins the pick
+    * itself, not just the boolean.
+    *
+    * Plan delta vs q100: the avg_bits score rides the same
+    * zero-shuffle scoring projection that already feeds lm_keep; the
+    * keeper pick is one window partitioned by cluster id — the same
+    * hash-shuffle volume as q100's `label` join, cluster sizes bounded
+    * by true duplicate groups.
+    */
+  val q103 = Q("q103_pipeline_best",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0 &&
+        col("text").isNotNull)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val lm = TextAnalysis.unigramLmScore(corpus, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("keep").as("lm_keep"),
+          col("avg_bits"))
+      val ex = corpus.select(col("doc_id"),
+        (col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .as("exact_keep"))
+      val sig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+        withCount = true)
+      val cand = CacheHandle.eager(CacheHandle.session.track(
+        Dedupe.minhashCandidatePairs(sig, 16, 4, minSizeRatio = 0.5)
+          .persist()))
+      val labels = Dedupe.connectedComponents(
+        Dedupe.verifyJaccardOneJoin(cand, corpus, "doc_id", "text", 3,
+          0.5),
+        "doc_a", "doc_b", distinctEdges = true)
+      val contam = Dedupe.contamination(corpus, bench, "doc_id", "text",
+          shingleK = 5, minOverlap = 0.5)
+        .select(col("doc").as("doc_id")).distinct()
+        .withColumn("__c", lit(true))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("avg_bits").desc, col("doc_id").asc)
+      val base = CacheHandle.eager(CacheHandle.session.track(
+        corpus.select(col("doc_id"), col("lang"))
+          .join(lm, Seq("doc_id"))
+          .join(ex, Seq("doc_id"))
+          .join(labels.withColumnRenamed("node", "doc_id"),
+            Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .withColumn("keeper", first(col("doc_id")).over(w))
+          .withColumn("near_keep", col("doc_id") === col("keeper"))
+          .withColumn("contaminated", col("__c").isNotNull)
+          .drop("label", "__c", "avg_bits", "cluster")
+          .persist()))
+      val survivors = base.filter(col("lm_keep") && col("exact_keep") &&
+        col("near_keep") && !col("contaminated"))
+      val selected = graft.operators.Sampling.sourceMix(survivors,
+          "doc_id", "lang", pipelineWeights)
+        .select(col("doc_id")).withColumn("__s", lit(true))
+      base.join(selected, Seq("doc_id"), "left")
+        .select(col("doc_id").as("doc"), col("lang"), col("lm_keep"),
+          col("exact_keep"), col("keeper"), col("near_keep"),
+          col("contaminated"), col("__s").isNotNull.as("selected"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (SELECT * FROM documents
+        WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+      ${clusterCtes("corpus")},
+      lmv(word, fp) AS (VALUES $pipelineLmValues),
+      lt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM corpus),
+      lmsc AS (SELECT doc_id, count(*) AS n,
+                 CAST(sum(coalesce(lmv.fp,
+                   ${graft.operators.TextAnalysis.UnigramOovFp}))
+                   AS BIGINT) AS sfp
+               FROM lt LEFT JOIN lmv USING (word) GROUP BY doc_id),
+      sc AS (SELECT doc_id,
+               (CAST(sfp AS DOUBLE) / 1024.0) / n AS avg_bits
+             FROM lmsc),
+      ex AS (SELECT doc_id, doc_id = MIN(doc_id) OVER
+               (PARTITION BY md5(text)) AS exact_keep
+             FROM corpus),
+      bw AS (SELECT doc_id,
+               string_split(substr(text, 1, 1048576), ' ') AS ws
+             FROM documents WHERE doc_id % 7 = 0),
+      csh5 AS (SELECT doc_id AS doc,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM w) t),
+      bsh5 AS (SELECT DISTINCT doc_id AS bench_id,
+               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' ||
+                 ws[i + 4] || ' ' || ws[i + 5] AS shingle
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                   FROM bw) t),
+      bsz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM bsh5 GROUP BY 1),
+      cont AS (SELECT DISTINCT doc FROM (
+          SELECT c.doc, b.bench_id, COUNT(DISTINCT c.shingle) AS n_ov
+          FROM csh5 c JOIN bsh5 b USING (shingle) GROUP BY 1, 2) h
+        JOIN bsz USING (bench_id)
+        WHERE CAST(n_ov AS DOUBLE) / bench_sz >= CAST(0.5 AS DOUBLE)),
+      base AS (SELECT c.doc_id AS doc, c.lang,
+               sc.avg_bits >= -3.0 AS lm_keep, ex.exact_keep,
+               coalesce(lab.cluster, c.doc_id) AS cluster, sc.avg_bits,
+               (ct.doc IS NOT NULL) AS contaminated
+             FROM corpus c
+             JOIN sc ON sc.doc_id = c.doc_id
+             JOIN ex ON ex.doc_id = c.doc_id
+             LEFT JOIN lab ON lab.node = c.doc_id
+             LEFT JOIN cont ct ON ct.doc = c.doc_id),
+      kp AS (SELECT cluster, doc AS keeper FROM (
+              SELECT cluster, doc, row_number() OVER (PARTITION BY cluster
+                ORDER BY avg_bits DESC, doc ASC) AS rn FROM base)
+            WHERE rn = 1),
+      base2 AS (SELECT b.doc, b.lang, b.lm_keep, b.exact_keep, kp.keeper,
+               b.doc = kp.keeper AS near_keep, b.contaminated
+             FROM base b JOIN kp USING (cluster)),
+      surv AS (SELECT * FROM base2 WHERE lm_keep AND exact_keep
+               AND near_keep AND NOT contaminated),
+      wts(lang, wt) AS (VALUES $pipelineWeightValues),
+      nn AS (SELECT lang, COUNT(*) AS cnt FROM surv JOIN wts USING (lang)
+             GROUP BY lang),
+      tt AS (SELECT MIN(cnt / wt) AS t FROM nn JOIN wts USING (lang)),
+      rr AS (SELECT nn.lang,
+               CASE WHEN wts.wt * tt.t / nn.cnt >= 1 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(wts.wt * tt.t / nn.cnt *
+                      4294967296.0) AS BIGINT)) END AS thr
+             FROM nn JOIN wts ON nn.lang = wts.lang CROSS JOIN tt)
+      SELECT b.doc, b.lang, b.lm_keep, b.exact_keep, b.keeper,
+             b.near_keep, b.contaminated, coalesce(sv.sel, FALSE) AS selected
+      FROM base2 b LEFT JOIN (
+        SELECT s.doc, substr(md5(CAST(s.doc AS VARCHAR)), 1, 8) < rr.thr
+          AS sel
+        FROM surv s JOIN rr USING (lang)) sv ON sv.doc = b.doc"""))
+
   override def all: Seq[Q] =
     Seq(q22, q23, q24, q25, q26, q59, q66, q68, q69, q75, q79, q80, q88,
-      q100, q101)
+      q100, q101, q103)
 }

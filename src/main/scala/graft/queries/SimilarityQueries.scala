@@ -195,16 +195,17 @@ object SimilarityQueries extends QueryPack {
                                    CAST(eb.embedding AS DOUBLE[]))))
             >= CAST(0.35 AS DOUBLE)"""))
 
-  /** Shared oracle CTE chain for the k-means queries (q72/q85): min-id
-    * seeds (cell_id = id-rank) + two Lloyd passes → final centroids
-    * `c2`. Each consumer appends its own corpus assignment over c2 —
-    * mirror of [[Similarity.kmeansCentroids]] with k=8, iters=2.
+  /** Shared oracle CTE chain for the k-means queries (q72/q85/q102):
+    * min-id seeds (cell_id = id-rank) + two Lloyd passes → final
+    * centroids `c2`. Each consumer appends its own corpus assignment
+    * over c2 — mirror of [[Similarity.kmeansCentroids]] with the given
+    * k, iters=2.
     */
-  private val lloydCtes = """seeds AS (
+  private def lloydCtesK(k: Int) = s"""seeds AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
                CAST(embedding AS DOUBLE[]) AS centroid
         FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT 8)),
+              ORDER BY vec_id LIMIT $k)),
       a1 AS (SELECT vec_id, cell_id FROM (
           SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -229,6 +230,8 @@ object SimilarityQueries extends QueryPack {
             LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
                      generate_subscripts(e.embedding, 1) AS d) u
           GROUP BY a.cell_id, u.d) GROUP BY cell_id)"""
+
+  private val lloydCtes = lloydCtesK(8)
 
   /** IVF with LEARNED centroids — the honest ANN scale path (real
     * corpora have no labels to seed cells from, unlike q46): k-means
@@ -448,6 +451,43 @@ object SimilarityQueries extends QueryPack {
              d.vec_id IS NULL AS keep
       FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""))
 
+  /** SemDeDup at the SCALE-PROPORTIONAL cluster count (k = 64 ≈ n/8 at
+    * this corpus — SemDeDup's own discipline is cluster count ∝ corpus
+    * so the within-cluster quadratic stays bounded; q85's k=8 is the
+    * oracle-tractability point, this is the config the operator runs
+    * at scale). Same Lloyd chain, threshold and salting; only k moves.
+    * Benching BOTH points makes the documented k∝n discipline a
+    * measured artifact line instead of a probe-only claim.
+    */
+  val q102 = Q("q102_semdedup_scaled",
+    (s, dir) => Similarity.semDedup(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 64, iters = 2, threshold = 0.35,
+      dim = 64, maxBlock = 256),
+    Some(s"""
+      WITH ${lloydCtesK(64)},
+      cells AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(ea.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))))
+              >= CAST(0.35 AS DOUBLE))
+      SELECT c.vec_id, CAST(c.cell_id AS INT) AS cell_id,
+             d.vec_id IS NULL AS keep
+      FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""))
+
   override def all: Seq[Q] =
-    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85)
+    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85, q102)
 }
