@@ -143,7 +143,10 @@ object Bench {
     // the timed section is the 5-way star join + dedup + record
     // synthesis + upsert-merge into a pre-seeded target — the same work
     // the reference's per-batch SQL does.
-    val b3 = if (only.nonEmpty) """"b3_inat_e2e":null""" else {
+    // b3 runs on full suites, or on demand via the literal arg "b3"
+    // (scale sweeps re-measure it at sf1/sf10 without paying the
+    // whole suite at those dirs)
+    val b3 = if (only.nonEmpty && !only("b3")) """"b3_inat_e2e":null""" else {
       import graft.inat.Inat
       import graft.operators.MergeUpsert
       val li = Tables(spark, sfDir, "lineitem")
@@ -274,6 +277,45 @@ object Bench {
     // driver's tail-capture window (and vice versa: if anything is
     // truncated it is this evidence line's head, not the summary)
     println(s"""{"metric":"rerun","note":"late quiet pass, [sec,gc_ms,load], floor ${rerunFloor}s","d":$rerunJson}""")
+    // ---- q80 phase split (r13 judge directive): q80's bench line is
+    // the suite's slowest BY DESIGN — it builds its corpus store from
+    // scratch and then runs two nightly commits inside one timed
+    // window, so the headline reads as the OPERATOR's cost when most
+    // of it is the once-per-corpus build. Emit the store-build and
+    // each nightly fold+commit as separate fields (same data shape,
+    // same semantics, phases timed individually) so the steady-state
+    // nightly number is a bench artifact, not a probe-only claim.
+    val q80Split = if (only.nonEmpty) """"q80_split":null""" else {
+      import graft.operators.{Dedupe, SignatureStore}
+      val docs = Tables(spark, sfDir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_bench_q80").toString
+      val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      val buildSec = timed {
+        SignatureStore.ensureCorpusState(spark, store,
+          docs.filter(col("doc_id") % 4 < 2), "doc_id", "text",
+          k, n, rpb, minJ)
+      }
+      val nightSecs = Seq(2, 3).map { m =>
+        spark.catalog.clearCache()
+        timed {
+          val bands = SignatureStore.readBands(spark, store)
+          val (_, labels) = SignatureStore.read(spark, store)
+          val batch = docs.filter(col("doc_id") % 4 === m)
+          val merged = Dedupe.incrementalFromStore(bands, labels, batch,
+            docs, "doc_id", "text", k, n, rpb, minJ)
+          SignatureStore.appendBatch(spark, store,
+            Dedupe.minhashWide(batch, "doc_id", "text", k, n,
+              withCount = true), merged, n, rpb)
+        }
+      }
+      spark.catalog.clearCache()
+      f""""q80_split":{"build_sec":$buildSec%.3f,"night_sec":${nightSecs.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+    }
     val qs = results.map { case (k, ts) => "\"" + short(k) + f"\":${medianOf(ts)}%.2f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
@@ -292,7 +334,7 @@ object Bench {
     // in this artifact should not be read as clean-machine numbers.
     val contended = gateContended || maxDrift > 2.0
     val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calJson,"queries":$qs,$b3,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calJson,"queries":$qs,$b3,$q80Split,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -1199,9 +1199,62 @@ object Dedupe {
     * runs twice (detection + candidate scan) — at 0.03 µs/window it is
     * ~100× cheaper than shuffling the windows it avoids.
     */
+  /** Duplicated-value detection over a single LONG column, shuffle+
+    * sort form: repartition the raw 8-byte keys by value, radix-sort
+    * each reduce partition, one linear run-length scan emits each
+    * duplicated value once. Same result set as
+    * `groupBy(h).count().filter(_ > 1)`, different cost model: the
+    * hash-agg form builds (and, at ~all-unique cardinality, SPILLS) a
+    * key+count map on BOTH sides of the exchange for counts the
+    * consumer never reads beyond >1; this form shuffles the same bytes
+    * but replaces both maps with an in-memory per-partition long sort
+    * (~8 B/row, no agg buffer, no merge). Measured on the q88
+    * detection pass (see SCALING.md) — the honest O(corpus) volume is
+    * unchanged, only the constant moves.
+    */
+  private[graft] def duplicatedLongsSorted(hashes: DataFrame,
+      colName: String): DataFrame = {
+    import hashes.sparkSession.implicits._
+    hashes.select(col(colName).cast("long"))
+      .repartition(col(colName))
+      .sortWithinPartitions(col(colName))
+      .as[Long]
+      .mapPartitions { it =>
+        new Iterator[Long] {
+          private var pending: java.lang.Long = null
+          private var prev: Long = 0L
+          private var havePrev = false
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val v = it.next()
+              if (havePrev && v == prev) {
+                pending = v
+                // swallow the rest of the run (value emits ONCE); the
+                // first differing element seeds the next comparison —
+                // it may itself start a new run
+                havePrev = false
+                var inRun = true
+                while (inRun && it.hasNext) {
+                  val w = it.next()
+                  if (w != v) { prev = w; havePrev = true; inRun = false }
+                }
+              } else { prev = v; havePrev = true }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Long = {
+            advance()
+            val v = pending; pending = null; v
+          }
+        }
+      }
+      .toDF(colName)
+  }
+
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
       gramLen: Int, prefilterFpp: Double = 0.01,
-      caches: CacheHandle = CacheHandle.session): DataFrame = {
+      caches: CacheHandle = CacheHandle.session,
+      sortedDetection: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol))
@@ -1210,10 +1263,14 @@ object Dedupe {
           ColumnBridge.expression(col(textCol)), gramLen))))
       .select(col(idCol), (col("pos") + 1).cast("int").as("__p"),
         col("col").as("__h"))
-    // pass 1: duplicated hash VALUES (count > 1), key+count only
-    val dup = caches.track(grams.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select("__h").persist())
+    // pass 1: duplicated hash VALUES (count > 1), key-only. Strategy
+    // was A/B-measured (SCALING.md round 14): sorted run-length scan
+    // vs the key+count hash aggregation.
+    val dupRaw =
+      if (sortedDetection) duplicatedLongsSorted(grams.select("__h"), "__h")
+      else grams.groupBy(col("__h"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    val dup = caches.track(dupRaw.select("__h").persist())
     val nDup = dup.count() // sizes the Bloom; materializes the persist
     val bloom = d.sparkSession.sparkContext.broadcast(
       dup.stat.bloomFilter("__h", math.max(1L, nDup), prefilterFpp))

@@ -92,6 +92,59 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id")
   }
 
+  /** Per-query recall of an approximate top-k result against exact
+    * ground truth (both in the (vec_id, rank, neighbor_id) shape of
+    * [[bruteForceTopK]]): the fraction of each query's TRUE top-k
+    * neighbors that the approximate result returned. Rank order does
+    * not matter — recall is set overlap, the standard ANN quality
+    * metric. Output: (vec_id, n_truth, n_hit, recall).
+    *
+    * Scale shape: one equi-join on (query, neighbor) + one group —
+    * both frames are k×|queries| rows, negligible next to the searches
+    * being measured.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame =
+    truth.select(col("vec_id"), col("neighbor_id"))
+      .join(approx.select(col("vec_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+        Seq("vec_id", "neighbor_id"), "left_outer")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth"))
+
+  /** Mean recall across queries — the single-number summary the specs
+    * assert floors on and RecallProbe prints. Driver-side scalar: a
+    * metric, not a data plane.
+    */
+  def meanRecallAtK(approx: DataFrame, truth: DataFrame): Double = {
+    val r = recallAtK(approx, truth)
+      .agg(avg(col("recall"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Recall of a candidate PAIR set (vec_a < vec_b, the
+    * [[srpNearDupPairs]] / [[nearDupPairsSalted]] shape) against the
+    * exact set of pairs with cosine ≥ `threshold`, computed brute
+    * force. The ground-truth cross product is O(n²) — callers cap the
+    * corpus (the probe measures on ≤ ~20k vectors and documents the
+    * cap; the metric is a quality MEASUREMENT, not a scale path).
+    */
+  def pairRecall(found: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int = -1): (Long, Long) = {
+    val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val truth = v.select(col("vid").as("vec_a"), col("v").as("va"))
+      .crossJoin(v.select(col("vid").as("vec_b"), col("v").as("vb")))
+      .filter(col("vec_a") < col("vec_b") &&
+        cos(col("va"), col("vb"), dim) >= lit(threshold))
+      .select("vec_a", "vec_b")
+    val nTruth = truth.count()
+    val nHit = truth.join(found.select("vec_a", "vec_b"),
+      Seq("vec_a", "vec_b"), "left_semi").count()
+    (nHit, nTruth)
+  }
+
   /** Assign each vector to its nearest centroid (IVF cell). `centroids`
     * must be small (broadcast): (cell_id, centroid array<double>).
     *

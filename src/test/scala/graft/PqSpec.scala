@@ -152,4 +152,56 @@ class PqSpec extends SparkSpec {
     assert(hits.toDouble / pairs.size > 5 * chance,
       s"recall of planted near-dups at chance level: $hits/${pairs.size}")
   }
+
+  test("recall@10 floors vs exact ground truth: IVF nprobe curve, " +
+      "PQ rerank ladder, SRP banding dial") {
+    // The oracle suite proves the approximate searchers are
+    // DETERMINISTIC; this pins that they are GOOD — measured floors
+    // (RecallProbe, SCALING.md r14 curves) with margin for fp
+    // assignment jitter. A floor regression means a quality break the
+    // hash oracles cannot see.
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", 10, dim).persist()
+    truth.count()
+    val centroids = Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", k = 16, iters = 2, dim = dim)
+    def ivfRecall(nprobe: Int): Double = Similarity.meanRecallAtK(
+      Similarity.ivfTopK(queries, emb, centroids, "vec_id", "embedding",
+        10, nprobe, dim), truth)
+    val (r1, r4, r8, r16) =
+      (ivfRecall(1), ivfRecall(4), ivfRecall(8), ivfRecall(16))
+    // more probes can only add candidates: recall is monotone
+    assert(r1 <= r4 && r4 <= r8 && r8 <= r16,
+      s"nprobe monotonicity: $r1 $r4 $r8 $r16")
+    // measured 0.858 / 1.0 at this config — floors with margin
+    assert(r8 >= 0.80, s"ivf nprobe=8 recall $r8")
+    assert(r16 >= 0.999, s"nprobe=cells is exhaustive: $r16")
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val adc = Similarity.meanRecallAtK(
+      Pq.topK(queries, codes, cb, "vec_id", "embedding", 10), truth)
+    def rerank(shortlist: Int): Double = Similarity.meanRecallAtK(
+      Pq.topKReranked(queries, codes, emb, cb, "vec_id", "embedding",
+        10, shortlist), truth)
+    val (rr50, rr200, rr1000) = (rerank(50), rerank(200), rerank(1000))
+    // exact re-rank of a superset shortlist can only improve recall
+    assert(adc <= rr50 && rr50 <= rr200 && rr200 <= rr1000,
+      s"rerank ladder: $adc $rr50 $rr200 $rr1000")
+    // measured 0.65 / 0.942 / 1.0 — floors with margin
+    assert(rr200 >= 0.90, s"rerank@200 recall $rr200")
+    assert(rr1000 >= 0.999, s"rerank@1000 covers this corpus: $rr1000")
+    // SRP pair recall: 8 bands of 8 bits catch ~17% of threshold-grade
+    // pairs ((1-θ/π)^8 per band — the high-precision candidate config);
+    // 16 bands of 4 bits catch >90%. The dial must keep that ordering.
+    def srpRecall(rpb: Int): Double = {
+      val found = Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
+        Similarity.srpSigns(64, dim), rowsPerBand = rpb, threshold = 0.35)
+      val (hit, tot) = Similarity.pairRecall(found, emb, "vec_id",
+        "embedding", 0.35, dim)
+      if (tot == 0) 1.0 else hit.toDouble / tot
+    }
+    val (s8, s4) = (srpRecall(8), srpRecall(4))
+    assert(s4 >= 0.85, s"srp rowsPerBand=4 pair recall $s4")
+    assert(s4 > s8, s"looser bands must raise recall: $s4 vs $s8")
+  }
 }
