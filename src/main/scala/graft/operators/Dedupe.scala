@@ -1205,12 +1205,13 @@ object Dedupe {
     * duplicated value once. Same result set as
     * `groupBy(h).count().filter(_ > 1)`, different cost model: the
     * hash-agg form builds (and, at ~all-unique cardinality, SPILLS) a
-    * key+count map on BOTH sides of the exchange for counts the
-    * consumer never reads beyond >1; this form shuffles the same bytes
-    * but replaces both maps with an in-memory per-partition long sort
-    * (~8 B/row, no agg buffer, no merge). Measured on the q88
-    * detection pass (see SCALING.md) — the honest O(corpus) volume is
-    * unchanged, only the constant moves.
+    * key+count map on BOTH sides of the exchange; this form shuffles
+    * the same bytes and replaces both maps with an in-memory
+    * per-partition long sort. MEASURED OUTCOME (SCALING.md r14): the
+    * hash agg wins at 100× anyway — this path's typed mapPartitions
+    * hop pays per-row object ser/deser outside whole-stage codegen,
+    * ~2.5× the cost of the agg map it avoids. Kept as the documented
+    * negative result and the equality cross-check for the spec.
     */
   private[graft] def duplicatedLongsSorted(hashes: DataFrame,
       colName: String): DataFrame = {
@@ -1254,7 +1255,7 @@ object Dedupe {
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
       gramLen: Int, prefilterFpp: Double = 0.01,
       caches: CacheHandle = CacheHandle.session,
-      sortedDetection: Boolean = true): DataFrame = {
+      sortedDetection: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol))
@@ -1264,8 +1265,12 @@ object Dedupe {
       .select(col(idCol), (col("pos") + 1).cast("int").as("__p"),
         col("col").as("__h"))
     // pass 1: duplicated hash VALUES (count > 1), key-only. Strategy
-    // was A/B-measured (SCALING.md round 14): sorted run-length scan
-    // vs the key+count hash aggregation.
+    // was A/B-measured (SCALING.md round 14) and the hash aggregation
+    // WON at 100x: the sorted run-length scan shuffles the same bytes
+    // but pays a typed mapPartitions hop (per-row object ser/deser
+    // outside whole-stage codegen) that costs ~2.5x more than the agg
+    // map it avoids (62s vs 155s quiet at sf10). Kept selectable as
+    // the measured negative result.
     val dupRaw =
       if (sortedDetection) duplicatedLongsSorted(grams.select("__h"), "__h")
       else grams.groupBy(col("__h"))

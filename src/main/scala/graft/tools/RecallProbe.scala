@@ -111,6 +111,57 @@ object RecallProbe {
       }
       out += f""""pq_rerank$shortlist":{"recall":$rerR%.4f,"sec":$rerSec%.2f}"""
     }
+    // a stronger codebook (K=64 codewords/subspace, 3 Lloyd passes):
+    // shows recall is a CONFIG dial of the same operator, not a ceiling
+    // of the implementation — 4x the code bits, same search plan
+    val (cb64, pq64TrainSec) = timeIt {
+      Pq.train(emb, "vec_id", "embedding", m = 8, k = 64, iters = 3,
+        dim = 64)
+    }
+    val codes64 = Pq.encode(emb, "vec_id", "embedding", cb64).persist()
+    codes64.count()
+    out += f""""pq64_train":{"sec":$pq64TrainSec%.2f}"""
+    val (adc64R, adc64Sec) = timeIt {
+      Similarity.meanRecallAtK(
+        Pq.topK(queries, codes64, cb64, "vec_id", "embedding", k), truth)
+    }
+    out += f""""pq64_adc":{"recall":$adc64R%.4f,"sec":$adc64Sec%.2f}"""
+    val (rer64R, rer64Sec) = timeIt {
+      Similarity.meanRecallAtK(
+        Pq.topKReranked(queries, codes64, emb, cb64, "vec_id",
+          "embedding", k, 200), truth)
+    }
+    out += f""""pq64_rerank200":{"recall":$rer64R%.4f,"sec":$rer64Sec%.2f}"""
+    // the composed SERVING path: IVF-PQ index (cell-partitioned code
+    // table, K=64 codebook) → probe-pruned ADC shortlist(200) → exact
+    // rerank of shortlisted raw vectors. This is the configuration a
+    // deployment runs — recall bounded by min(IVF cell coverage, PQ
+    // shortlist quality), cost bounded by probed cells only.
+    val ivfpqPath = s"${sys.props("java.io.tmpdir")}/graft_recall_ivfpq_" +
+      spark.sparkContext.applicationId
+    val (_, ivfpqIdxSec) = timeIt {
+      Pq.writeIvfIndex(emb, centroids, "vec_id", "embedding", cb64,
+        ivfpqPath)
+    }
+    out += f""""ivfpq_index":{"sec":$ivfpqIdxSec%.2f}"""
+    val (ivfpqR, ivfpqSec) = timeIt {
+      import org.apache.spark.sql.expressions.Window
+      val cand = Pq.ivfTopK(spark, ivfpqPath, queries, centroids, cb64,
+        "vec_id", "embedding", k = 200, nprobe = 8, dim = 64)
+        .select("vec_id", "neighbor_id")
+      val q = queries.select(col("vec_id"), col("embedding").as("qv"))
+      val rer = cand
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")), "neighbor_id")
+        .join(broadcast(q), "vec_id")
+        .withColumn("cos", Similarity.cosineNative(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+      Similarity.meanRecallAtK(rer, truth)
+    }
+    out += f""""ivfpq_nprobe8_rerank200":{"recall":$ivfpqR%.4f,"sec":$ivfpqSec%.2f}"""
     // SRP-LSH pair recall on the (capped) corpus, across the banding
     // dial: rowsPerBand=8 (q62's config — few, high-precision bands)
     // vs 4 (16 looser bands: per-band collision prob rises from
