@@ -310,6 +310,29 @@ object Similarity {
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
   }
 
+  /** Nightly maintenance for a materialized IVF index: assign a NEW
+    * batch of vectors to the index's FROZEN centroids and append them
+    * into their cell partitions — the vector-store analog of
+    * [[SignatureStore.appendBatch]]'s nightly fold. Searches over the
+    * appended index see corpus ∪ batch with per-batch cost (one
+    * broadcast-centroid assignment over the batch, one partitioned
+    * write; the existing corpus is never read, moved, or re-encoded).
+    *
+    * Centroids MUST be the ones the index was built with: assignment
+    * consistency is what makes probe pruning exact. Re-clustering
+    * (centroid drift after many appends) is a NEW index version, not
+    * an append — same discipline as the signature store's
+    * once-per-corpus-version build. Cell files accumulate one per
+    * append per touched cell; compaction is a rewrite of touched
+    * partitions, and at production scale both the atomic-visibility
+    * and compaction concerns drop into a lakehouse table format the
+    * same way MergeUpsert's expressions drop into MERGE INTO.
+    */
+  def appendToIvfIndex(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit =
+    batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
+      .write.partitionBy("cell_id").mode("append").parquet(path)
+
   /** Probed top-nprobe cells per query vector (small aggregate over
     * query × broadcast centroids — never a window over a product).
     */

@@ -1343,6 +1343,40 @@ class OperatorSpec extends SparkSpec {
     assert(t.filter(_._1 == "y").map(_._2).toSeq == Seq(1L))
   }
 
+  test("recall metrics: set semantics, rank-independence, pair truth") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // truth: q1 -> {10,11,12}; q2 -> {20,21}
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("vec_id", "rank", "neighbor_id")
+    // approx: q1 found 2/3 (ranks scrambled — order must not matter,
+    // extras must not help); q2 found 0/2
+    val approx = Seq((1L, 1L, 12L), (1L, 2L, 99L), (1L, 3L, 10L),
+      (2L, 1L, 98L), (2L, 2L, 97L))
+      .toDF("vec_id", "rank", "neighbor_id")
+    val per = Similarity.recallAtK(approx, truth)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(math.abs(per(1L) - 2.0 / 3) < 1e-12 && per(2L) == 0.0)
+    assert(math.abs(Similarity.meanRecallAtK(approx, truth) -
+      (2.0 / 3 + 0.0) / 2) < 1e-12)
+    // an empty approximate result is recall 0, not a crash
+    assert(Similarity.meanRecallAtK(approx.limit(0), truth) == 0.0)
+    // pairRecall: 4 unit-ish vectors; (1,2) and (3,4) are near-dup
+    // pairs at cos >= 0.9, others are near-orthogonal
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.999f, 0.01f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0.01f, 0.999f)))
+      .toDF("vec_id", "embedding")
+    val foundAll = Seq((1L, 2L), (3L, 4L)).toDF("vec_a", "vec_b")
+    assert(Similarity.pairRecall(foundAll, vecs, "vec_id", "embedding",
+      0.9, dim = 2) == ((2L, 2L)))
+    val foundHalf = Seq((1L, 2L), (1L, 3L)).toDF("vec_a", "vec_b")
+    assert(Similarity.pairRecall(foundHalf, vecs, "vec_id", "embedding",
+      0.9, dim = 2) == ((1L, 2L)))
+  }
+
   test("store guards: pre-bands store upgrades in place, count-less " +
       "signatures fail fast, reservoir rejects non-numeric ids") {
     import graft.sources.VersionedTable

@@ -153,6 +153,35 @@ class PqSpec extends SparkSpec {
       s"recall of planted near-dups at chance level: $hits/${pairs.size}")
   }
 
+  test("IVF index append: searches see corpus + batch, layout intact") {
+    val centroids = Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", k = 8, iters = 2, dim = dim)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_append_" +
+      spark.sparkContext.applicationId
+    Similarity.writeIvfIndex(half, centroids, "vec_id", "embedding", path)
+    Similarity.appendToIvfIndex(batch, centroids, "vec_id", "embedding",
+      path)
+    // the appended index answers exactly like a direct IVF search over
+    // the full corpus with the same frozen centroids
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, path, queries,
+      centroids, "vec_id", "embedding", 10, nprobe = 4, dim = dim)
+    val direct = Similarity.ivfTopK(queries, emb, centroids, "vec_id",
+      "embedding", 10, nprobe = 4, dim = dim)
+    assert(viaIndex.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaIndex).isEmpty)
+    // every appended row landed in its assigned cell partition — the
+    // invariant probe pruning depends on
+    val idx = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"))
+    val expect = Similarity.assignCells(emb, centroids, "vec_id",
+      "embedding", dim)
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"))
+    assert(idx.exceptAll(expect).isEmpty && expect.exceptAll(idx).isEmpty)
+  }
+
   test("recall@10 floors vs exact ground truth: IVF nprobe curve, " +
       "PQ rerank ladder, SRP banding dial") {
     // The oracle suite proves the approximate searchers are
