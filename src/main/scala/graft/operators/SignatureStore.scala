@@ -178,6 +178,9 @@ object SignatureStore {
     */
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
       mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int): Unit = {
+    // a pre-bands-layout store upgrades here too — appendBatch has the
+    // banding parameters, so reading it must not throw
+    ensureBands(spark, root, numHashes, rowsPerBand)
     val sigs = VersionedTable.read(spark, sigsRoot(root))
     // persist: the count (for AUTO file sizing), the commit write and
     // the band derivation must not each re-sign the batch
