@@ -4,16 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.CacheHandle
-import graft.sources.VersionedTable
+import graft.sources.{SegmentedTable, VersionedTable}
 
 /** Persisted corpus state for the incremental near-dup pipeline: the
-  * MinHash signature table and the component-label table, each a
-  * [[graft.sources.VersionedTable]] (atomic pointer-flip commits, time
-  * travel, vacuum) under one store root:
+  * MinHash signature table and the derived LSH band index as
+  * [[graft.sources.SegmentedTable]]s (delta-file appends, manifest
+  * commits), plus the component-label table as a
+  * [[graft.sources.VersionedTable]] (atomic pointer-flip snapshots),
+  * under one store root:
   *
   * {{{
-  *   <root>/sigs/_vNNNNNNNN/     (doc, sig array<long>)
-  *   <root>/labels/_vNNNNNNNN/   (node, label)
+  *   <root>/sigs/_segNNNNNNNN/    (doc, sig array<long>[, cnt]) segments
+  *   <root>/bands/_segNNNNNNNN/   (doc, band, band_sig, cnt) segments
+  *   <root>/labels/_vNNNNNNNN/    (node, label) snapshots
   * }}}
   *
   * This is the matview-style cache-the-heavy-thing pattern the
@@ -25,16 +28,42 @@ import graft.sources.VersionedTable
   * clustering re-signs the corpus every night and costs the same as
   * from-scratch — the operator's reason to exist evaporates.
   *
-  * A real pipeline closes the loop by committing the batch's signatures
-  * and the merged labels back as the next versions ([[appendBatch]]) —
-  * readers flip atomically from v to v+1, yesterday's versions stay
-  * readable for time travel, and a crashed writer leaves the store at v.
+  * The WRITE side obeys the same contract: [[appendBatch]] commits only
+  * the batch's signature and band rows as new segments plus a
+  * bytes-sized manifest — O(batch) writes per night, like the
+  * reference's loading-table upsert (`loader/sql.py:264-332`, which
+  * writes only upserted rows). Signatures and bands are grow-only, so a
+  * delta layout loses nothing; labels CAN change for any existing node
+  * when a batch bridges two old clusters, so that table stays a
+  * snapshot commit (2 longs/doc — the cheapest of the three by ~35×).
+  * Readers flip atomically from manifest v to v+1, yesterday's versions
+  * stay readable for time travel, and a crashed writer leaves the store
+  * at v. Segment-count growth is bounded by [[compact]].
+  *
+  * Stores committed under the pre-delta layout (full `_vNNNNNNNN`
+  * snapshots) upgrade in place: the first [[appendBatch]] adopts the
+  * committed snapshot directory as segment zero — zero bytes rewritten.
   */
 object SignatureStore {
 
   def sigsRoot(root: String): String = s"$root/sigs"
   def labelsRoot(root: String): String = s"$root/labels"
   def bandsRoot(root: String): String = s"$root/bands"
+
+  /** A table committed under either layout: delta (manifest) or legacy
+    * full-snapshot.
+    */
+  private def tableExists(spark: SparkSession, root: String): Boolean =
+    SegmentedTable.currentVersion(spark, root).isDefined ||
+      VersionedTable.currentVersion(spark, root).isDefined
+
+  /** Read preferring the delta layout; a pre-delta store reads its
+    * legacy snapshot untouched.
+    */
+  private def readTable(spark: SparkSession, root: String): DataFrame =
+    if (SegmentedTable.currentVersion(spark, root).isDefined)
+      SegmentedTable.read(spark, root)
+    else VersionedTable.read(spark, root)
 
   /** True iff the two FOUNDATIONAL tables (signatures, labels) have a
     * committed version. The band index is derived state: a store
@@ -44,12 +73,12 @@ object SignatureStore {
     * the committed signatures and committed in place ([[ensureBands]]).
     */
   def exists(spark: SparkSession, root: String): Boolean =
-    VersionedTable.currentVersion(spark, sigsRoot(root)).isDefined &&
+    tableExists(spark, sigsRoot(root)) &&
       VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined
 
   /** True iff the derived band index has a committed version. */
   def hasBands(spark: SparkSession, root: String): Boolean =
-    VersionedTable.currentVersion(spark, bandsRoot(root)).isDefined
+    tableExists(spark, bandsRoot(root))
 
   /** Upgrade path for a sigs+labels-only store (pre-bands layout):
     * derive the band index from the committed signatures and commit it,
@@ -58,10 +87,10 @@ object SignatureStore {
   def ensureBands(spark: SparkSession, root: String, numHashes: Int,
       rowsPerBand: Int): Unit =
     if (!hasBands(spark, root)) {
-      val sig = VersionedTable.read(spark, sigsRoot(root))
+      val sig = readTable(spark, sigsRoot(root))
       val rows = sig.count()
       val nBands = numHashes / rowsPerBand
-      VersionedTable.commit(
+      SegmentedTable.commitFull(
         Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)
           .coalesce(autoPartitions(rows * nBands)),
         bandsRoot(root))
@@ -69,7 +98,7 @@ object SignatureStore {
 
   /** Read the committed (sigs, labels) snapshot. */
   def read(spark: SparkSession, root: String): (DataFrame, DataFrame) =
-    (VersionedTable.read(spark, sigsRoot(root)),
+    (readTable(spark, sigsRoot(root)),
       VersionedTable.read(spark, labelsRoot(root)))
 
   /** Read the committed LSH band index (doc, band, band_sig, cnt) —
@@ -82,15 +111,9 @@ object SignatureStore {
         s"SignatureStore at $root has no committed band index " +
           "(pre-bands layout); call ensureBands/ensureCorpusState to " +
           "derive it from the committed signatures")
-    VersionedTable.read(spark, bandsRoot(root))
+    readTable(spark, bandsRoot(root))
   }
 
-  /** Build the corpus state from scratch and commit it: sign every
-    * corpus document (one codegen'd per-row loop), generate + verify
-    * LSH candidate pairs, resolve connected components, and commit the
-    * signature and label tables. The corpus-scale cost lives HERE, once
-    * per corpus version — never in the nightly path.
-    */
   /** Rows per committed file under AUTO packing. ~50k signature rows ≈
     * 5-8 MB parquet — small enough that bench-scale tables stay one
     * file (no listing/task floor), large enough that a 100× corpus
@@ -103,7 +126,13 @@ object SignatureStore {
     */
   val autoRowsPerFile: Long = 50000L
 
-  /** @param outPartitions files per committed table: -1 (default) =
+  /** Build the corpus state from scratch and commit it: sign every
+    * corpus document (one codegen'd per-row loop), generate + verify
+    * LSH candidate pairs, resolve connected components, and commit the
+    * signature and label tables. The corpus-scale cost lives HERE, once
+    * per corpus version — never in the nightly path.
+    *
+    * @param outPartitions files per committed table: -1 (default) =
     *   AUTO from the materialized row count (ceil(rows /
     *   [[autoRowsPerFile]]), capped at 64); 0 = keep the upstream
     *   partitioning; >0 explicit. A production store sizes this to
@@ -127,7 +156,7 @@ object SignatureStore {
       else autoPartitions(sigRows)
     def pack(df: DataFrame): DataFrame =
       if (parts > 0) df.coalesce(parts) else df
-    VersionedTable.commit(pack(sig), sigsRoot(root))
+    SegmentedTable.commitFull(pack(sig), sigsRoot(root))
     // the banding index is PART of the corpus version: deriving band
     // rows costs an interpreted slice/join pass per signature, paid
     // here once instead of by every nightly read. Its file count is
@@ -141,7 +170,7 @@ object SignatureStore {
       else autoPartitions(sigRows * nBands)
     def packBands(df: DataFrame): DataFrame =
       if (bandParts > 0) df.coalesce(bandParts) else df
-    VersionedTable.commit(
+    SegmentedTable.commitFull(
       packBands(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
       bandsRoot(root))
     val cand = CacheHandle.eager(caches.track(
@@ -170,41 +199,63 @@ object SignatureStore {
     (readBands(spark, root), VersionedTable.read(spark, labelsRoot(root)))
   }
 
-  /** Close the nightly loop: commit the batch's signatures (union'd
-    * into the signature table) and the merged labels as the next
-    * versions, so tomorrow's batch sees tonight's corpus. `mergedLabels`
+  /** Close the nightly loop with O(batch) writes: commit ONLY the
+    * batch's signatures and band rows as new delta segments (plus two
+    * bytes-sized manifests), and the merged labels as the next label
+    * snapshot, so tomorrow's batch sees tonight's corpus. `mergedLabels`
     * is [[Dedupe.incrementalFromStore]]'s output; `batchSig` the
     * batch's signatures ([[Dedupe.minhashWide]] over the batch only).
+    *
+    * Nothing corpus-sized is read OR written here — the committed
+    * corpus segments are untouched; readers see old segments ∪ the new
+    * one after the atomic manifest flip. A pre-delta store (full
+    * `_vNNNNNNNN` snapshot) upgrades in place by adopting its committed
+    * snapshot directory as segment zero, zero bytes rewritten.
     */
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
       mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int): Unit = {
     // a pre-bands-layout store upgrades here too — appendBatch has the
     // banding parameters, so reading it must not throw
     ensureBands(spark, root, numHashes, rowsPerBand)
-    val sigs = VersionedTable.read(spark, sigsRoot(root))
-    // persist: the count (for AUTO file sizing), the commit write and
+    // legacy full-snapshot tables → delta layout, in place
+    if (SegmentedTable.currentVersion(spark, sigsRoot(root)).isEmpty)
+      SegmentedTable.adopt(spark, sigsRoot(root))
+    if (SegmentedTable.currentVersion(spark, bandsRoot(root)).isEmpty)
+      SegmentedTable.adopt(spark, bandsRoot(root))
+    // persist: the count (for AUTO file sizing), the segment write and
     // the band derivation must not each re-sign the batch
-    val merged = sigs.union(batchSig).persist()
+    val batch = batchSig.persist()
     try {
-      // repack under the AUTO layout so file count tracks corpus growth
-      // (read parallelism) — the rewrite is O(corpus SIGNATURES), a few
-      // longs per document, not O(corpus text); a delta-file layout
-      // (commit only batch files + a manifest) is the next refinement
-      // if even that rewrite matters
-      val mergedRows = merged.count()
-      VersionedTable.commit(merged.coalesce(autoPartitions(mergedRows)),
-        sigsRoot(root))
-      // band index: existing corpus bands + the batch's (banded once,
-      // at commit time — the nightly read must never re-derive them).
-      // File count sized from BAND rows (nBands × signatures), not the
-      // signature-table partition count — see build()
-      VersionedTable.commit(
-        readBands(spark, root)
-          .unionByName(Dedupe.bandRowsOf(batchSig, numHashes, rowsPerBand))
-          .coalesce(autoPartitions(mergedRows * (numHashes / rowsPerBand))),
+      val batchRows = batch.count()
+      SegmentedTable.appendSegment(
+        batch.coalesce(autoPartitions(batchRows)), sigsRoot(root))
+      // band segment: the batch's rows banded once, at commit time —
+      // the nightly read must never re-derive them. File count sized
+      // from the segment's BAND rows (nBands × batch), not the corpus
+      val nBands = numHashes / rowsPerBand
+      SegmentedTable.appendSegment(
+        Dedupe.bandRowsOf(batch, numHashes, rowsPerBand)
+          .coalesce(autoPartitions(batchRows * nBands)),
         bandsRoot(root))
-    } finally merged.unpersist()
+    } finally batch.unpersist()
     VersionedTable.commit(mergedLabels, labelsRoot(root))
+  }
+
+  /** Bound delta-segment growth: rewrite signatures and bands as one
+    * AUTO-packed segment each and vacuum superseded segments. Search
+    * results are unaffected (same rows, fresh manifest, atomic flip);
+    * run it every ~N nights, exactly like lakehouse OPTIMIZE.
+    */
+  def compact(spark: SparkSession, root: String,
+      numHashes: Int, rowsPerBand: Int): Unit = {
+    val sigRows = readTable(spark, sigsRoot(root)).count()
+    SegmentedTable.compact(spark, sigsRoot(root),
+      _.coalesce(autoPartitions(sigRows)))
+    val nBands = numHashes / rowsPerBand
+    SegmentedTable.compact(spark, bandsRoot(root),
+      _.coalesce(autoPartitions(sigRows * nBands)))
+    SegmentedTable.vacuum(spark, sigsRoot(root))
+    SegmentedTable.vacuum(spark, bandsRoot(root))
   }
 
   private def autoPartitions(rows: Long): Int =

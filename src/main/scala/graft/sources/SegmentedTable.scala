@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Delta-file table: immutable data segments + a manifest commit, so an
+  * APPEND writes only the new rows — O(batch) bytes regardless of how
+  * large the table has grown. This is the write-side complement to
+  * [[VersionedTable]] (which stages a complete snapshot per commit, the
+  * right shape for merged/replaced state like upsert targets, and the
+  * wrong shape for grow-only state like a signature corpus, where a
+  * full-snapshot commit makes the nightly write cost O(corpus)).
+  *
+  * Layout:
+  *
+  * {{{
+  *   <root>/_seg00000001/part-*.parquet    immutable segment directories
+  *   <root>/_seg00000002/part-*.parquet
+  *   <root>/_manifest-00000002             text: one member dir name/line
+  *   <root>/_LATEST_MANIFEST               text: committed manifest version
+  * }}}
+  *
+  * A commit stages the new segment directory, writes a NEW manifest file
+  * listing all member directories (a few bytes per segment), then
+  * atomically publishes it by renaming a temp pointer over
+  * `_LATEST_MANIFEST` — the same single-atomic-rename discipline as
+  * [[VersionedTable.commit]]. Readers resolve the pointer once per plan
+  * and scan exactly the member directories; a crashed writer leaves an
+  * orphan segment that no manifest references (invisible; reclaimed by
+  * [[vacuum]]). Manifests are themselves versioned, so time travel works
+  * the same way: `read(asOfVersion = Some(v))` scans manifest v's members.
+  *
+  * The price of O(batch) appends is segment-count growth; [[compact]]
+  * rewrites the table as one packed segment under a fresh manifest
+  * (readers flip atomically, old segments stay readable until vacuum).
+  *
+  * Reference analog: the reference's loading-table + DB upsert keeps its
+  * nightly write cost O(batch) because Postgres only writes the upserted
+  * rows (`catalog/dags/common/loader/sql.py:264-332`); on a data lake the
+  * equivalent primitive is exactly this append-a-segment manifest commit.
+  */
+object SegmentedTable {
+
+  private val Pointer = "_LATEST_MANIFEST"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(root, f"_manifest-$v%08d")
+
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Committed manifest version, or None for a table with no manifest
+    * (uninitialized, or a legacy [[VersionedTable]] layout — see
+    * [[adopt]]).
+    */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root, Pointer)
+    if (!f.exists(p)) None
+    else Some(readSmall(f, p).trim.toLong)
+  }
+
+  /** Member segment directory NAMES of the committed (or as-of)
+    * manifest, in commit order.
+    */
+  def members(spark: SparkSession, root: String,
+      asOfVersion: Option[Long] = None): Seq[String] = {
+    val v = asOfVersion.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    readSmall(fs(spark, root), manifestPath(root, v))
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Read the committed snapshot: a union scan over the manifest's
+    * member directories. Spark plans this as ONE multi-path parquet
+    * scan, so pushdown/pruning/split-packing behave exactly as on a
+    * single directory.
+    */
+  def read(spark: SparkSession, root: String,
+      asOfVersion: Option[Long] = None): DataFrame =
+    spark.read.parquet(
+      members(spark, root, asOfVersion)
+        .map(m => new Path(root, m).toString): _*)
+
+  private def maxNumbered(f: FileSystem, root: String,
+      prefix: String): Long = {
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) 0L
+    else f.listStatus(rootPath).toSeq
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption
+        .filter(_ => s.getPath.getName.startsWith(prefix)))
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Publish `memberDirs` as the next manifest version (atomic pointer
+    * flip; same temp-write + rename-with-OVERWRITE primitive as
+    * [[VersionedTable.commit]]).
+    */
+  private def publish(spark: SparkSession, root: String,
+      memberDirs: Seq[String]): Long = {
+    val f = fs(spark, root)
+    val next = math.max(currentVersion(spark, root).getOrElse(0L),
+      maxNumbered(f, root, "_manifest-")) + 1L
+    val mp = manifestPath(root, next)
+    val mout = f.create(mp, false)
+    try mout.write(memberDirs.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally mout.close()
+    val tmp = new Path(root, s".${Pointer}.tmp-$next")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, Pointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Stage `df` as a new segment directory (skipping past orphans) and
+    * return its name — NOT yet visible to readers.
+    */
+  private def stageSegment(df: DataFrame, root: String): String = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val n = maxNumbered(f, root, "_seg") + 1L
+    val name = f"_seg$n%08d"
+    df.write.mode("errorifexists")
+      .parquet(new Path(root, name).toString)
+    name
+  }
+
+  /** Initialize (or REPLACE — compaction's primitive) the table with
+    * `df` as its single segment.
+    */
+  def commitFull(df: DataFrame, root: String): Long = {
+    val name = stageSegment(df, root)
+    publish(df.sparkSession, root, Seq(name))
+  }
+
+  /** The O(batch) append: write ONLY `df`'s rows as a new segment, then
+    * publish a manifest of old members + the new segment. Bytes written
+    * scale with `df`, never with the table.
+    */
+  def appendSegment(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val prior =
+      if (currentVersion(spark, root).isDefined) members(spark, root)
+      else Seq.empty
+    val name = stageSegment(df, root)
+    publish(spark, root, prior :+ name)
+  }
+
+  /** Upgrade a legacy [[VersionedTable]] layout in place: publish a
+    * manifest whose sole member is the table's committed `_vNNNNNNNN`
+    * directory — zero data rewritten, and the next [[appendSegment]]
+    * grows it delta-style. No-op if a manifest already exists.
+    */
+  def adopt(spark: SparkSession, root: String): Long =
+    currentVersion(spark, root).getOrElse {
+      val v = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"cannot adopt $root: no VersionedTable commit to adopt"))
+      publish(spark, root, Seq(f"_v$v%08d"))
+    }
+
+  /** Rewrite the table as ONE segment with `pack` applied (file-count
+    * control) and publish it as the next manifest — the segment-growth
+    * antidote. Readers flip atomically; superseded segments remain
+    * until [[vacuum]].
+    */
+  def compact(spark: SparkSession, root: String,
+      pack: DataFrame => DataFrame = identity): Long =
+    commitFull(pack(read(spark, root)), root)
+
+  /** Delete segment directories and manifests not reachable from the
+    * newest `keepManifests` manifest versions. Orphaned (crashed-writer)
+    * segments newer than the current pointer are kept, mirroring
+    * [[VersionedTable.vacuum]]'s concurrent-writer caution.
+    */
+  def vacuum(spark: SparkSession, root: String,
+      keepManifests: Int = 2): Unit = {
+    val f = fs(spark, root)
+    currentVersion(spark, root).foreach { cur =>
+      val keptVersions = (math.max(1L, cur - keepManifests + 1L) to cur)
+      val live = keptVersions.flatMap(v =>
+        scala.util.Try(members(spark, root, Some(v))).toOption
+          .getOrElse(Seq.empty)).toSet
+      // a segment numbered above every committed segment may be a
+      // concurrent writer's staged-but-unpublished data — keep it; one
+      // below the committed high-water mark that no kept manifest
+      // references is definitely dead (stale crash orphan or compacted)
+      val maxLiveSeg = live.flatMap(n => scala.util.Try(
+        n.stripPrefix("_seg").toLong).toOption
+        .filter(_ => n.startsWith("_seg"))).foldLeft(0L)(math.max)
+      f.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+        val n = p.getName
+        val isDeadSegment = !live.contains(n) && (
+          n.startsWith("_v") ||
+          (n.startsWith("_seg") && scala.util.Try(
+            n.stripPrefix("_seg").toLong).toOption.exists(_ < maxLiveSeg)))
+        val isDeadManifest = n.startsWith("_manifest-") && scala.util.Try(
+          n.stripPrefix("_manifest-").toLong).toOption
+          .exists(v => !keptVersions.contains(v))
+        if (isDeadSegment || isDeadManifest) f.delete(p, true)
+      }
+    }
+  }
+}

@@ -1400,11 +1400,12 @@ class OperatorSpec extends SparkSpec {
     assert(err.getMessage.contains("ensureBands"))
     // ensureCorpusState derives + commits the bands — an UPGRADE, not a
     // silent full rebuild: the signatures version must not move
-    val sigV = VersionedTable.currentVersion(
+    val sigV = graft.sources.SegmentedTable.currentVersion(
       spark, SignatureStore.sigsRoot(root))
+    assert(sigV.isDefined)
     val (bands, _) = SignatureStore.ensureCorpusState(spark, root,
       corpus, "doc_id", "text", 3, 16, 4, 0.5)
-    assert(VersionedTable.currentVersion(
+    assert(graft.sources.SegmentedTable.currentVersion(
       spark, SignatureStore.sigsRoot(root)) == sigV)
     val fresh = Dedupe.bandRowsOf(
       Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
@@ -1429,5 +1430,110 @@ class OperatorSpec extends SparkSpec {
         docs.withColumn("sid", col("doc_id").cast("string")),
         "lang", "sid", 3)
     }
+  }
+
+  test("appendBatch writes O(batch) not O(corpus): corpus segments " +
+      "untouched, delta bytes track the batch; compact preserves rows") {
+    import graft.sources.SegmentedTable
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0) // 3/4 of docs
+    val batch = docs.filter(col("doc_id") % 4 === 0)  // 1/4 of docs
+    val root = java.nio.file.Files.createTempDirectory("sigstore3").toString
+    SignatureStore.build(spark, root, corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
+    // inventory every data file (path -> size) before the nightly commit
+    def dataFiles(dir: String): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.getName.endsWith(".parquet"))
+          b += (f.getPath -> f.length())
+      walk(new java.io.File(dir)); b.result()
+    }
+    val sigsBefore = dataFiles(SignatureStore.sigsRoot(root))
+    val bandsBefore = dataFiles(SignatureStore.bandsRoot(root))
+    val (_, labels0) = SignatureStore.read(spark, root)
+    val batchSig = Dedupe.minhashWide(batch, "doc_id", "text", 3, 16,
+      withCount = true)
+    SignatureStore.appendBatch(spark, root, batchSig, labels0, 16, 4)
+    val sigsAfter = dataFiles(SignatureStore.sigsRoot(root))
+    val bandsAfter = dataFiles(SignatureStore.bandsRoot(root))
+    // 1) every pre-existing segment file survives BYTE-IDENTICAL in
+    //    place — the committed corpus data was not rewritten
+    assert(sigsBefore.forall { case (p, sz) => sigsAfter.get(p) == Some(sz) })
+    assert(bandsBefore.forall { case (p, sz) => bandsAfter.get(p) == Some(sz) })
+    // 2) bytes written scale with the BATCH (≈1/3 of corpus here), not
+    //    the corpus: the pre-delta layout re-wrote ≥ corpus bytes per
+    //    night (merged = corpus+batch), which this bound rejects
+    def added(before: Map[String, Long], after: Map[String, Long]) =
+      after.collect { case (p, sz) if !before.contains(p) => sz }.sum
+    val sigDelta = added(sigsBefore, sigsAfter)
+    val bandDelta = added(bandsBefore, bandsAfter)
+    assert(sigDelta > 0 && sigDelta < (sigsBefore.values.sum * 0.7).toLong)
+    assert(bandDelta > 0 && bandDelta < (bandsBefore.values.sum * 0.7).toLong)
+    // 3) readers see corpus ∪ batch through the flipped manifest
+    val sigUnion = SignatureStore.read(spark, root)._1
+    val freshAll = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16,
+      withCount = true)
+    assert(sigUnion.exceptAll(freshAll).isEmpty &&
+      freshAll.exceptAll(sigUnion).isEmpty)
+    // 4) compact: one packed segment per table, identical rows, and
+    //    vacuum drops the superseded segment files
+    val bandsPre = SignatureStore.readBands(spark, root).collect().toSet
+    SignatureStore.compact(spark, root, 16, 4)
+    assert(SegmentedTable.members(
+      spark, SignatureStore.sigsRoot(root)).size == 1)
+    assert(SignatureStore.readBands(spark, root).collect().toSet == bandsPre)
+    // default vacuum keeps 2 manifests (time travel); retention 1
+    // collapses the table to exactly the compacted segment's files
+    SegmentedTable.vacuum(spark, SignatureStore.sigsRoot(root),
+      keepManifests = 1)
+    assert(dataFiles(SignatureStore.sigsRoot(root)).size == 1)
+    val sigRows = SignatureStore.read(spark, root)._1.count()
+    assert(sigRows == docs.count())
+  }
+
+  test("pre-delta (full-snapshot) store upgrades in place on append: " +
+      "legacy dir adopted as segment zero, zero bytes rewritten") {
+    import graft.sources.{SegmentedTable, VersionedTable}
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 === 1)
+    val batch = docs.filter(col("doc_id") % 5 === 2)
+    val root = java.nio.file.Files.createTempDirectory("sigstore4").toString
+    // fabricate a store committed under the pre-delta layout: full
+    // snapshots via VersionedTable, exactly what rounds ≤14 wrote
+    val sig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
+      withCount = true)
+    VersionedTable.commit(sig.coalesce(1), SignatureStore.sigsRoot(root))
+    VersionedTable.commit(Dedupe.bandRowsOf(sig, 16, 4).coalesce(1),
+      SignatureStore.bandsRoot(root))
+    VersionedTable.commit(
+      corpus.select(col("doc_id").as("node"), col("doc_id").as("label")),
+      SignatureStore.labelsRoot(root))
+    assert(SignatureStore.exists(spark, root) &&
+      SignatureStore.hasBands(spark, root))
+    assert(SegmentedTable.currentVersion(
+      spark, SignatureStore.sigsRoot(root)).isEmpty)
+    val legacySigDir = new java.io.File(
+      SignatureStore.sigsRoot(root)).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_v")).head
+    val legacyStamp = legacySigDir.lastModified()
+    val batchSig = Dedupe.minhashWide(batch, "doc_id", "text", 3, 16,
+      withCount = true)
+    SignatureStore.appendBatch(spark, root, batchSig,
+      docs.filter(col("doc_id") % 5 <= 2)
+        .select(col("doc_id").as("node"), col("doc_id").as("label")),
+      16, 4)
+    // adopted, not rewritten: the legacy snapshot dir IS segment zero
+    assert(SegmentedTable.members(spark, SignatureStore.sigsRoot(root))
+      .contains(legacySigDir.getName))
+    assert(legacySigDir.lastModified() == legacyStamp)
+    // and the union reads corpus ∪ batch
+    val freshAll = Dedupe.minhashWide(
+      docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+      "doc_id", "text", 3, 16, withCount = true)
+    val got = SignatureStore.read(spark, root)._1
+    assert(got.exceptAll(freshAll).isEmpty &&
+      freshAll.exceptAll(got).isEmpty)
   }
 }
