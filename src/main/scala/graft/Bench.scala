@@ -302,27 +302,37 @@ object Bench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      spark.catalog.clearCache()
-      val buildSec = timed {
-        SignatureStore.ensureCorpusState(spark, store,
-          docs.filter(col("doc_id") % 4 < 2), "doc_id", "text",
-          k, n, rpb, minJ)
-      }
-      val nightSecs = Seq(2, 3).map { m =>
+      try {
         spark.catalog.clearCache()
-        timed {
-          val bands = SignatureStore.readBands(spark, store)
-          val (_, labels) = SignatureStore.read(spark, store)
-          val batch = docs.filter(col("doc_id") % 4 === m)
-          val merged = Dedupe.incrementalFromStore(bands, labels, batch,
-            docs, "doc_id", "text", k, n, rpb, minJ)
-          SignatureStore.appendBatch(spark, store,
-            Dedupe.minhashWide(batch, "doc_id", "text", k, n,
-              withCount = true), merged, n, rpb)
+        val buildSec = timed {
+          SignatureStore.ensureCorpusState(spark, store,
+            docs.filter(col("doc_id") % 4 < 2), "doc_id", "text",
+            k, n, rpb, minJ)
         }
+        val nightSecs = Seq(2, 3).map { m =>
+          spark.catalog.clearCache()
+          timed {
+            val bands = SignatureStore.readBands(spark, store)
+            val (_, labels) = SignatureStore.read(spark, store)
+            val batch = docs.filter(col("doc_id") % 4 === m)
+            val merged = Dedupe.incrementalFromStore(bands, labels, batch,
+              docs, "doc_id", "text", k, n, rpb, minJ)
+            SignatureStore.appendBatch(spark, store,
+              Dedupe.minhashWide(batch, "doc_id", "text", k, n,
+                withCount = true), merged, n, rpb)
+          }
+        }
+        spark.catalog.clearCache()
+        f""""q80_split":{"build_sec":$buildSec%.3f,"night_sec":${nightSecs.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+      } finally {
+        // the temp store is measurement scratch — multi-GB /tmp residue
+        // per full-suite run at larger dirs otherwise
+        def rm(f: java.io.File): Unit = if (f.exists()) {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(store))
       }
-      spark.catalog.clearCache()
-      f""""q80_split":{"build_sec":$buildSec%.3f,"night_sec":${nightSecs.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
     }
     val qs = results.map { case (k, ts) => "\"" + short(k) + f"\":${medianOf(ts)}%.2f" }
       .mkString("{", ",", "}")
@@ -338,12 +348,16 @@ object Bench {
     // ... but robust to a single LUCKY probe: r14 observed one 0.13s
     // probe among eleven 0.31-0.45s ones (JIT/scheduling fluke), which
     // under a plain min turned every NORMAL probe into 3x "drift" and
-    // stamped an idle machine contended. The 2nd-smallest keeps the
-    // original sensitivity (contention ending mid-suite still pulls
-    // the denominator down — that takes 2+ quiet probes, which a real
-    // quiet tail provides) while one outlier cannot set the scale.
-    val calAll = (calBase +: calProbes.map(_._2).toSeq).sorted
-    val calMin = if (calAll.size >= 2) calAll(1) else calAll.head
+    // stamped an idle machine contended. Outlier-trim the PROBES only
+    // (2nd-smallest), but keep calBase as a trusted anchor: it is
+    // gate-validated (min of 3 right after the load gate), and folding
+    // it into the trimmed pool let contention that starts right after
+    // the gate and persists through all probes read as maxDrift≈1 —
+    // a genuinely contended run stamped quiet.
+    val probesSorted = calProbes.map(_._2).toSeq.sorted
+    val calMin =
+      if (probesSorted.size >= 2) math.min(calBase, probesSorted(1))
+      else calBase
     val maxDrift = if (calProbes.isEmpty) 1.0
       else calProbes.map(_._2).max / calMin
     // contended = the gate never saw a quiet machine OR any mid-suite
@@ -351,6 +365,33 @@ object Bench {
     // in this artifact should not be read as clean-machine numbers.
     val contended = gateContended || maxDrift > 2.0
     val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
+    // ---- Durable full-evidence file (r14 judge directive): the driver
+    // captures only the LAST ~2000 chars of stdout, which clipped the
+    // r14 quiet-rerun line and left two >2x outliers unadjudicable.
+    // Everything — per-run arrays for EVERY query under full names, the
+    // complete rerun pass, calibration, b3, q80 split — goes to a file
+    // the repo commits (BENCH_DETAIL.json; override via
+    // SPARK_GRAFT_BENCH_DETAIL), so the artifact self-adjudicates
+    // regardless of stdout truncation.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try {
+      val dq = results.map { case (k, ts) =>
+        "\"" + k + "\":{\"sec\":" +
+          ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]") +
+          ",\"gc_ms\":" + ts.map(_._2).mkString("[", ",", "]") +
+          ",\"load\":" + ts.map(t => f"${t._3}%.1f").mkString("[", ",", "]") +
+          "}"
+      }.mkString("{", ",", "}")
+      val dr = reruns.map { case (k, (s, g, l)) =>
+        "\"" + k + f"\":[$s%.3f,$g,$l%.1f]"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        f"""{"metric":"bench_detail","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"total":$total%.3f,"contended":$contended,$calJson,"runs":$dq,"rerun_quiet_pass":$dr,$b3,$q80Split,"errors":$errs}""" + "\n")
+      System.err.println(s"bench detail -> $detailPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench detail write failed: $e")
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calJson,"queries":$qs,$b3,$q80Split,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()

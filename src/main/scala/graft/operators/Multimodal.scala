@@ -146,7 +146,11 @@ object Multimodal {
       : Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(content)))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+    // (CMMException, IllegalArgumentException, codec index errors) on
+    // corrupt-but-recognized payloads — one bad blob must quarantine,
+    // not fail the job
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real pixel resize: decode the raster, bilinear-scale it to
     * (w, h), re-encode as PNG (lossless — the resized payload stays

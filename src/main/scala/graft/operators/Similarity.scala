@@ -105,7 +105,12 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame =
     truth.select(col("vec_id"), col("neighbor_id"))
-      .join(approx.select(col("vec_id"), col("neighbor_id"))
+      // distinct: a buggy searcher emitting duplicate neighbor rows
+      // would multiply matched truth rows through the join, inflating
+      // n_truth AND n_hit in lockstep — recall could read 1.0 while
+      // coverage is short, masking exactly what this metric exists to
+      // catch
+      .join(approx.select(col("vec_id"), col("neighbor_id")).distinct()
           .withColumn("__hit", lit(1)),
         Seq("vec_id", "neighbor_id"), "left_outer")
       .groupBy("vec_id")

@@ -58,9 +58,17 @@ object RecallProbe {
     val pairCap = if (args.length > 3) args(3).toLong else 20000L
     val k = 10
     val queries = emb.filter(col("vec_id") < nQueries)
+    // Frames every variant depends on (corpus, ground truth, code
+    // tables): after the level-playing-field clearCache they are
+    // re-persisted AND materialized BEFORE the clock starts, so each
+    // timed section measures ONLY its own search. (The r14 probe
+    // cleared globally and re-warmed only emb — every variant's "sec"
+    // silently included a brute-force ground-truth recompute, visible
+    // as inverted orderings like nprobe=16 "faster" than nprobe=8.)
+    val warm = scala.collection.mutable.ArrayBuffer(emb)
     def timeIt[A](f: => A): (A, Double) = {
       spark.catalog.clearCache()
-      emb.persist(); emb.count() // keep the corpus cached across variants
+      warm.foreach { d => d.persist(); d.count() }
       val t0 = System.nanoTime()
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
@@ -72,6 +80,7 @@ object RecallProbe {
         "embedding", k, dim = 64).persist()
       t.count(); t
     }
+    warm += truth
     val out = scala.collection.mutable.ArrayBuffer[String]()
     out += f""""brute":{"recall":1.0,"sec":$bruteSec%.2f}"""
     // IVF nprobe sweep over learned centroids (centroid training timed
@@ -97,6 +106,7 @@ object RecallProbe {
     }
     val codes = Pq.encode(emb, "vec_id", "embedding", cb).persist()
     codes.count()
+    warm += codes
     out += f""""pq_train":{"sec":$pqTrainSec%.2f}"""
     val (adcR, adcSec) = timeIt {
       Similarity.meanRecallAtK(
@@ -120,6 +130,7 @@ object RecallProbe {
     }
     val codes64 = Pq.encode(emb, "vec_id", "embedding", cb64).persist()
     codes64.count()
+    warm += codes64
     out += f""""pq64_train":{"sec":$pq64TrainSec%.2f}"""
     val (adc64R, adc64Sec) = timeIt {
       Similarity.meanRecallAtK(
@@ -169,6 +180,7 @@ object RecallProbe {
     // candidate volume is the price)
     val srpCorpus = emb.filter(col("vec_id") < pairCap).persist()
     val srpN = srpCorpus.count()
+    warm += srpCorpus
     Seq(8, 4).foreach { rpb =>
       val (found, srpSec) = timeIt {
         val f = Similarity.srpNearDupPairs(srpCorpus, "vec_id",
@@ -182,6 +194,14 @@ object RecallProbe {
       out += f""""srp_pairs_rpb$rpb":{"recall":$srpRecall%.4f,"hit":$hit,"truth":$tot,"corpus":$srpN,"sec":$srpSec%.2f}"""
     }
     println(s"""{"metric":"recall","sf":"$sfDir","n":$n,"queries":$nQueries,"k":$k,${out.mkString(",")}}""")
+    // the on-disk IVF-PQ index is probe scratch — reclaim it (multi-GB
+    // /tmp residue per run at larger dirs otherwise)
+    def rm(f: java.io.File): Unit =
+      if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+    rm(new java.io.File(ivfpqPath))
     spark.stop()
   }
 }
