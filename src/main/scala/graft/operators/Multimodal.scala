@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * Pandas `mapInPandas` UDF — one iterator per partition so a real
   * decoder could amortize model/codec init across the batch).
   *
-  * Image decode is REAL for the formats the JVM ships codecs for
-  * (PNG/JPEG/GIF/BMP/WBMP via `javax.imageio` — no external
-  * dependency): header-only parse, true width/height/channels, never
-  * materializing the raster. Payloads no registered reader recognizes
-  * (audio, video, arbitrary bytes) fall back to the DETERMINISTIC STUB:
-  * byte length, md5 fingerprint, digest-derived fake dimensions — the
+  * Image decode, resize, and EMBEDDING are REAL for the formats the
+  * JVM ships codecs for (PNG/JPEG/GIF/BMP/WBMP via `javax.imageio` —
+  * no external dependency): the metadata pass is a header-only parse
+  * (true width/height/channels, raster never materialized), the
+  * resize path bilinear-resamples actual pixels, and [[embedImage]]
+  * projects decoded pixels to patch color means that feed the
+  * Similarity operators (ANN / SemDeDup / near-dup) directly. Payloads
+  * no registered reader recognizes (audio, video, arbitrary bytes)
+  * fall back to the DETERMINISTIC STUB ([[decodeStub]]/[[embedStub]]:
+  * byte length, md5 fingerprint, digest-derived values) — the
   * schema/partitioning/batch contract stays identical either way, so
   * swapping in further codecs is a per-format addition, not a rewrite.
   */
@@ -227,6 +231,111 @@ object Multimodal {
           val end = (len.toLong * (i + 1) / n).toInt
           Frame(b.id, i, n, java.util.Arrays.copyOfRange(
             b.content, start, math.max(end, start + 1).min(len)))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic raster: pixel (x, y) has channel values
+    *
+    * {{{
+    *   r = (seed*31 + x*7  + y*13) % 256
+    *   g = (seed*17 + x*3  + y*5 ) % 256
+    *   b = (seed*29 + x*11 + y*3 ) % 256
+    * }}}
+    *
+    * encoded as PNG (lossless). The formula is trivially re-computable
+    * in SQL, which is what makes the REAL decode→embed path
+    * oracle-checkable end to end: an engine that truly decodes the
+    * PNG and averages real pixels reproduces the formula's patch
+    * means exactly; any decode/indexing/channel-order bug shows up as
+    * a value mismatch. Fixture generator for queries and specs.
+    */
+  def syntheticPng(seed: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((seed * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((seed * 29 + x * 11 + y * 3) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One embedded image row: real pixel features + decode provenance. */
+  case class ImageEmbedding(id: Long, width: Int, height: Int,
+      decoder: String, embedding: Seq[Double])
+
+  /** REAL pixel embedding: decode the raster (actual codec, actual
+    * pixels), average each color channel over a `grid`×`grid` patch
+    * lattice, and emit the 3·grid² patch means ordered
+    * (patch_row, patch_col, [r, g, b]) — a color-moment projection, the
+    * classic pre-neural image descriptor. No model weights, fully
+    * deterministic, so the bytes→pixels→features path is
+    * oracle-checkable; the output column plugs straight into the
+    * Similarity operators (cosine ANN, SemDeDup, near-dup pairs) like
+    * any other embedding. Payloads no codec decodes are DROPPED
+    * (quarantine-over-crash) — callers wanting a total function over
+    * mixed corpora union this with [[embedStub]] on the complement.
+    *
+    * Patch means are exact rationals (sum of 8-bit ints / pixel
+    * count) evaluated identically in any IEEE engine, so oracle
+    * comparison is exact, not epsilon-based.
+    *
+    * Scale shape: one mapPartitions projection, no shuffle; codec init
+    * amortizes per partition. At 100 TB this is the per-blob decode
+    * pass a real encoder would also pay — run AFTER [[dedupStats]]
+    * hygiene so duplicate payloads don't multiply it.
+    */
+  def embedImage(blobs: Dataset[MediaBlob], grid: Int = 4)
+      : Dataset[ImageEmbedding] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { blob =>
+        decodeRaster(blob.content).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val feats = new Array[Double](3 * grid * grid)
+          var gy = 0
+          while (gy < grid) {
+            val y0 = h * gy / grid
+            val y1 = math.max(h * (gy + 1) / grid, y0 + 1).min(h)
+            var gx = 0
+            while (gx < grid) {
+              val x0 = w * gx / grid
+              val x1 = math.max(w * (gx + 1) / grid, x0 + 1).min(w)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = ((y1 - y0) * (x1 - x0)).toDouble
+              val base = (gy * grid + gx) * 3
+              feats(base) = sr / n
+              feats(base + 1) = sg / n
+              feats(base + 2) = sb / n
+              gx += 1
+            }
+            gy += 1
+          }
+          ImageEmbedding(blob.id, w, h, "pixels", feats.toSeq)
         }
       }
     }

@@ -430,6 +430,67 @@ object EnrichmentQueries extends QueryPack {
         CAST(SUM((cnt - 1) * bytes) AS BIGINT) AS reclaim_bytes
       FROM g GROUP BY kind"""))
 
+  /** The multimodal pillar END TO END REAL: synthesize one 16×16 PNG
+    * per document (pixels a pure function of `doc_id % 251` —
+    * [[graft.operators.Multimodal.syntheticPng]]), DECODE it with the
+    * actual codec, embed the decoded pixels as 4×4-patch color means
+    * ([[graft.operators.Multimodal.embedImage]]; exact rationals, so
+    * the oracle compares values exactly), and dedup by embedding
+    * identity — 251 seed classes → every class's docs collapse to one
+    * group. The oracle recomputes the patch means FROM THE PIXEL
+    * FORMULA (PNG is lossless, so true decode ⇒ identical values):
+    * any decode, channel-order, patch-indexing, or averaging bug
+    * hash-mismatches. Group equality doubles as the proof that equal
+    * payloads embed equally and distinct payloads don't collide.
+    *
+    * Scale shape: encode+decode+embed is one mapPartitions projection
+    * (no shuffle); the dedup groups by the 48-double embedding — at
+    * 100 TB you'd group by a digest of it, same plan shape.
+    */
+  val q104 = Q("q104_image_embed_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val blobs = docs.as[Long].mapPartitions { it =>
+        it.map(id => Multimodal.MediaBlob(id, "image",
+          Multimodal.syntheticPng(id % 251)))
+      }
+      val emb = Multimodal.embedImage(blobs, grid = 4).toDF()
+      val grp = emb.groupBy("embedding")
+        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
+      emb.join(grp, "embedding")
+        .select(col("id").as("doc"), col("width"), col("height"),
+          col("grp"), col("grp_size"), col("embedding"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT d.doc_id, d.doc_id % 251 AS seed, x.x, y.y
+        FROM documents d
+        CROSS JOIN generate_series(0, 15) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      pm AS (
+        SELECT doc_id, y // 4 AS gy, x // 4 AS gx,
+          CAST(SUM((seed*31 + x*7 + y*13) % 256) AS DOUBLE) / 16 AS mr,
+          CAST(SUM((seed*17 + x*3 + y*5) % 256) AS DOUBLE) / 16 AS mg,
+          CAST(SUM((seed*29 + x*11 + y*3) % 256) AS DOUBLE) / 16 AS mb
+        FROM px GROUP BY 1, 2, 3),
+      f AS (
+        SELECT doc_id, (gy*4 + gx)*3 + c.c AS idx,
+          CASE c.c WHEN 0 THEN mr WHEN 1 THEN mg ELSE mb END AS val
+        FROM pm CROSS JOIN generate_series(0, 2) AS c(c)),
+      emb AS (
+        SELECT doc_id, list(val ORDER BY idx) AS embedding
+        FROM f GROUP BY doc_id),
+      grp AS (
+        SELECT doc_id % 251 AS seed, MIN(doc_id) AS grp,
+               COUNT(*) AS grp_size
+        FROM documents GROUP BY 1)
+      SELECT e.doc_id AS doc, CAST(16 AS INTEGER) AS width,
+             CAST(16 AS INTEGER) AS height, g.grp, g.grp_size,
+             e.embedding
+      FROM emb e JOIN grp g ON e.doc_id % 251 = g.seed"""))
+
   override def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104)
 }

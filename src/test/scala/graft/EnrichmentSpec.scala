@@ -248,6 +248,46 @@ class EnrichmentSpec extends SparkSpec {
     assert(v == v2)
   }
 
+  test("real image embedding: decoded pixel means exact, duplicate " +
+      "payloads collapse, ANN retrieves the duplicate end to end") {
+    import graft.operators.Similarity
+    // 120 blobs over 40 seed classes -> 3 byte-identical copies each
+    val blobs = spark.range(0, 120).as[Long].map(id =>
+      Multimodal.MediaBlob(id, "image", Multimodal.syntheticPng(id % 40)))
+    val emb = Multimodal.embedImage(blobs, grid = 4)
+    val rows = emb.collect()
+    assert(rows.length == 120 && rows.forall(_.decoder == "pixels"))
+    // the decode is REAL: feature 0 = red mean of patch (0,0) for
+    // seed 0 = mean of (7x+13y)%256 over x,y in 0..3 = 30.0 exactly;
+    // feature 1 = the green formula's mean — any channel-order or
+    // indexing bug fails here
+    val e0 = rows.find(_.id == 0L).get.embedding
+    assert(e0.length == 48)
+    assert(e0.head == 30.0)
+    assert(e0(1) == (for { y <- 0 until 4; x <- 0 until 4 }
+      yield (3 * x + 5 * y) % 256).sum / 16.0)
+    val corpus = emb.toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    // equal payloads embed equally; the 40 classes stay distinct
+    assert(corpus.select("embedding").distinct().count() == 40)
+    // a NEW query payload duplicating seed 7 retrieves all three
+    // corpus copies (ids 7, 47, 87) — brute force and the IVF path
+    // agree, completing bytes -> decode -> embed -> ANN on real pixels
+    val qEmb = Multimodal.embedImage(Seq(Multimodal.MediaBlob(1000L,
+        "image", Multimodal.syntheticPng(7L))).toDS()).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(qEmb, corpus, "vec_id",
+      "embedding", 3, dim = 48)
+    assert(brute.select("neighbor_id").as[Long].collect().toSet ==
+      Set(7L, 47L, 87L))
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      8, iters = 2, dim = 48)
+    val ivf = Similarity.ivfTopK(qEmb, corpus, cents, "vec_id",
+      "embedding", 3, nprobe = 8, dim = 48)
+    assert(ivf.select("neighbor_id").as[Long].collect().toSet ==
+      Set(7L, 47L, 87L))
+  }
+
   test("percentile_disc_exact aggregate equals windowed implementation") {
     PercentileDiscAgg.register(spark)
     val e = Tables(spark, sfDir, "events")
