@@ -200,6 +200,36 @@ object Pq {
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
   }
 
+  /** The composed SERVING search — IVF-PQ shortlist, exact re-rank:
+    * probe-pruned ADC over the cell-partitioned code table
+    * ([[ivfTopK]]) produces a `shortlist`-sized candidate set per
+    * query; only the shortlisted raw vectors are fetched (an id
+    * equi-join, |queries|·shortlist rows) and re-ranked by exact
+    * cosine. This is the configuration a deployment runs: scan cost
+    * bounded by nprobe/ncells of a ~64×-compressed table, recall
+    * bounded by min(cell coverage, shortlist quality) and raised by
+    * turning the nprobe/shortlist dials — the recall-vs-cost curve is
+    * measured in tools.RecallProbe and floor-asserted in PqSpec.
+    */
+  def ivfTopKReranked(spark: SparkSession, indexPath: String,
+      queries: DataFrame, centroids: DataFrame, corpusVecs: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], idCol: String, vecCol: String,
+      k: Int, nprobe: Int, shortlist: Int, dim: Int = -1): DataFrame = {
+    val cand = ivfTopK(spark, indexPath, queries, centroids, codebooks,
+      idCol, vecCol, shortlist, nprobe, dim)
+      .select("vec_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+    cand
+      .join(corpusVecs.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(q), "vec_id")
+      .withColumn("cos", Similarity.cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** ADC search over the probed cells only: the probed cell set is a
     * plan parameter pruning the partitioned scan (directories never
     * opened), then the same one-loop all-query scoring as [[topK]] —

@@ -488,6 +488,167 @@ object SimilarityQueries extends QueryPack {
              d.vec_id IS NULL AS keep
       FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""))
 
+  /** Oracle CTE chain for the SERVING-grade PQ codebook (M=8, K=64,
+    * THREE Lloyd mean-updates — vs q81's oracle-tractability point
+    * M=8/K=16/1 iter): seeds → per-iteration assignment (L2, ties to
+    * the lower code) + mean update + empty-cell carry-over from the
+    * PREVIOUS iteration's codebook, mirroring [[Pq.train]] exactly.
+    * Emits `cb$iters` as the final codebook and `codes` as the corpus
+    * code table.
+    */
+  private def pqCtesK(k: Int, iters: Int): String = {
+    val head = s"""ms AS (SELECT unnest(range(8)) AS m),
+      pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT $k)),
+      cb0 AS (SELECT m.m, s.code, list_slice(s.v, m.m*8+1, m.m*8+8) AS cw
+              FROM pseeds s CROSS JOIN ms m),
+      sub AS (SELECT e.vec_id, m.m,
+                     list_slice(CAST(e.embedding AS DOUBLE[]),
+                                m.m*8+1, m.m*8+8) AS sub
+              FROM embeddings e CROSS JOIN ms m)"""
+    val its = (1 to iters).map { i =>
+      s"""pa$i AS (SELECT vec_id, m, code FROM (
+               SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_distance(s.sub, c.cw) ASC, c.code ASC) AS rn
+               FROM sub s JOIN cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
+      pm$i AS (SELECT m, code, list(mv ORDER BY d) AS cw FROM (
+                  SELECT a.m, a.code, u.d, AVG(u.v) AS mv
+                  FROM pa$i a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+                    LATERAL (SELECT unnest(s.sub) AS v,
+                             generate_subscripts(s.sub, 1) AS d) u
+                  GROUP BY a.m, a.code, u.d) GROUP BY m, code),
+      cb$i AS (SELECT * FROM pm$i
+              UNION ALL
+              SELECT c.m, c.code, c.cw FROM cb${i - 1} c
+              WHERE NOT EXISTS (SELECT 1 FROM pm$i x
+                                WHERE x.m = c.m AND x.code = c.code))"""
+    }.mkString(",\n      ")
+    s"""$head,
+      $its,
+      codes AS (SELECT vec_id, m, code FROM (
+                  SELECT s.vec_id, s.m, c.code,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY list_distance(s.sub, c.cw) ASC, c.code ASC) AS rn
+                  FROM sub s JOIN cb$iters c ON c.m = s.m) WHERE rn = 1)"""
+  }
+
+  /** IVF Lloyd chain with PREFIXED names (iseeds, iaN, icN) so it
+    * composes with [[pqCtesK]] in one WITH — same semantics as
+    * [[lloydCtesK]] / [[Similarity.kmeansCentroids]] (min-id seeds,
+    * cosine assignment, two mean updates → final centroids `ic2`).
+    */
+  private def ivfCtesK(k: Int): String = s"""iseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               CAST(embedding AS DOUBLE[]) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT $k)),
+      ia1 AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN iseeds c) WHERE rn = 1),
+      ic1 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
+          SELECT a.cell_id, u.d, AVG(u.v) AS m
+          FROM ia1 a JOIN embeddings e USING (vec_id),
+            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(e.embedding, 1) AS d) u
+          GROUP BY a.cell_id, u.d) GROUP BY cell_id),
+      ia2 AS (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) DESC,
+                     c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN ic1 c) WHERE rn = 1),
+      ic2 AS (SELECT cell_id, list(m ORDER BY d) AS centroid FROM (
+          SELECT a.cell_id, u.d, AVG(u.v) AS m
+          FROM ia2 a JOIN embeddings e USING (vec_id),
+            LATERAL (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(e.embedding, 1) AS d) u
+          GROUP BY a.cell_id, u.d) GROUP BY cell_id)"""
+
+  /** The SERVING configuration, oracle-pinned end to end: IVF-PQ index
+    * (learned 16-cell IVF, K=64 3-Lloyd PQ codebook — the
+    * serving-grade codebook the r14 recall probe quantified, vs q81's
+    * K=16 oracle point at ADC recall 0.05) → probe-pruned ADC
+    * shortlist(200) at nprobe=8 → exact cosine re-rank → top-10
+    * ([[Pq.ivfTopKReranked]]). This is the configuration a deployment
+    * runs — the same composed path RecallProbe measures recall/cost
+    * curves for and PqSpec floor-asserts; here every stage (IVF
+    * training, PQ training with per-iteration empty-cell carry-over,
+    * encoding, cell assignment, probing, ADC, re-rank) is replicated
+    * in SQL and the final ranking hash-checked. Rank-only output.
+    */
+  val q105 = Q("q105_ivfpq_serving",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 64,
+        iters = 3, dim = 64)
+      val idxPath = s"${sys.props("java.io.tmpdir")}/graft_q105_ivfpq_" +
+        s.sparkContext.applicationId
+      Pq.writeIvfIndex(emb, centroids, "vec_id", "embedding", cb, idxPath)
+      Pq.ivfTopKReranked(s, idxPath, emb.filter(col("vec_id") < 10),
+        centroids, emb, cb, "vec_id", "embedding", k = 10, nprobe = 8,
+        shortlist = 200, dim = 64)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    },
+    Some(s"""
+      WITH ${pqCtesK(64, 3)},
+      ${ivfCtesK(16)},
+      corpus_cells AS (
+        SELECT neighbor_id, cell_id FROM (
+          SELECT e.vec_id AS neighbor_id, c.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                     c.centroid) DESC,
+              c.cell_id ASC) AS rn
+          FROM embeddings e CROSS JOIN ic2 c)
+        WHERE rn = 1),
+      probed AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT q.vec_id, c.cell_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                     c.centroid) DESC,
+              c.cell_id ASC) AS rn
+          FROM embeddings q CROSS JOIN ic2 c
+          WHERE q.vec_id < 10)
+        WHERE rn <= 8),
+      lut AS (SELECT q.vec_id, c.m, c.code,
+                     list_dot_product(
+                       list_slice(CAST(q.embedding AS DOUBLE[]),
+                                  c.m*8+1, c.m*8+8), c.cw) AS val
+              FROM embeddings q CROSS JOIN cb3 c WHERE q.vec_id < 10),
+      adc AS (SELECT l.vec_id, t.vec_id AS neighbor_id,
+                     SUM(l.val) AS score
+              FROM codes t
+              JOIN corpus_cells cc ON cc.neighbor_id = t.vec_id
+              JOIN probed p ON p.cell_id = cc.cell_id
+              JOIN lut l ON l.m = t.m AND l.code = t.code
+                        AND l.vec_id = p.vec_id
+              WHERE t.vec_id <> l.vec_id
+              GROUP BY l.vec_id, t.vec_id),
+      cand AS (SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, neighbor_id ASC) AS rn FROM adc)
+        WHERE rn <= 200),
+      rer AS (SELECT c.vec_id, c.neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.vec_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+      SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rn FROM rer)
+      WHERE rn <= 10"""))
+
   override def all: Seq[Q] =
-    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85, q102)
+    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85, q102, q105)
 }

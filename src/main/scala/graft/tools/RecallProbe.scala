@@ -155,24 +155,19 @@ object RecallProbe {
         ivfpqPath)
     }
     out += f""""ivfpq_index":{"sec":$ivfpqIdxSec%.2f}"""
-    val (ivfpqR, ivfpqSec) = timeIt {
-      import org.apache.spark.sql.expressions.Window
-      val cand = Pq.ivfTopK(spark, ivfpqPath, queries, centroids, cb64,
-        "vec_id", "embedding", k = 200, nprobe = 8, dim = 64)
-        .select("vec_id", "neighbor_id")
-      val q = queries.select(col("vec_id"), col("embedding").as("qv"))
-      val rer = cand
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cv")), "neighbor_id")
-        .join(broadcast(q), "vec_id")
-        .withColumn("cos", Similarity.cosineNative(col("qv"), col("cv")))
-        .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(col("cos").desc, col("neighbor_id").asc)))
-        .filter(col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id")
-      Similarity.meanRecallAtK(rer, truth)
+    // the serving dial: recall rises with nprobe (cell coverage) and
+    // shortlist (what the exact re-rank can fix) — sweep both so the
+    // curve names the cheapest config clearing any given floor
+    Seq((8, 200), (16, 200), (16, 500), (24, 1000)).foreach {
+      case (nprobe, shortlist) =>
+        val (r, sec) = timeIt {
+          Similarity.meanRecallAtK(
+            Pq.ivfTopKReranked(spark, ivfpqPath, queries, centroids,
+              emb, cb64, "vec_id", "embedding", k, nprobe, shortlist,
+              dim = 64), truth)
+        }
+        out += f""""ivfpq_nprobe${nprobe}_rerank$shortlist":{"recall":$r%.4f,"sec":$sec%.2f}"""
     }
-    out += f""""ivfpq_nprobe8_rerank200":{"recall":$ivfpqR%.4f,"sec":$ivfpqSec%.2f}"""
     // SRP-LSH pair recall on the (capped) corpus, across the banding
     // dial: rowsPerBand=8 (q62's config — few, high-precision bands)
     // vs 4 (16 looser bands: per-band collision prob rises from

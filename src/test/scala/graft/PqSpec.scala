@@ -233,4 +233,41 @@ class PqSpec extends SparkSpec {
     assert(s4 >= 0.85, s"srp rowsPerBand=4 pair recall $s4")
     assert(s4 > s8, s"looser bands must raise recall: $s4 vs $s8")
   }
+
+  test("serving config (q105): composed IVF-PQ + rerank recall floor " +
+      "and nprobe monotonicity") {
+    // the configuration q105 oracle-pins and RecallProbe curves:
+    // 16-cell IVF, K=64 3-Lloyd codebook, ADC shortlist 200, exact
+    // re-rank — the floor asserts the COMPOSED path stays serving-fit
+    // (recall bounded by min(cell coverage, shortlist quality))
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", 10, dim).persist()
+    truth.count()
+    val centroids = Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", k = 16, iters = 2, dim = dim)
+    val cb64 = Pq.train(emb, "vec_id", "embedding", m, 64, iters = 3,
+      dim = dim)
+    val idx = java.nio.file.Files
+      .createTempDirectory("pqspec_ivfpq").toString
+    try {
+      Pq.writeIvfIndex(emb, centroids, "vec_id", "embedding", cb64, idx)
+      def recall(nprobe: Int, shortlist: Int): Double =
+        Similarity.meanRecallAtK(
+          Pq.ivfTopKReranked(spark, idx, queries, centroids, emb, cb64,
+            "vec_id", "embedding", 10, nprobe, shortlist, dim), truth)
+      val r8 = recall(8, 200)
+      val r16 = recall(16, 200)
+      assert(r8 >= 0.80, s"ivfpq nprobe=8 rerank@200 recall $r8")
+      // more probed cells can only add candidates
+      assert(r16 >= r8, s"nprobe monotonicity: $r16 < $r8")
+      assert(r16 >= 0.90, s"ivfpq nprobe=16 rerank@200 recall $r16")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
 }
