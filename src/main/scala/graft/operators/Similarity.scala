@@ -338,6 +338,61 @@ object Similarity {
     batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
       .write.partitionBy("cell_id").mode("append").parquet(path)
 
+  /** Compact an IVF index's cell partitions: each touched cell (by
+    * default every cell holding more than one data file — the residue
+    * [[appendToIvfIndex]] leaves, one file per append per cell) is
+    * re-read and rewritten as ceil(rows / targetRowsPerFile) packed
+    * files, swapped in with a rename pair under the index's writer
+    * lock. Untouched cells are never read or written — cost scales
+    * with the fragmented fraction, not the index.
+    *
+    * Search results are identical before and after (same rows, same
+    * cells — spec-pinned); only scan parallelism changes: without
+    * compaction a year of nightly appends makes every probed cell a
+    * 365-file listing whose tiny files each cost a task.
+    *
+    * Visibility: the per-cell directory swap is two renames (out, in)
+    * — atomic enough for the single-writer maintenance windows the
+    * reference schedules all its table swaps in
+    * (`data_refresh_task_factory.py:183-240` promotes ES indices the
+    * same way: build aside, flip alias); a production deployment on an
+    * object store drops this into a lakehouse OPTIMIZE the same way
+    * MergeUpsert drops into MERGE INTO. Readers planning mid-swap are
+    * excluded by the writer lock only on the write side, so schedule
+    * compaction in the same maintenance window as re-clustering.
+    */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Seq[String] = Seq.empty,
+      targetRowsPerFile: Long = 500000L): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.sources.VersionedTable.withWriterLock(spark, path) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cellDirs = fs.listStatus(new Path(path)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+        .map(_.getPath)
+        .filter(p => cells.isEmpty || cells.contains(
+          p.getName.stripPrefix("cell_id=")))
+      cellDirs.foreach { dir =>
+        val dataFiles = fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (dataFiles.size > 1) {
+          val df = spark.read.parquet(dir.toString)
+          val rows = df.count()
+          val parts = math.max(1L,
+            (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          val tmp = new Path(path, s".compact-tmp-${dir.getName}")
+          val old = new Path(path, s".compact-old-${dir.getName}")
+          fs.delete(tmp, true); fs.delete(old, true)
+          df.coalesce(parts).write.parquet(tmp.toString)
+          fs.rename(dir, old)
+          fs.rename(tmp, dir)
+          fs.delete(old, true)
+        }
+      }
+    }
+  }
+
   /** Probed top-nprobe cells per query vector (small aggregate over
     * query × broadcast centroids — never a window over a product).
     */

@@ -180,6 +180,35 @@ class PqSpec extends SparkSpec {
       "embedding", dim)
       .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"))
     assert(idx.exceptAll(expect).isEmpty && expect.exceptAll(idx).isEmpty)
+    // compaction: cells fragmented by the append (build file + append
+    // file) collapse to one packed file each; search results identical
+    def cellFileCounts(): Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("cell_id=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val before = cellFileCounts()
+    assert(before.values.exists(_ > 1), s"append left no fragmentation? $before")
+    Similarity.compactIvfCells(spark, path)
+    val after = cellFileCounts()
+    assert(after.values.forall(_ == 1), s"compaction left fragments: $after")
+    assert(after.keySet == before.keySet)
+    val viaCompacted = Similarity.ivfTopKIndexed(spark, path, queries,
+      centroids, "vec_id", "embedding", 10, nprobe = 4, dim = dim)
+    assert(viaCompacted.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaCompacted).isEmpty)
+    // targeted compaction only touches the named cells: re-fragment one
+    // cell, compact a DIFFERENT one, the fragmented cell keeps its files
+    Similarity.appendToIvfIndex(batch, centroids, "vec_id", "embedding",
+      path)
+    val frag = cellFileCounts().filter(_._2 > 1).keys.head
+      .stripPrefix("cell_id=")
+    val otherCell = after.keys.map(_.stripPrefix("cell_id="))
+      .find(_ != frag).get
+    Similarity.compactIvfCells(spark, path, cells = Seq(otherCell))
+    assert(cellFileCounts()(s"cell_id=$frag") > 1)
   }
 
   test("recall@10 floors vs exact ground truth: IVF nprobe curve, " +
