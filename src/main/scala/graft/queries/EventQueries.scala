@@ -64,19 +64,34 @@ object EventQueries extends QueryPack {
              CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
       FROM sessions GROUP BY user_id, session"""))
 
-  /** Mergeable HLL distinct-count sketches (operators.Sketches). No
-    * DuckDB oracle — sketch estimates are engine-specific — so the
-    * driver records the weaker rows-only check here BY DESIGN (it is
-    * the suite's one intentional rows-only entry, not a gap); the hard
-    * verification is OperatorSpec's 5% error bound against exact
-    * counts and the exact merge-identity property. [[q76]] is the
-    * oracle-checked sketch twin: its KMV estimator is portable SQL and
-    * hash-matches DuckDB bit-for-bit.
+  /** Mergeable HLL distinct-count sketches (operators.Sketches). The
+    * sketch ESTIMATE is engine-specific (Spark's DataSketches HLL has
+    * no DuckDB twin), so the driver-checkable surface is the
+    * INVARIANT, not the bits: each group's exact distinct count plus
+    * whether the HLL estimate lands within the 5% bound the sketch
+    * family guarantees at lgK=12. The oracle asserts the bound holds
+    * (`TRUE`), so a sketch regression past 5% hash-mismatches and
+    * fails the gate — the same bound OperatorSpec golden-pins, made
+    * driver-visible (this retired the suite's one rows-only row).
+    * [[q76]] is the bit-for-bit sketch twin: its KMV estimator is
+    * portable SQL and hash-matches exactly.
     */
   val q56 = Q("q56_distinct_sketch",
-    (s, dir) => graft.operators.Sketches.approxDistinct(
-      Tables(s, dir, "events"), Seq("event_type"), "user_id"),
-    None)
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val est = graft.operators.Sketches.approxDistinct(
+        e, Seq("event_type"), "user_id")
+      e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type"""))
 
   /** KMV (bottom-k) distinct sketch (Sketches.kmvDistinct /
     * functions.KmvSketchAgg) — the sketch whose estimate is portable
