@@ -441,4 +441,251 @@ object ConcreteProviders {
     val start = d.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
     (start.toString, (start + 86400L).toString)
   }
+
+  // =====================================================================
+  // Smithsonian (smithsonian.py) — EDAN `response.rows` batches, CC0
+  // only, multi-image fan-out per record, unit-code sub-providers,
+  // priority-ordered creator selection, hash-prefix slicing.
+  // =====================================================================
+
+  /** `provider_details.SMITHSONIAN_SUB_PROVIDERS:71-117` — source →
+    * unit codes, inverted here to unit code → source (the lookup
+    * `_extract_source` performs per record).
+    */
+  val smithsonianSubProviders: Map[String, String] = Map(
+    "smithsonian_national_museum_of_natural_history" -> Seq(
+      "NMNHANTHRO", "NMNHBIRDS", "NMNHBOTANY", "NMNHEDUCATION",
+      "NMNHENTO", "NMNHFISHES", "NMNHHERPS", "NMNHINV", "NMNHMAMMALS",
+      "NMNHMINSCI", "NMNHPALEO"),
+    "smithsonian_anacostia_museum" -> Seq("ACM"),
+    "smithsonian_cooper_hewitt_museum" -> Seq("CHNDM"),
+    "smithsonian_field_book_project" -> Seq("FBR"),
+    "smithsonian_freer_gallery_of_art" -> Seq("FSG"),
+    "smithsonian_gardens" -> Seq("HAC", "OFEO-SG"),
+    "smithsonian_hirshhorn_museum" -> Seq("HMSG"),
+    "smithsonian_air_and_space_museum" -> Seq("NASM"),
+    "smithsonian_african_american_history_museum" -> Seq("NMAAHC"),
+    "smithsonian_american_history_museum" -> Seq("NMAH"),
+    "smithsonian_american_indian_museum" -> Seq("NMAI"),
+    "smithsonian_african_art_museum" -> Seq("NMAfA"),
+    "smithsonian_portrait_gallery" -> Seq("NPG"),
+    "smithsonian_postal_museum" -> Seq("NPM"),
+    "smithsonian_zoo_and_conservation" -> Seq("NZP"),
+    "smithsonian_american_art_museum" -> Seq("SAAM"),
+    "smithsonian_institution_archives" -> Seq("SIA"),
+    "smithsonian_libraries" -> Seq("SIL")
+  ).flatMap { case (src, codes) => codes.map(_ -> src) }
+
+  /** `smithsonian.py:34-47` description_types — note labels folded
+    * into `meta_data.description`.
+    */
+  val smithsonianDescriptionTypes: Set[String] = Set(
+    "description", "summary", "caption", "notes",
+    "description (brief)", "description (spanish)",
+    "description (brief spanish)", "gallery label", "exhibition label",
+    "luce center label", "publication label", "new acquisition label")
+
+  /** `smithsonian.py:52-105` creator_types — label → preference
+    * (lower wins; ties keep document order, Python sorted is stable).
+    */
+  val smithsonianCreatorTypes: Map[String, Int] = Map(
+    "artist" -> 0, "artist/maker" -> 0, "attributed to" -> 0,
+    "author" -> 0, "created_by" -> 0, "creator" -> 0, "created by" -> 0,
+    "model maker" -> 0, "modeler" -> 0, "photographer" -> 0,
+    "photograph by" -> 0, "written by" -> 0,
+    "architect" -> 1, "designer" -> 1, "designed by" -> 1,
+    "illustrator" -> 1, "illustrated by" -> 1, "cartoonist" -> 1,
+    "weaver" -> 1, "composer" -> 1, "composed by" -> 1,
+    "embroiderer" -> 1, "landscape architect" -> 1, "calligrapher" -> 1,
+    "sculptor" -> 1, "jeweler" -> 1, "potter" -> 1, "ceramist" -> 1,
+    "compiled by" -> 2, "engraver" -> 2, "etcher" -> 2, "maker" -> 2,
+    "silversmith" -> 2, "producer" -> 2, "produced by" -> 2,
+    "metal worker" -> 2, "carver" -> 2, "cartographer" -> 2,
+    "print maker" -> 3, "painter" -> 3, "after" -> 3, "inventor" -> 3,
+    "lithographer" -> 3, "attribution" -> 3, "former attribution" -> 3,
+    "manufactured by" -> 4, "manufacturer" -> 4, "published by" -> 4,
+    "publisher" -> 4, "editor" -> 4,
+    "patentee" -> 5, "collector" -> 6)
+
+  private val siLabeledSchema = ArrayType(StructType(Seq(
+    StructField("label", StringType), StructField("content", StringType))))
+
+  val siMediaSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("content", StringType), StructField("idsId", StringType),
+    StructField("thumbnail", StringType), StructField("type", StringType),
+    StructField("usage", StructType(Seq(
+      StructField("access", StringType)))))))
+
+  /** One EDAN row (`content` + top-level `title`). indexedStructured
+    * `name` is declared as the PERSONAL_MAIN struct list the creator
+    * fallback consumes — responses shipping plain strings there parse
+    * to null, which is exactly `type(i) == dict` filtering them out
+    * (smithsonian.py:371-377).
+    */
+  val smithsonianRowSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("content", StructType(Seq(
+      StructField("descriptiveNonRepeating", StructType(Seq(
+        StructField("record_link", StringType),
+        StructField("guid", StringType),
+        StructField("record_ID", StringType),
+        StructField("unit_code", StringType),
+        StructField("data_source", StringType),
+        StructField("online_media", StructType(Seq(
+          StructField("media", siMediaSchema))))))),
+      StructField("freetext", StructType(Seq(
+        StructField("notes", siLabeledSchema),
+        StructField("name", siLabeledSchema)))),
+      StructField("indexedStructured", StructType(Seq(
+        StructField("name", ArrayType(StructType(Seq(
+          StructField("type", StringType),
+          StructField("content", StringType))))),
+        StructField("date", ArrayType(StringType)),
+        StructField("object_type", ArrayType(StringType)),
+        StructField("topic", ArrayType(StringType)),
+        StructField("place", ArrayType(StringType))))))))))
+
+  val smithsonianResponseSchema: StructType = StructType(Seq(
+    StructField("response", StructType(Seq(
+      StructField("rowCount", LongType),
+      StructField("rows", ArrayType(smithsonianRowSchema)))))))
+
+  /** Raw EDAN search responses → normalized image records, the Spark
+    * image of `SmithsonianDataIngester.get_record_data` +
+    * `_get_associated_images` (smithsonian.py:148-306): one record
+    * fans out to one row PER CC0 image in its media list (the richest
+    * multi-record fan-out of the provider family), sharing the
+    * record-level fields. Drops: records with no landing url
+    * (record_link, then guid), media entries that are not
+    * type=Images/usage=CC0 or lack content/idsId. All records are CC0
+    * (the query itself filters `media_usage:CC0`,
+    * smithsonian.py:120-124). An unknown unit code raises — the
+    * reference treats it as a human-intervention stop
+    * (`_extract_source:344-351`), not a droppable row.
+    */
+  def smithsonian(spark: SparkSession, rawResponses: Dataset[String])
+      : DataFrame = {
+    val subMap = typedlit(smithsonianSubProviders)
+    val prioMap = typedlit(smithsonianCreatorTypes)
+    val descSet = typedlit(smithsonianDescriptionTypes.toSeq)
+
+    val rows = rawResponses.toDF("value")
+      .select(from_json(col("value"), smithsonianResponseSchema).as("r"))
+      .select(explode(col("r.response.rows")).as("row"))
+      .select(col("row.title").as("title"),
+        col("row.content.descriptiveNonRepeating").as("dnr"),
+        col("row.content.freetext").as("ft"),
+        col("row.content.indexedStructured").as("ix"))
+      .withColumn("foreign_landing_url",
+        coalesce(col("dnr.record_link"), col("dnr.guid")))
+      .filter(col("foreign_landing_url").isNotNull &&
+        size(coalesce(col("dnr.online_media.media"),
+          array().cast(siMediaSchema))) > 0)
+
+    // _extract_meta_data (smithsonian.py:317-342): description/label
+    // text accumulate in NOTE ORDER with a leading space each, outer
+    // strip — concat_ws over the filtered note list is the same fold
+    val noteLabel = (n: Column) => lower(trim(n.getField("label")))
+    val noteText = (kind: String) => {
+      val matches = filter(coalesce(col("ft.notes"), array().cast(siLabeledSchema)),
+        n => if (kind == "desc") array_contains(descSet, noteLabel(n))
+             else noteLabel(n) === "label text")
+      val joined = concat_ws(" ",
+        transform(matches, n => coalesce(n.getField("content"), lit(""))))
+      when(trim(joined) =!= "", trim(joined))
+    }
+
+    // _get_creator (smithsonian.py:353-404): keep freetext names whose
+    // label is a known creator type with non-empty content not
+    // containing "unknown"; all entries tying at the best priority
+    // join "a; b and c" in document order; fallback = first
+    // personal_main indexedStructured name
+    val ftNames = filter(coalesce(col("ft.name"), array().cast(siLabeledSchema)),
+      n => element_at(prioMap, lower(coalesce(n.getField("label"), lit("")))).isNotNull &&
+        coalesce(n.getField("content"), lit("")) =!= "" &&
+        !lower(n.getField("content")).contains("unknown"))
+    val bestPrio = array_min(transform(ftNames,
+      n => element_at(prioMap, lower(n.getField("label")))))
+    val topCreators = transform(
+      filter(ftNames, n =>
+        element_at(prioMap, lower(n.getField("label"))) === bestPrio),
+      n => n.getField("content"))
+    val joinedCreator = when(size(topCreators) > 1,
+        concat(array_join(slice(topCreators, lit(1),
+            size(topCreators) - 1), "; "),
+          lit(" and "), element_at(topCreators, -1)))
+      .when(size(topCreators) === 1, element_at(topCreators, 1))
+    val isCreator = filter(
+      coalesce(col("ix.name"),
+        array().cast(ArrayType(StructType(Seq(
+          StructField("type", StringType),
+          StructField("content", StringType)))))),
+      n => lower(coalesce(n.getField("type"), lit(""))) === "personal_main" &&
+        coalesce(n.getField("content"), lit("")) =!= "")
+    val creator = coalesce(joinedCreator,
+      element_at(transform(isCreator, n => n.getField("content")), 1))
+
+    // _extract_tags (smithsonian.py:406-412): date + object_type +
+    // topic + place, truthy entries, document order
+    val tags = filter(
+      concat(Seq("date", "object_type", "topic", "place").map(k =>
+        coalesce(col(s"ix.$k"), array().cast(ArrayType(StringType)))): _*),
+      t => t.isNotNull && t =!= "")
+
+    val source = coalesce(element_at(subMap, trim(col("dnr.unit_code"))),
+      ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.RaiseError(
+        ColumnBridge.expression(concat(
+          lit("An unknown unit code value "), col("dnr.unit_code"),
+          lit(" encountered "))))))
+
+    rows
+      .withColumn("img", explode(col("dnr.online_media.media")))
+      .filter(col("img.type") === "Images" &&
+        col("img.usage.access") === "CC0" &&
+        col("img.content").isNotNull && col("img.idsId").isNotNull)
+      .select(
+        col("img.idsId").as("foreign_identifier"),
+        col("foreign_landing_url"),
+        col("img.content").as("image_url"),
+        lit("cc0").as("license"),
+        lit("1.0").as("license_version"),
+        lit("https://creativecommons.org/publicdomain/zero/1.0/")
+          .as("license_url"),
+        col("title"),
+        creator.as("creator"),
+        map_filter(
+          map(lit("unit_code"), col("dnr.unit_code"),
+            lit("data_source"), col("dnr.data_source"),
+            lit("description"), noteText("desc"),
+            lit("label_text"), noteText("label")),
+          (_, v) => v.isNotNull).as("meta_data"),
+        tags.as("raw_tags"),
+        source.as("source"),
+        lit("smithsonian").as("provider"))
+  }
+
+  /** `_get_hash_prefixes` (smithsonian.py:234-239): the full EDAN
+    * corpus sliced into 16^n hash-prefix sub-queries — the driver-side
+    * partitioning IngestPlanner schedules as independent slices.
+    */
+  def smithsonianHashPrefixes(prefixLength: Int = 2): Seq[String] = {
+    val fmt = s"%0${prefixLength}x"
+    (0 to Integer.parseInt("f" * prefixLength, 16)).map(fmt.format(_))
+  }
+
+  /** `_get_new_and_outdated_unit_codes` (smithsonian.py:189-198) — U2
+    * set difference both ways: codes the API now serves that the
+    * sub-provider map lacks, and mapped codes the API no longer
+    * serves. Non-empty either way = the human-intervention stop
+    * `validate_unit_codes_from_api` raises.
+    */
+  def smithsonianUnitCodeDiff(spark: SparkSession,
+      apiUnitCodes: Dataset[String]): (Seq[String], Seq[String]) = {
+    import spark.implicits._
+    val current = smithsonianSubProviders.keys.toSeq.toDS()
+    val api = apiUnitCodes.distinct()
+    val newCodes = api.except(current).collect().toSeq.sorted
+    val outdated = current.except(api).collect().toSeq.sorted
+    (newCodes, outdated)
+  }
 }

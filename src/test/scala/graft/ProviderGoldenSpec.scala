@@ -1399,4 +1399,160 @@ class ProviderGoldenSpec extends SparkSpec {
         "iiprop" -> WmReturnProps.mediaNoMetadata),
         Map("continue" -> "gaicontinue||", "gaicontinue" -> gai)))
   }
+
+  // ---- smithsonian (concrete config: EDAN response shape) -------------
+
+  private def siResponse(rowJson: String): String =
+    s"""{"response":{"rowCount":1,"rows":[$rowJson]}}"""
+
+  test("smithsonian: reference actual_record_data -> expected record") {
+    val got = ConcreteProviders.smithsonian(spark,
+      Seq(siResponse(fixture("smithsonian/actual_record_data.json"))).toDS())
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // test_smithsonian.py:609-637 expected_data
+    assert(r.getAs[String]("foreign_identifier") ==
+      "https://collections.nmnh.si.edu/media/?irn=15814382")
+    assert(r.getAs[String]("image_url") ==
+      "https://collections.nmnh.si.edu/media/?irn=15814382")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "http://n2t.net/ark:/65665/34857ca78-9195-4156-849b-1ec47f7cd1ce")
+    assert(r.getAs[String]("title") ==
+      "Passerculus sandwichensis nevadensis")
+    assert(r.getAs[String]("license") == "cc0" &&
+      r.getAs[String]("license_version") == "1.0")
+    assert(r.getAs[String]("source") ==
+      "smithsonian_national_museum_of_natural_history")
+    // creator via priority map: "Collector" (6) is the only known type
+    assert(r.getAs[String]("creator") == "Seymour H. Levy")
+    assert(r.getAs[Map[String, String]]("meta_data") == Map(
+      "unit_code" -> "NMNHBIRDS",
+      "data_source" -> "NMNH - Vertebrate Zoology - Birds Division"))
+    assert(r.getAs[collection.Seq[String]]("raw_tags") == Seq(
+      "1950s", "Animals", "Birds", "United States", "Pinal",
+      "North America", "Arizona"))
+    assert(r.getAs[String]("provider") == "smithsonian")
+  }
+
+  test("smithsonian: sub-provider unit code maps; landing-url gate " +
+      "drops; non-CC0 media dropped") {
+    // sub_provider_example.json's dnr has NEITHER record_link nor guid:
+    // get_record_data returns None for such records
+    // (smithsonian.py:153-155, 308-315) — the whole record drops
+    val dropped = ConcreteProviders.smithsonian(spark,
+      Seq(fixture("smithsonian/sub_provider_example.json")).toDS())
+      .collect()
+    assert(dropped.isEmpty)
+    // with a record_link injected, the SIA unit code maps to its
+    // sub-provider source and the image row materializes
+    val withLink = fixture("smithsonian/sub_provider_example.json")
+      .replace("\"record_ID\": \"siris_arc_291918\",",
+        "\"record_ID\": \"siris_arc_291918\",\n      " +
+          "\"record_link\": \"https://siarchives.si.edu/x\",")
+    assert(withLink != fixture("smithsonian/sub_provider_example.json"))
+    val got = ConcreteProviders.smithsonian(spark,
+      Seq(withLink).toDS()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("foreign_identifier") == "SIA-SIA2010-2358")
+    assert(r.getAs[String]("source") == "smithsonian_institution_archives")
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://siarchives.si.edu/x")
+    // multi-image fan-out + per-image CC0 gate: prepend two media
+    // entries (one restricted, one CC0) ahead of the fixture's own
+    val base = fixture("smithsonian/actual_record_data.json")
+    val extra =
+      """"media": [
+        {"content": "https://collections.nmnh.si.edu/media/?irn=xx",
+         "idsId": "id-restricted", "type": "Images",
+         "usage": {"access": "Restricted"}},
+        {"content": "https://collections.nmnh.si.edu/media/?irn=yy",
+         "idsId": "id-2", "type": "Images",
+         "usage": {"access": "CC0"}},"""
+    val twoImages = base.replace("\"media\": [", extra)
+    assert(twoImages != base)
+    val fan = ConcreteProviders.smithsonian(spark,
+      Seq(siResponse(twoImages)).toDS()).collect()
+    assert(fan.map(_.getAs[String]("foreign_identifier")).sorted.toSeq ==
+      Seq("https://collections.nmnh.si.edu/media/?irn=15814382", "id-2"))
+    // every fan-out row shares the record-level fields
+    assert(fan.forall(_.getAs[String]("creator") == "Seymour H. Levy"))
+  }
+
+  test("smithsonian: creator priority ordering, ties join in document " +
+      "order, unknown filtered, personal_main fallback") {
+    def row(ftNames: String, ixNames: String = "[]"): String =
+      s"""{"title":"t","content":{
+        "descriptiveNonRepeating":{"record_link":"http://x","unit_code":"SIA",
+          "data_source":"d","online_media":{"media":[
+            {"content":"http://img","idsId":"i1","type":"Images",
+             "usage":{"access":"CC0"}}]}},
+        "freetext":{"name":$ftNames,"notes":[]},
+        "indexedStructured":{"name":$ixNames}}}"""
+    def creatorOf(ft: String, ix: String = "[]"): String =
+      ConcreteProviders.smithsonian(spark,
+        Seq(siResponse(row(ft, ix))).toDS())
+        .collect().head.getAs[String]("creator")
+    // higher-priority label wins regardless of order
+    assert(creatorOf("""[{"label":"Collector","content":"Low"},
+      {"label":"Artist","content":"High"}]""") == "High")
+    // ties at the same priority join "a; b and c" in document order
+    assert(creatorOf("""[{"label":"Artist","content":"A"},
+      {"label":"Photographer","content":"B"},
+      {"label":"Creator","content":"C"}]""") == "A; B and C")
+    // "unknown" creators are filtered (smithsonian.py:365)
+    assert(creatorOf("""[{"label":"Artist","content":"Unknown artist"},
+      {"label":"Collector","content":"Real Person"}]""") == "Real Person")
+    // no freetext match -> first personal_main indexedStructured name
+    assert(creatorOf("""[{"label":"Vendor","content":"Nope"}]""",
+      """[{"type":"personal_main","content":"Fallback Name"},
+         {"type":"corporate","content":"Org"}]""") == "Fallback Name")
+    // plain-string indexedStructured names (the fixture shape) parse
+    // to null structs and are skipped, like Python's type(i)==dict
+    assert(creatorOf("""[]""", """["Levy, S. H."]""") == null)
+  }
+
+  test("smithsonian: description/label-text folding, hash prefixes, " +
+      "unit-code set difference, unknown unit code raises") {
+    import spark.implicits._
+    def row(notes: String): String =
+      s"""{"title":"t","content":{
+        "descriptiveNonRepeating":{"record_link":"http://x","unit_code":"NPM",
+          "data_source":"d","online_media":{"media":[
+            {"content":"http://img","idsId":"i1","type":"Images",
+             "usage":{"access":"CC0"}}]}},
+        "freetext":{"name":[],"notes":$notes},
+        "indexedStructured":{}}}"""
+    // description_types fold in note order; "Label Text" folds apart;
+    // unknown labels skipped (test_smithsonian.py description cases)
+    val md = ConcreteProviders.smithsonian(spark, Seq(siResponse(row(
+      """[{"label":"Summary","content":"first part"},
+         {"label":"Record ID","content":"skipped"},
+         {"label":"Description","content":"second part"},
+         {"label":"Label Text","content":"the label"}]"""))).toDS())
+      .collect().head.getAs[Map[String, String]]("meta_data")
+    assert(md("description") == "first part second part")
+    assert(md("label_text") == "the label")
+    // hash-prefix slicing: 16^2 two-hex-digit prefixes, in order
+    val prefixes = ConcreteProviders.smithsonianHashPrefixes(2)
+    assert(prefixes.length == 256 && prefixes.head == "00" &&
+      prefixes(255) == "ff" && prefixes(17) == "11")
+    assert(ConcreteProviders.smithsonianHashPrefixes(1).length == 16)
+    // U2 set difference: new codes from the API, outdated in the map
+    val (newC, outdated) = ConcreteProviders.smithsonianUnitCodeDiff(
+      spark, (ConcreteProviders.smithsonianSubProviders.keys.toSeq
+        .filter(_ != "SIA") :+ "BRANDNEW").toDS())
+    assert(newC == Seq("BRANDNEW") && outdated == Seq("SIA"))
+    // an unknown unit code is a human-intervention stop, not a drop
+    val bad = row("[]").replace("\"NPM\"", "\"NOTAUNIT\"")
+    val err = intercept[Exception] {
+      ConcreteProviders.smithsonian(spark,
+        Seq(siResponse(bad)).toDS()).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (Option(t.getMessage).getOrElse("") + "|") +
+        msgs(t.getCause)
+    assert(msgs(err).contains("NOTAUNIT"))
+  }
 }
