@@ -22,15 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <root>/_LATEST_MANIFEST               text: committed manifest version
   * }}}
   *
-  * A commit stages the new segment directory, writes a NEW manifest file
-  * listing all member directories (a few bytes per segment), then
-  * atomically publishes it by renaming a temp pointer over
-  * `_LATEST_MANIFEST` — the same single-atomic-rename discipline as
-  * [[VersionedTable.commit]]. Readers resolve the pointer once per plan
-  * and scan exactly the member directories; a crashed writer leaves an
-  * orphan segment that no manifest references (invisible; reclaimed by
-  * [[vacuum]]). Manifests are themselves versioned, so time travel works
-  * the same way: `read(asOfVersion = Some(v))` scans manifest v's members.
+  * A commit stages the new segment directory, then creates a NEW
+  * manifest file listing all member directories (a few bytes per
+  * segment) with overwrite=false — that create IS the commit, and acts
+  * as a compare-and-swap between concurrent writers: the loser's create
+  * fails, it recomputes the member list from the winner's manifest and
+  * retries, so racing appends/compactions never drop each other's
+  * segments (the log-file commit discipline of lakehouse formats). The
+  * `_LATEST_MANIFEST` pointer is a read fast-path rolled forward after
+  * the commit; [[currentVersion]] takes the newest manifest as truth if
+  * the pointer lags. A crashed writer leaves an orphan segment that no
+  * manifest references (invisible; reclaimed by [[vacuum]]). Manifests
+  * are themselves versioned, so time travel works the same way:
+  * `read(asOfVersion = Some(v))` scans manifest v's members.
   *
   * The price of O(batch) appends is segment-count growth; [[compact]]
   * rewrites the table as one packed segment under a fresh manifest
@@ -65,12 +69,22 @@ object SegmentedTable {
   /** Committed manifest version, or None for a table with no manifest
     * (uninitialized, or a legacy [[VersionedTable]] layout — see
     * [[adopt]]).
+    *
+    * The COMMIT POINT is the manifest file's creation (see [[publish]]);
+    * the pointer file is a read fast-path that a writer rolls forward
+    * AFTER committing. A writer that crashed (or was beaten to the
+    * pointer flip by a later committer) can leave the pointer lagging
+    * the newest manifest, so the committed version is the max of the
+    * two — a lagging pointer must never hide a committed manifest from
+    * the next appender, or its segments would be dropped from the
+    * successor manifest (lost update).
     */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val p = new Path(root, Pointer)
     if (!f.exists(p)) None
-    else Some(readSmall(f, p).trim.toLong)
+    else Some(math.max(readSmall(f, p).trim.toLong,
+      maxNumbered(f, root, "_manifest-")))
   }
 
   /** Member segment directory NAMES of the committed (or as-of)
@@ -106,29 +120,66 @@ object SegmentedTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Publish `memberDirs` as the next manifest version (atomic pointer
-    * flip; same temp-write + rename-with-OVERWRITE primitive as
-    * [[VersionedTable.commit]]).
+  /** Publish the manifest produced by `build` (from the prior committed
+    * member list) as the next version, with optimistic concurrency:
+    * creating `_manifest-NNNNNNNN` with overwrite=false is the
+    * compare-and-swap — exactly one writer can create a given version,
+    * so a loser recomputes `prior` from the winner's manifest and
+    * retries, and NO committed segment is ever dropped by a concurrent
+    * append (the lost-update failure mode of read-members-then-write).
+    * The pointer file is rolled forward after the commit as a read
+    * fast-path; [[currentVersion]] treats the newest manifest as truth,
+    * so a crash between the two leaves a committed, readable version.
+    *
+    * Atomicity of create-no-overwrite is the filesystem's: exact on
+    * HDFS/ABFS-style stores, best-effort (exists-then-create) on the
+    * local filesystem — same contract log-based lakehouse formats
+    * document for their commit files.
     */
   private def publish(spark: SparkSession, root: String,
-      memberDirs: Seq[String]): Long = {
+      build: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, root)
-    val next = math.max(currentVersion(spark, root).getOrElse(0L),
-      maxNumbered(f, root, "_manifest-")) + 1L
-    val mp = manifestPath(root, next)
-    val mout = f.create(mp, false)
-    try mout.write(memberDirs.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally mout.close()
-    val tmp = new Path(root, s".${Pointer}.tmp-$next")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(root, Pointer),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    next
+    var attempt = 0
+    while (true) {
+      val cur = math.max(currentVersion(spark, root).getOrElse(0L),
+        maxNumbered(f, root, "_manifest-"))
+      val prior =
+        if (cur == 0L) Seq.empty[String]
+        else members(spark, root, Some(cur))
+      val next = cur + 1L
+      val mp = manifestPath(root, next)
+      val created =
+        try {
+          val mout = f.create(mp, false)
+          try mout.write(build(prior).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+          finally mout.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.FileNotFoundException => false // HDFS variant
+        }
+      if (created) {
+        // roll the read fast-path forward; failure here is benign (the
+        // manifest IS the commit, and the next publish heals the lag)
+        try {
+          val tmp = new Path(root, s".${Pointer}.tmp-$next")
+          val out = f.create(tmp, true)
+          try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, new Path(root, Pointer),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        return next
+      }
+      attempt += 1
+      if (attempt > 1000) throw new IllegalStateException(
+        s"manifest commit livelock after $attempt attempts at $root")
+      Thread.sleep(5)
+    }
+    0L // unreachable
   }
 
   /** Stage `df` as a new segment directory (skipping past orphans) and
@@ -149,20 +200,19 @@ object SegmentedTable {
     */
   def commitFull(df: DataFrame, root: String): Long = {
     val name = stageSegment(df, root)
-    publish(df.sparkSession, root, Seq(name))
+    publish(df.sparkSession, root, _ => Seq(name))
   }
 
   /** The O(batch) append: write ONLY `df`'s rows as a new segment, then
     * publish a manifest of old members + the new segment. Bytes written
-    * scale with `df`, never with the table.
+    * scale with `df`, never with the table. Concurrency-safe: the
+    * member list is recomputed inside [[publish]]'s CAS loop, so an
+    * append racing another append (or a compaction) folds its segment
+    * into whatever manifest actually won.
     */
   def appendSegment(df: DataFrame, root: String): Long = {
-    val spark = df.sparkSession
-    val prior =
-      if (currentVersion(spark, root).isDefined) members(spark, root)
-      else Seq.empty
     val name = stageSegment(df, root)
-    publish(spark, root, prior :+ name)
+    publish(df.sparkSession, root, _ :+ name)
   }
 
   /** Upgrade a legacy [[VersionedTable]] layout in place: publish a
@@ -175,17 +225,27 @@ object SegmentedTable {
       val v = VersionedTable.currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(
           s"cannot adopt $root: no VersionedTable commit to adopt"))
-      publish(spark, root, Seq(f"_v$v%08d"))
+      publish(spark, root, _ => Seq(f"_v$v%08d"))
     }
 
   /** Rewrite the table as ONE segment with `pack` applied (file-count
     * control) and publish it as the next manifest — the segment-growth
     * antidote. Readers flip atomically; superseded segments remain
-    * until [[vacuum]].
+    * until [[vacuum]]. Concurrency-safe like lakehouse OPTIMIZE: the
+    * successor manifest keeps any segment committed AFTER the snapshot
+    * this compaction read (publish's CAS recomputes `prior`), so a
+    * racing append is folded in, never dropped.
     */
   def compact(spark: SparkSession, root: String,
-      pack: DataFrame => DataFrame = identity): Long =
-    commitFull(pack(read(spark, root)), root)
+      pack: DataFrame => DataFrame = identity): Long = {
+    val packed = members(spark, root) // the snapshot being rewritten
+    val name = stageSegment(
+      pack(spark.read.parquet(
+        packed.map(m => new Path(root, m).toString): _*)), root)
+    val packedSet = packed.toSet
+    publish(spark, root,
+      prior => name +: prior.filterNot(packedSet.contains))
+  }
 
   /** Delete segment directories and manifests not reachable from the
     * newest `keepManifests` manifest versions. Orphaned (crashed-writer)
@@ -213,9 +273,13 @@ object SegmentedTable {
           n.startsWith("_v") ||
           (n.startsWith("_seg") && scala.util.Try(
             n.stripPrefix("_seg").toLong).toOption.exists(_ < maxLiveSeg)))
+        // only manifests strictly OLDER than the retention window are
+        // dead: one numbered above `cur` is a concurrent writer's
+        // commit racing this vacuum — deleting it would revoke a
+        // committed version
         val isDeadManifest = n.startsWith("_manifest-") && scala.util.Try(
           n.stripPrefix("_manifest-").toLong).toOption
-          .exists(v => !keptVersions.contains(v))
+          .exists(v => v < keptVersions.head)
         if (isDeadSegment || isDeadManifest) f.delete(p, true)
       }
     }

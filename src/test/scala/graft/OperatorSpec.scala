@@ -1536,4 +1536,53 @@ class OperatorSpec extends SparkSpec {
     assert(got.exceptAll(freshAll).isEmpty &&
       freshAll.exceptAll(got).isEmpty)
   }
+
+  test("SegmentedTable commit protocol: a lagging pointer never hides " +
+      "a committed manifest, and compaction folds in a racing append") {
+    import graft.sources.SegmentedTable
+    val root = java.nio.file.Files.createTempDirectory("segtab_cas")
+      .toString
+    def part(lo: Int, hi: Int) =
+      spark.range(lo, hi).toDF("id").coalesce(1)
+    def allIds(): Set[Long] = SegmentedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    SegmentedTable.commitFull(part(0, 10), root) // manifest 1
+    SegmentedTable.appendSegment(part(10, 20), root) // manifest 2
+    // simulate a concurrent writer that COMMITTED manifest 3 (data
+    // segment staged, manifest file created) but died before rolling
+    // the pointer forward — the exact state publish's crash window
+    // leaves behind
+    part(20, 30).write.parquet(s"$root/_seg00000099")
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifest-00000002")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifest-00000003"),
+      (m2 + "\n_seg00000099").getBytes("UTF-8"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_LATEST_MANIFEST")), "UTF-8")
+      .trim == "2")
+    // truth is the newest manifest, not the pointer ...
+    assert(SegmentedTable.currentVersion(spark, root) == Some(3L))
+    // ... so an append builds on manifest 3: were it built on the
+    // pointer, the crashed writer's committed segment would vanish
+    // from manifest 4 (lost update)
+    SegmentedTable.appendSegment(part(30, 40), root)
+    assert(SegmentedTable.currentVersion(spark, root) == Some(4L))
+    assert(allIds() == (0L until 40L).toSet)
+    // compaction vs racing append: the append commits BETWEEN compact's
+    // member snapshot and its publish (pack runs on the driver in that
+    // window); OPTIMIZE semantics require the successor manifest to
+    // keep it
+    SegmentedTable.compact(spark, root, pack = d => {
+      SegmentedTable.appendSegment(part(40, 50), root)
+      d.coalesce(1)
+    })
+    assert(allIds() == (0L until 50L).toSet)
+    val ms = SegmentedTable.members(spark, root)
+    assert(ms.size == 2) // the packed segment + the raced append
+    // retention floor: vacuum to the newest manifest only — the table
+    // still reads complete (packed ∪ raced), superseded segments gone
+    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    assert(allIds() == (0L until 50L).toSet)
+  }
 }
