@@ -295,8 +295,9 @@ object DedupeQueries extends QueryPack {
     (s, dir) => {
       import graft.operators.SignatureStore
       val docs = Tables(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q80_store").toString
+      // one-slot scratch: building here, consumed when the returned
+      // frame materializes; the NEXT q80 invocation reclaims it
+      val store = graft.core.TempDirs.claim("graft_q80_store")
       val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
       val (bands0, labels0) = SignatureStore.ensureCorpusState(s, store,
         docs.filter(col("doc_id") % 4 < 2), "doc_id", "text", k, n, rpb, minJ)
