@@ -368,27 +368,57 @@ object Similarity {
     graft.sources.VersionedTable.withWriterLock(spark, path) {
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cellDirs = fs.listStatus(new Path(path)).toSeq
+      val fragNames = fs.listStatus(new Path(path)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
         .map(_.getPath)
         .filter(p => cells.isEmpty || cells.contains(
           p.getName.stripPrefix("cell_id=")))
-      cellDirs.foreach { dir =>
-        val dataFiles = fs.listStatus(dir).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        if (dataFiles.size > 1) {
-          val df = spark.read.parquet(dir.toString)
-          val rows = df.count()
-          val parts = math.max(1L,
-            (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-          val tmp = new Path(path, s".compact-tmp-${dir.getName}")
-          val old = new Path(path, s".compact-old-${dir.getName}")
-          fs.delete(tmp, true); fs.delete(old, true)
-          df.coalesce(parts).write.parquet(tmp.toString)
+        .filter(p => fs.listStatus(p)
+          .count(_.getPath.getName.endsWith(".parquet")) > 1)
+        .map(_.getName.stripPrefix("cell_id="))
+      if (fragNames.nonEmpty) {
+        // ONE pruned scan + ONE partitioned write for EVERY fragmented
+        // cell, not a read-count-rewrite loop per cell: the loop
+        // schedules 2 Spark jobs per cell and is pure job overhead at
+        // real cell counts (measured 117s for 390 near-empty cells at
+        // the 100x dir; a production index has 10^4+ cells). The
+        // filter is a partition-column predicate, so only fragmented
+        // directories are ever read — cost still scales with the
+        // fragmented fraction, not the index.
+        val frag = spark.read.parquet(path)
+          .filter(col("cell_id").cast("string").isin(fragNames: _*))
+        // rows per cell -> packed file count per cell (cells are a plan
+        // parameter, ~sqrt(n); collecting one count per fragmented cell
+        // is the same discipline as the probed-cell list)
+        val nfDf = frag.groupBy(col("cell_id").cast("string")
+            .as("__cell_str"))
+          .agg(ceil(count(lit(1)).cast("double") / targetRowsPerFile)
+            .cast("int").as("__nfiles"))
+        val dataCols = frag.columns.filter(_ != "cell_id").map(col)
+        val totalFiles = math.max(1,
+          nfDf.agg(sum("__nfiles")).head().getLong(0).toInt)
+        val tmpRoot = new Path(path, ".compact-tmp")
+        fs.delete(tmpRoot, true)
+        frag
+          .withColumn("__cell_str", col("cell_id").cast("string"))
+          .join(broadcast(nfDf), "__cell_str")
+          // deterministic intra-cell bucket so an oversize cell still
+          // packs to ceil(rows/target) files after the shuffle
+          .withColumn("__bucket",
+            pmod(xxhash64(dataCols: _*), col("__nfiles").cast("long")))
+          .repartition(totalFiles, col("cell_id"), col("__bucket"))
+          .drop("__cell_str", "__nfiles", "__bucket")
+          .write.partitionBy("cell_id").parquet(tmpRoot.toString)
+        fragNames.foreach { c =>
+          val dir = new Path(path, s"cell_id=$c")
+          val packed = new Path(tmpRoot, s"cell_id=$c")
+          val old = new Path(path, s".compact-old-cell_id=$c")
+          fs.delete(old, true)
           fs.rename(dir, old)
-          fs.rename(tmp, dir)
+          fs.rename(packed, dir)
           fs.delete(old, true)
         }
+        fs.delete(tmpRoot, true)
       }
     }
   }
