@@ -213,7 +213,8 @@ object SignatureStore {
     * snapshot directory as segment zero, zero bytes rewritten.
     */
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
-      mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int): Unit = {
+      mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int,
+      tag: Option[String] = None): Unit = {
     // a pre-bands-layout store upgrades here too — appendBatch has the
     // banding parameters, so reading it must not throw
     ensureBands(spark, root, numHashes, rowsPerBand)
@@ -227,17 +228,27 @@ object SignatureStore {
     val batch = batchSig.persist()
     try {
       val batchRows = batch.count()
-      SegmentedTable.appendSegment(
-        batch.coalesce(autoPartitions(batchRows)), sigsRoot(root))
+      // tagged appends are idempotent PER TABLE: a replay after a crash
+      // midway through this method (streaming foreachBatch retries the
+      // whole batch) skips the tables that already committed this tag
+      // and completes the rest — effective exactly-once without a
+      // cross-table transaction
+      if (!tag.exists(t => SegmentedTable.hasTag(spark, sigsRoot(root), t)))
+        SegmentedTable.appendSegment(
+          batch.coalesce(autoPartitions(batchRows)), sigsRoot(root), tag)
       // band segment: the batch's rows banded once, at commit time —
       // the nightly read must never re-derive them. File count sized
       // from the segment's BAND rows (nBands × batch), not the corpus
       val nBands = numHashes / rowsPerBand
-      SegmentedTable.appendSegment(
-        Dedupe.bandRowsOf(batch, numHashes, rowsPerBand)
-          .coalesce(autoPartitions(batchRows * nBands)),
-        bandsRoot(root))
+      if (!tag.exists(t => SegmentedTable.hasTag(spark, bandsRoot(root), t)))
+        SegmentedTable.appendSegment(
+          Dedupe.bandRowsOf(batch, numHashes, rowsPerBand)
+            .coalesce(autoPartitions(batchRows * nBands)),
+          bandsRoot(root), tag)
     } finally batch.unpersist()
+    // the labels snapshot commit is idempotent BY VALUE: a replay
+    // recomputes the same contracted map and commits an identical next
+    // version (an extra time-travel entry, not duplicate state)
     VersionedTable.commit(mergedLabels, labelsRoot(root))
   }
 

@@ -109,14 +109,23 @@ object SegmentedTable {
       members(spark, root, asOfVersion)
         .map(m => new Path(root, m).toString): _*)
 
+  /** Parse the sequence number of a `<prefix>NNNNNNNN[-tag]` name —
+    * the digits immediately after the prefix (tagged segments carry a
+    * writer-supplied suffix; see [[appendSegment]]).
+    */
+  private def numberOf(name: String, prefix: String): Option[Long] =
+    if (!name.startsWith(prefix)) None
+    else {
+      val digits = name.stripPrefix(prefix).takeWhile(_.isDigit)
+      if (digits.isEmpty) None else scala.util.Try(digits.toLong).toOption
+    }
+
   private def maxNumbered(f: FileSystem, root: String,
       prefix: String): Long = {
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) 0L
     else f.listStatus(rootPath).toSeq
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix(prefix).toLong).toOption
-        .filter(_ => s.getPath.getName.startsWith(prefix)))
+      .flatMap(s => numberOf(s.getPath.getName, prefix))
       .foldLeft(0L)(math.max)
   }
 
@@ -183,17 +192,34 @@ object SegmentedTable {
   }
 
   /** Stage `df` as a new segment directory (skipping past orphans) and
-    * return its name — NOT yet visible to readers.
+    * return its name — NOT yet visible to readers. An optional tag
+    * becomes a `-tag` suffix on the directory name, queryable via
+    * [[hasTag]].
     */
-  private def stageSegment(df: DataFrame, root: String): String = {
+  private def stageSegment(df: DataFrame, root: String,
+      tag: Option[String] = None): String = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val n = maxNumbered(f, root, "_seg") + 1L
-    val name = f"_seg$n%08d"
+    val suffix = tag.map { t =>
+      require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_'),
+        s"segment tag must be [A-Za-z0-9_]+: '$t'")
+      s"-$t"
+    }.getOrElse("")
+    val name = f"_seg$n%08d$suffix"
     df.write.mode("errorifexists")
       .parquet(new Path(root, name).toString)
     name
   }
+
+  /** True if a COMMITTED segment carries `tag` — the replay guard for
+    * idempotent appends: a writer that tags each append with its batch
+    * id can detect, after a crash-and-retry, that this table already
+    * holds the batch (exactly-once folding for streaming sinks).
+    */
+  def hasTag(spark: SparkSession, root: String, tag: String): Boolean =
+    currentVersion(spark, root).isDefined &&
+      members(spark, root).exists(_.endsWith(s"-$tag"))
 
   /** Initialize (or REPLACE — compaction's primitive) the table with
     * `df` as its single segment.
@@ -210,8 +236,9 @@ object SegmentedTable {
     * append racing another append (or a compaction) folds its segment
     * into whatever manifest actually won.
     */
-  def appendSegment(df: DataFrame, root: String): Long = {
-    val name = stageSegment(df, root)
+  def appendSegment(df: DataFrame, root: String,
+      tag: Option[String] = None): Long = {
+    val name = stageSegment(df, root, tag)
     publish(df.sparkSession, root, _ :+ name)
   }
 
@@ -264,15 +291,13 @@ object SegmentedTable {
       // concurrent writer's staged-but-unpublished data — keep it; one
       // below the committed high-water mark that no kept manifest
       // references is definitely dead (stale crash orphan or compacted)
-      val maxLiveSeg = live.flatMap(n => scala.util.Try(
-        n.stripPrefix("_seg").toLong).toOption
-        .filter(_ => n.startsWith("_seg"))).foldLeft(0L)(math.max)
+      val maxLiveSeg = live.flatMap(n => numberOf(n, "_seg"))
+        .foldLeft(0L)(math.max)
       f.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
         val n = p.getName
         val isDeadSegment = !live.contains(n) && (
           n.startsWith("_v") ||
-          (n.startsWith("_seg") && scala.util.Try(
-            n.stripPrefix("_seg").toLong).toOption.exists(_ < maxLiveSeg)))
+          numberOf(n, "_seg").exists(_ < maxLiveSeg))
         // only manifests strictly OLDER than the retention window are
         // dead: one numbered above `cur` is a concurrent writer's
         // commit racing this vacuum — deleting it would revoke a
