@@ -29,9 +29,13 @@ import graft.sources.SegmentedTable
   * Scale: per micro-batch cost is O(batch + true collisions) — the
   * candidate pass semi-joins the corpus band table against the batch's
   * band keys before any exchange ([[Dedupe.incrementalFromStore]]), and
-  * the commits write only batch-sized segments. The doc-text corpus
-  * (needed to verify batch-vs-corpus candidate pairs) rides its own
-  * [[SegmentedTable]], appended with the same tag discipline.
+  * the sig/band/doc commits write only batch-sized segments. The
+  * doc-text corpus (needed to verify batch-vs-corpus candidate pairs)
+  * rides its own [[SegmentedTable]], appended with the same tag
+  * discipline. The one per-fold cost that scales with corpus is the
+  * contracted LABELS snapshot (2 longs per doc — two orders below the
+  * signatures the delta layout stopped rewriting): size the trigger to
+  * a maintenance cadence (hourly/nightly), not a per-second stream.
   */
 object StreamingDedupe {
 
@@ -67,9 +71,12 @@ object StreamingDedupe {
       val bands = SignatureStore.readBands(spark, storeRoot)
       val (_, labels) = SignatureStore.read(spark, storeRoot)
       // text lookup must cover both candidate sides: corpus docs (from
-      // the persisted doc table) and this batch's docs
+      // the persisted doc table) and this batch's docs. Plain union, no
+      // distinct: the committed doc table can never contain this batch
+      // (its commit is LAST and tag-guarded above), and a corpus-wide
+      // dedup shuffle per micro-batch would violate the O(batch) loop
       val merged = Dedupe.incrementalFromStore(bands, labels, docsBatch,
-        corpusDocs.unionByName(docsBatch).distinct(), idCol, textCol,
+        corpusDocs.unionByName(docsBatch), idCol, textCol,
         shingleK, numHashes, rowsPerBand, minJaccard)
       SignatureStore.appendBatch(spark, storeRoot,
         Dedupe.minhashWide(docsBatch, idCol, textCol, shingleK,
