@@ -413,10 +413,17 @@ object Similarity {
           val dir = new Path(path, s"cell_id=$c")
           val packed = new Path(tmpRoot, s"cell_id=$c")
           val old = new Path(path, s".compact-old-cell_id=$c")
-          fs.delete(old, true)
-          fs.rename(dir, old)
-          fs.rename(packed, dir)
-          fs.delete(old, true)
+          // a fragmented cell whose files hold ZERO rows produces no
+          // packed directory — leave it in place rather than blindly
+          // renaming it away (a failed swap half-done deletes data)
+          if (fs.exists(packed)) {
+            fs.delete(old, true)
+            require(fs.rename(dir, old),
+              s"compact: failed to retire $dir")
+            require(fs.rename(packed, dir),
+              s"compact: failed to install $packed; original at $old")
+            fs.delete(old, true)
+          }
         }
         fs.delete(tmpRoot, true)
       }

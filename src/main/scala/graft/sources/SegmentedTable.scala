@@ -87,15 +87,28 @@ object SegmentedTable {
       maxNumbered(f, root, "_manifest-")))
   }
 
+  private def manifestLines(f: FileSystem, root: String,
+      v: Long): Seq[String] =
+    readSmall(f, manifestPath(root, v))
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** Member segment directory NAMES of the committed (or as-of)
-    * manifest, in commit order.
+    * manifest, in commit order. `#`-prefixed lines are manifest
+    * metadata (durable tags — see [[hasTag]]), not members.
     */
   def members(spark: SparkSession, root: String,
       asOfVersion: Option[Long] = None): Seq[String] = {
     val v = asOfVersion.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
-    readSmall(fs(spark, root), manifestPath(root, v))
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    manifestLines(fs(spark, root), root, v).filterNot(_.startsWith("#"))
+  }
+
+  /** The tag carried by a segment directory name, if any. */
+  private def tagOfMember(name: String): Option[String] = {
+    val i = name.indexOf('-')
+    if (i < 0) None
+    else Some(name.substring(i + 1))
+      .filter(t => t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_'))
   }
 
   /** Read the committed snapshot: a union scan over the manifest's
@@ -140,10 +153,20 @@ object SegmentedTable {
     * fast-path; [[currentVersion]] treats the newest manifest as truth,
     * so a crash between the two leaves a committed, readable version.
     *
-    * Atomicity of create-no-overwrite is the filesystem's: exact on
-    * HDFS/ABFS-style stores, best-effort (exists-then-create) on the
-    * local filesystem — same contract log-based lakehouse formats
-    * document for their commit files.
+    * The manifest is STAGED complete (temp file) and committed by a
+    * no-overwrite rename, so a crash mid-write can never leave a
+    * truncated member list as the committed truth; the rename's
+    * exclusivity is the CAS. Atomicity is the filesystem's: exact on
+    * HDFS-style stores, best-effort on the local filesystem — same
+    * contract log-based lakehouse formats document for their commit
+    * files.
+    *
+    * Durable tags: a tag rides its segment's directory name while the
+    * segment is a member; when a successor manifest DROPS a tagged
+    * member (compaction packed it away), the tag is carried forward as
+    * a `#tag:` metadata line — so [[hasTag]]'s replay-guard answer
+    * survives compaction, and a crashed streaming batch cannot be
+    * double-applied just because maintenance ran in between.
     */
   private def publish(spark: SparkSession, root: String,
       build: Seq[String] => Seq[String]): Long = {
@@ -152,21 +175,40 @@ object SegmentedTable {
     while (true) {
       val cur = math.max(currentVersion(spark, root).getOrElse(0L),
         maxNumbered(f, root, "_manifest-"))
-      val prior =
+      val priorLines =
         if (cur == 0L) Seq.empty[String]
-        else members(spark, root, Some(cur))
+        else manifestLines(f, root, cur)
+      val prior = priorLines.filterNot(_.startsWith("#"))
+      val nextMembers = build(prior)
+      val priorTagLines = priorLines.filter(_.startsWith("#tag:"))
+      val droppedTagLines = prior.filterNot(nextMembers.contains)
+        .flatMap(tagOfMember).map(t => s"#tag:$t")
+      val content = ((priorTagLines ++ droppedTagLines).distinct
+        ++ nextMembers).mkString("\n")
       val next = cur + 1L
       val mp = manifestPath(root, next)
       val created =
         try {
-          val mout = f.create(mp, false)
-          try mout.write(build(prior).mkString("\n")
-            .getBytes(StandardCharsets.UTF_8))
+          val tmp = new Path(root,
+            s".manifest-$next.tmp-${java.util.UUID.randomUUID()}")
+          val mout = f.create(tmp, true)
+          try mout.write(content.getBytes(StandardCharsets.UTF_8))
           finally mout.close()
-          true
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+          try { fc.rename(tmp, mp); true } // no OVERWRITE: the CAS
+          catch {
+            case e: Throwable =>
+              f.delete(tmp, false)
+              e match {
+                case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                  false
+                case _: java.io.IOException if f.exists(mp) => false
+                case _ => throw e
+              }
+          }
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.FileNotFoundException => false // HDFS variant
         }
       if (created) {
         // roll the read fast-path forward; failure here is benign (the
@@ -218,8 +260,12 @@ object SegmentedTable {
     * holds the batch (exactly-once folding for streaming sinks).
     */
   def hasTag(spark: SparkSession, root: String, tag: String): Boolean =
-    currentVersion(spark, root).isDefined &&
-      members(spark, root).exists(_.endsWith(s"-$tag"))
+    currentVersion(spark, root).exists { v =>
+      val lines = manifestLines(fs(spark, root), root, v)
+      lines.contains(s"#tag:$tag") ||
+        lines.filterNot(_.startsWith("#"))
+          .flatMap(tagOfMember).contains(tag)
+    }
 
   /** Initialize (or REPLACE — compaction's primitive) the table with
     * `df` as its single segment.

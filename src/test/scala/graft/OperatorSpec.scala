@@ -1584,5 +1584,19 @@ class OperatorSpec extends SparkSpec {
     // still reads complete (packed ∪ raced), superseded segments gone
     SegmentedTable.vacuum(spark, root, keepManifests = 1)
     assert(allIds() == (0L until 50L).toSet)
+    // durable tags: a tagged append (streaming replay guard) must keep
+    // answering hasTag even after compaction packs the segment away —
+    // otherwise a crashed batch replayed AFTER maintenance ran would be
+    // double-applied
+    SegmentedTable.appendSegment(part(50, 60), root, tag = Some("b41"))
+    assert(SegmentedTable.hasTag(spark, root, "b41"))
+    assert(!SegmentedTable.hasTag(spark, root, "b42"))
+    SegmentedTable.compact(spark, root, _.coalesce(1))
+    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    assert(SegmentedTable.hasTag(spark, root, "b41"))
+    assert(allIds() == (0L until 60L).toSet)
+    // and the tag metadata line survives FURTHER commits
+    SegmentedTable.appendSegment(part(60, 70), root)
+    assert(SegmentedTable.hasTag(spark, root, "b41"))
   }
 }
