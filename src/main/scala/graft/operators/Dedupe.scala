@@ -411,7 +411,23 @@ object Dedupe {
       batch: DataFrame, textLookup: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double, caches: CacheHandle = CacheHandle.session)
-      : DataFrame = {
+      : DataFrame =
+    incrementalFromStoreWithDelta(corpusBands, corpusLabels, batch,
+      textLookup, idCol, textCol, shingleK, numHashes, rowsPerBand,
+      minJaccard, caches)._1
+
+  /** [[incrementalFromStore]] plus the label DELTA (see
+    * [[incrementalComponentsWithDelta]]) — the frame an O(changed)
+    * nightly label commit persists. Both outputs are lazy plans over
+    * the same candidate/verify lineage; consuming only one costs
+    * nothing for the other.
+    */
+  def incrementalFromStoreWithDelta(corpusBands: DataFrame,
+      corpusLabels: DataFrame, batch: DataFrame, textLookup: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numHashes: Int,
+      rowsPerBand: Int, minJaccard: Double,
+      caches: CacheHandle = CacheHandle.session)
+      : (DataFrame, DataFrame) = {
     // Candidate pass, O(batch + true collisions) SHUFFLED BYTES: the
     // batch is signed once (codegen'd map), banded, and persisted (two
     // consumers: its own bucket rows and the corpus prefilter key set);
@@ -470,8 +486,8 @@ object Dedupe {
     // persist inside incrementalComponents
     val verified = verifyJaccardInline(pairs.distinct(), textLookup,
       idCol, textCol, shingleK, minJaccard)
-    incrementalComponents(corpusLabels, verified, "doc_a", "doc_b",
-      caches = caches)
+    incrementalComponentsWithDelta(corpusLabels, verified, "doc_a",
+      "doc_b", caches = caches)
   }
 
   /** Exact n-gram Jaccard for a given set of candidate pairs
@@ -895,7 +911,28 @@ object Dedupe {
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25,
-      caches: CacheHandle = CacheHandle.session): DataFrame = {
+      caches: CacheHandle = CacheHandle.session): DataFrame =
+    incrementalComponentsWithDelta(labels, newEdges, aCol, bCol, maxIter,
+      caches)._1
+
+  /** [[incrementalComponents]] plus the CHANGED-ROW DELTA: the second
+    * frame holds exactly the (node, label) rows that differ from the
+    * input assignment — members of components the batch's edges merged
+    * (their label was rewritten by the contraction map) plus nodes
+    * entering the graph tonight. This is what an O(changed) label
+    * commit persists ([[SignatureStore.appendBatch]]'s `labelDelta`):
+    * writing the full merged assignment every night is O(corpus) bytes
+    * for a delta that is O(batch + bridged-component members).
+    *
+    * The delta costs one extra NARROW corpus scan (labels streamed
+    * against the broadcast merge map, inner instead of left) and no
+    * shuffle; both frames are lazy, so callers that ignore one pay
+    * nothing for it.
+    */
+  def incrementalComponentsWithDelta(labels: DataFrame,
+      newEdges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      caches: CacheHandle = CacheHandle.session)
+      : (DataFrame, DataFrame) = {
     val l = labels.select(col("node"), col("label"))
     // The edge frame is SMALL (tonight's verified pairs) and consumed
     // by the endpoint scan + the contraction, so it is persisted —
@@ -943,7 +980,14 @@ object Dedupe {
     val newRows = unseen.join(broadcast(merged),
         unseen("node") === merged("old_label"))
       .select(col("node"), col("merged").as("label"))
-    updated.union(newRows)
+    // the delta: corpus rows whose label ACTUALLY moved (old ≠ merged —
+    // the contraction map carries identity rows for component minima)
+    // plus tonight's new nodes; same plan pieces, one extra narrow scan
+    val changed = l.join(
+        broadcast(merged.filter(col("old_label") =!= col("merged"))),
+        l("label") === merged("old_label"))
+      .select(col("node"), col("merged").as("label"))
+    (updated.union(newRows), changed.union(newRows))
   }
 
   /** SimHash near-duplicate pairs: documents whose 64-bit simhashes

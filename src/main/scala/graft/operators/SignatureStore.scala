@@ -7,16 +7,14 @@ import graft.core.CacheHandle
 import graft.sources.{SegmentedTable, VersionedTable}
 
 /** Persisted corpus state for the incremental near-dup pipeline: the
-  * MinHash signature table and the derived LSH band index as
-  * [[graft.sources.SegmentedTable]]s (delta-file appends, manifest
-  * commits), plus the component-label table as a
-  * [[graft.sources.VersionedTable]] (atomic pointer-flip snapshots),
-  * under one store root:
+  * MinHash signature table, the derived LSH band index, and the
+  * component-label table, all as [[graft.sources.SegmentedTable]]s
+  * (delta-file appends, manifest commits) under one store root:
   *
   * {{{
   *   <root>/sigs/_segNNNNNNNN/    (doc, sig array<long>[, cnt]) segments
   *   <root>/bands/_segNNNNNNNN/   (doc, band, band_sig, cnt) segments
-  *   <root>/labels/_vNNNNNNNN/    (node, label) snapshots
+  *   <root>/labels/_segNNNNNNNN/  (node, label) base + override deltas
   * }}}
   *
   * This is the matview-style cache-the-heavy-thing pattern the
@@ -32,10 +30,13 @@ import graft.sources.{SegmentedTable, VersionedTable}
   * the batch's signature and band rows as new segments plus a
   * bytes-sized manifest — O(batch) writes per night, like the
   * reference's loading-table upsert (`loader/sql.py:264-332`, which
-  * writes only upserted rows). Signatures and bands are grow-only, so a
-  * delta layout loses nothing; labels CAN change for any existing node
-  * when a batch bridges two old clusters, so that table stays a
-  * snapshot commit (2 longs/doc — the cheapest of the three by ~35×).
+  * writes only upserted rows). Signatures and bands are grow-only, so
+  * plain delta appends suffice; labels CAN change for any existing node
+  * when a batch bridges two old clusters, so that table is merge-on-read
+  * ([[graft.sources.SegmentedTable.readLatestWins]]): the night commits
+  * only the CHANGED rows as an override delta, and readers fold deltas
+  * over the base — O(changed) label bytes per night, with [[compact]]
+  * bounding the delta set the fold broadcasts.
   * Readers flip atomically from manifest v to v+1, yesterday's versions
   * stay readable for time travel, and a crashed writer leaves the store
   * at v. Segment-count growth is bounded by [[compact]].
@@ -74,7 +75,7 @@ object SignatureStore {
     */
   def exists(spark: SparkSession, root: String): Boolean =
     tableExists(spark, sigsRoot(root)) &&
-      VersionedTable.currentVersion(spark, labelsRoot(root)).isDefined
+      tableExists(spark, labelsRoot(root))
 
   /** True iff the derived band index has a committed version. */
   def hasBands(spark: SparkSession, root: String): Boolean =
@@ -96,10 +97,21 @@ object SignatureStore {
         bandsRoot(root))
     }
 
+  /** Read the committed label assignment. Labels are the one table
+    * whose EXISTING rows can be rewritten by a night (a batch that
+    * bridges two old components relabels both), so the delta layout
+    * reads them merge-on-read: base segment ∪ latest-wins override
+    * deltas ([[graft.sources.SegmentedTable.readLatestWins]]). A
+    * pre-delta store reads its legacy snapshot untouched.
+    */
+  def readLabels(spark: SparkSession, root: String): DataFrame =
+    if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isDefined)
+      SegmentedTable.readLatestWins(spark, labelsRoot(root), Seq("node"))
+    else VersionedTable.read(spark, labelsRoot(root))
+
   /** Read the committed (sigs, labels) snapshot. */
   def read(spark: SparkSession, root: String): (DataFrame, DataFrame) =
-    (readTable(spark, sigsRoot(root)),
-      VersionedTable.read(spark, labelsRoot(root)))
+    (readTable(spark, sigsRoot(root)), readLabels(spark, root))
 
   /** Read the committed LSH band index (doc, band, band_sig, cnt) —
     * what the nightly candidate pass scans; banding is computed at
@@ -180,7 +192,8 @@ object SignatureStore {
       shingleK, minJaccard)
     val labels = Dedupe.connectedComponents(pairs, "doc_a", "doc_b",
       distinctEdges = true)
-    VersionedTable.commit(pack(labels), labelsRoot(root))
+    // single base segment — nightly label deltas fold over it
+    SegmentedTable.commitFull(pack(labels), labelsRoot(root))
   }
 
   /** Read the committed corpus state — (band index, labels), the two
@@ -196,7 +209,7 @@ object SignatureStore {
       build(spark, root, corpus, idCol, textCol, shingleK, numHashes,
         rowsPerBand, minJaccard, caches)
     else ensureBands(spark, root, numHashes, rowsPerBand)
-    (readBands(spark, root), VersionedTable.read(spark, labelsRoot(root)))
+    (readBands(spark, root), readLabels(spark, root))
   }
 
   /** Close the nightly loop with O(batch) writes: commit ONLY the
@@ -212,9 +225,19 @@ object SignatureStore {
     * `_vNNNNNNNN` snapshot) upgrades in place by adopting its committed
     * snapshot directory as segment zero, zero bytes rewritten.
     */
+  /** @param labelDelta when Some, the night's CHANGED label rows
+    *   ([[Dedupe.incrementalFromStoreWithDelta]]'s second output):
+    *   only these are committed, as a latest-wins delta segment —
+    *   O(changed) label bytes per night instead of the O(corpus)
+    *   snapshot rewrite — and `mergedLabels` is never consumed (lazy).
+    *   When None, the full merged assignment is committed as a
+    *   replacement snapshot (legacy behavior, correct but
+    *   corpus-sized).
+    */
   def appendBatch(spark: SparkSession, root: String, batchSig: DataFrame,
       mergedLabels: DataFrame, numHashes: Int, rowsPerBand: Int,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      labelDelta: Option[DataFrame] = None): Unit = {
     // a pre-bands-layout store upgrades here too — appendBatch has the
     // banding parameters, so reading it must not throw
     ensureBands(spark, root, numHashes, rowsPerBand)
@@ -246,10 +269,31 @@ object SignatureStore {
             .coalesce(autoPartitions(batchRows * nBands)),
           bandsRoot(root), tag)
     } finally batch.unpersist()
-    // the labels snapshot commit is idempotent BY VALUE: a replay
-    // recomputes the same contracted map and commits an identical next
-    // version (an extra time-travel entry, not duplicate state)
-    VersionedTable.commit(mergedLabels, labelsRoot(root))
+    labelDelta match {
+      case Some(delta) =>
+        // O(changed) label commit: a pre-delta labels table adopts its
+        // snapshot as the merge-on-read base, then only the changed
+        // rows land as a tagged override segment. Idempotent two ways:
+        // the tag guard skips a replayed commit outright, and an
+        // untagged replay recomputes the delta against the
+        // already-updated labels — empty by construction.
+        if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isEmpty)
+          SegmentedTable.adopt(spark, labelsRoot(root))
+        if (!tag.exists(t =>
+            SegmentedTable.hasTag(spark, labelsRoot(root), t)))
+          SegmentedTable.appendSegment(
+            delta.select(col("node"), col("label")).coalesce(1),
+            labelsRoot(root), tag)
+      case None =>
+        // legacy snapshot commit, idempotent BY VALUE: a replay
+        // recomputes the same contracted map and commits an identical
+        // next version (an extra time-travel entry, not duplicate
+        // state). Layout-aware so a delta-layout table never gains a
+        // competing _vNNNNNNNN snapshot.
+        if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isDefined)
+          SegmentedTable.commitFull(mergedLabels, labelsRoot(root))
+        else VersionedTable.commit(mergedLabels, labelsRoot(root))
+    }
   }
 
   /** Bound delta-segment growth: rewrite signatures and bands as one
@@ -267,6 +311,14 @@ object SignatureStore {
       _.coalesce(autoPartitions(sigRows * nBands)))
     SegmentedTable.vacuum(spark, sigsRoot(root))
     SegmentedTable.vacuum(spark, bandsRoot(root))
+    // labels: fold the override deltas into a fresh base segment —
+    // this is what bounds the merge-on-read broadcast (readLabels'
+    // delta key set is deltas-since-compaction)
+    if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isDefined) {
+      SegmentedTable.compactLatestWins(spark, labelsRoot(root),
+        Seq("node"), _.coalesce(autoPartitions(sigRows)))
+      SegmentedTable.vacuum(spark, labelsRoot(root))
+    }
   }
 
   private def autoPartitions(rows: Long): Int =

@@ -301,22 +301,23 @@ object DedupeQueries extends QueryPack {
       val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
       val (bands0, labels0) = SignatureStore.ensureCorpusState(s, store,
         docs.filter(col("doc_id") % 4 < 2), "doc_id", "text", k, n, rpb, minJ)
-      // night 1: fold batch 1, commit v+1
+      // night 1: fold batch 1, commit v+1 — the label commit writes
+      // only the CHANGED rows (O(changed) delta over the store's base)
       val batch1 = docs.filter(col("doc_id") % 4 === 2)
-      val merged1 = Dedupe.incrementalFromStore(bands0, labels0, batch1,
-        docs, "doc_id", "text", k, n, rpb, minJ)
+      val (merged1, delta1) = Dedupe.incrementalFromStoreWithDelta(
+        bands0, labels0, batch1, docs, "doc_id", "text", k, n, rpb, minJ)
       SignatureStore.appendBatch(s, store,
         Dedupe.minhashWide(batch1, "doc_id", "text", k, n,
-          withCount = true), merged1, n, rpb)
+          withCount = true), merged1, n, rpb, labelDelta = Some(delta1))
       // night 2: read the FLIPPED store, fold batch 2, commit v+2
       val bands1 = SignatureStore.readBands(s, store)
       val (_, labels1) = SignatureStore.read(s, store)
       val batch2 = docs.filter(col("doc_id") % 4 === 3)
-      val merged2 = Dedupe.incrementalFromStore(bands1, labels1, batch2,
-        docs, "doc_id", "text", k, n, rpb, minJ)
+      val (merged2, delta2) = Dedupe.incrementalFromStoreWithDelta(
+        bands1, labels1, batch2, docs, "doc_id", "text", k, n, rpb, minJ)
       SignatureStore.appendBatch(s, store,
         Dedupe.minhashWide(batch2, "doc_id", "text", k, n,
-          withCount = true), merged2, n, rpb)
+          withCount = true), merged2, n, rpb, labelDelta = Some(delta2))
       // what any reader sees after the loop ran twice
       val (_, labelsFinal) = SignatureStore.read(s, store)
       labelsFinal

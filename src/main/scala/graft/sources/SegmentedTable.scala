@@ -122,6 +122,47 @@ object SegmentedTable {
       members(spark, root, asOfVersion)
         .map(m => new Path(root, m).toString): _*)
 
+  /** Merge-on-read for UPSERT semantics: the FIRST member is the base
+    * snapshot; every later member is a delta of `keyCols`-keyed
+    * overrides, later segments winning. This is the lakehouse answer to
+    * state that mostly grows but occasionally REWRITES existing keys
+    * (e.g. cluster labels when a batch bridges two old components): an
+    * append commits only the changed rows — O(changed) bytes — and the
+    * read folds them over the base.
+    *
+    * Plan shape: the base STREAMS through a broadcast anti-join against
+    * the delta key set (never shuffled — the r13 corpus-labels trap);
+    * latest-wins among deltas is a window over DELTA rows only. The
+    * broadcast is sound because deltas-since-compaction are bounded by
+    * the [[compactLatestWins]] cadence — the same contract lakehouse
+    * merge-on-read tables document. Keys must be unique within each
+    * segment (one override per key per commit).
+    */
+  def readLatestWins(spark: SparkSession, root: String,
+      keyCols: Seq[String], asOfVersion: Option[Long] = None): DataFrame =
+    foldLatestWins(spark, root, members(spark, root, asOfVersion), keyCols)
+
+  private def foldLatestWins(spark: SparkSession, root: String,
+      ms: Seq[String], keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    val paths = ms.map(m => new Path(root, m).toString)
+    if (ms.lengthCompare(1) <= 0) spark.read.parquet(paths: _*)
+    else {
+      val base = spark.read.parquet(paths.head)
+      val deltas = paths.tail.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(p).withColumn("__seg_ord", lit(i))
+      }.reduce(_.unionByName(_))
+      val keep = row_number().over(Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("__seg_ord").desc))
+      val latest = deltas.withColumn("__rn", keep)
+        .filter(col("__rn") === 1).drop("__seg_ord", "__rn")
+      base.join(broadcast(latest.select(keyCols.map(col): _*)),
+          keyCols, "left_anti")
+        .unionByName(latest.select(base.columns.map(col).toSeq: _*))
+    }
+  }
+
   /** Parse the sequence number of a `<prefix>NNNNNNNN[-tag]` name —
     * the digits immediately after the prefix (tagged segments carry a
     * writer-supplied suffix; see [[appendSegment]]).
@@ -310,11 +351,26 @@ object SegmentedTable {
     * racing append is folded in, never dropped.
     */
   def compact(spark: SparkSession, root: String,
-      pack: DataFrame => DataFrame = identity): Long = {
+      pack: DataFrame => DataFrame = identity): Long =
+    compactWith(spark, root, pack,
+      ms => spark.read.parquet(ms.map(m => new Path(root, m).toString): _*))
+
+  /** [[compact]] for a latest-wins table: the packed segment is the
+    * FOLDED state ([[readLatestWins]]), so superseded override rows are
+    * physically dropped and the table returns to a single base segment.
+    * A delta appended concurrently with this compaction survives as a
+    * delta OVER the new base (publish's CAS keeps it after the packed
+    * member) — still correct under merge-on-read.
+    */
+  def compactLatestWins(spark: SparkSession, root: String,
+      keyCols: Seq[String], pack: DataFrame => DataFrame = identity): Long =
+    compactWith(spark, root, pack, foldLatestWins(spark, root, _, keyCols))
+
+  private def compactWith(spark: SparkSession, root: String,
+      pack: DataFrame => DataFrame,
+      readSnapshot: Seq[String] => DataFrame): Long = {
     val packed = members(spark, root) // the snapshot being rewritten
-    val name = stageSegment(
-      pack(spark.read.parquet(
-        packed.map(m => new Path(root, m).toString): _*)), root)
+    val name = stageSegment(pack(readSnapshot(packed)), root)
     val packedSet = packed.toSet
     publish(spark, root,
       prior => name +: prior.filterNot(packedSet.contains))

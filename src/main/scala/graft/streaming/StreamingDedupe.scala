@@ -32,10 +32,10 @@ import graft.sources.SegmentedTable
   * the sig/band/doc commits write only batch-sized segments. The
   * doc-text corpus (needed to verify batch-vs-corpus candidate pairs)
   * rides its own [[SegmentedTable]], appended with the same tag
-  * discipline. The one per-fold cost that scales with corpus is the
-  * contracted LABELS snapshot (2 longs per doc — two orders below the
-  * signatures the delta layout stopped rewriting): size the trigger to
-  * a maintenance cadence (hourly/nightly), not a per-second stream.
+  * discipline. Labels commit as merge-on-read override deltas — only
+  * the rows tonight's batch actually changed — so NO per-fold write
+  * scales with corpus; run [[SignatureStore.compact]] on a maintenance
+  * cadence to fold the accumulated deltas into the base.
   */
 object StreamingDedupe {
 
@@ -75,13 +75,14 @@ object StreamingDedupe {
       // distinct: the committed doc table can never contain this batch
       // (its commit is LAST and tag-guarded above), and a corpus-wide
       // dedup shuffle per micro-batch would violate the O(batch) loop
-      val merged = Dedupe.incrementalFromStore(bands, labels, docsBatch,
+      val (merged, delta) = Dedupe.incrementalFromStoreWithDelta(
+        bands, labels, docsBatch,
         corpusDocs.unionByName(docsBatch), idCol, textCol,
         shingleK, numHashes, rowsPerBand, minJaccard)
       SignatureStore.appendBatch(spark, storeRoot,
         Dedupe.minhashWide(docsBatch, idCol, textCol, shingleK,
           numHashes, withCount = true), merged, numHashes, rowsPerBand,
-        tag = Some(tag))
+        tag = Some(tag), labelDelta = Some(delta))
     }
     // else: store exists but the doc table was never committed — an
     // interrupted bootstrap; the doc commit below completes it

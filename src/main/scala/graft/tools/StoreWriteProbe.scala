@@ -70,18 +70,18 @@ object StoreWriteProbe {
       spark.catalog.clearCache()
       val bands = SignatureStore.readBands(spark, store)
       val (_, labels) = SignatureStore.read(spark, store)
-      val merged = Dedupe.incrementalFromStore(bands, labels, batch,
-        docs, "doc_id", "text", k, n, rpb, minJ)
+      val (merged, delta) = Dedupe.incrementalFromStoreWithDelta(
+        bands, labels, batch, docs, "doc_id", "text", k, n, rpb, minJ)
       SignatureStore.appendBatch(spark, store,
         Dedupe.minhashWide(batch, "doc_id", "text", k, n,
-          withCount = true), merged, n, rpb)
+          withCount = true), merged, n, rpb, labelDelta = Some(delta))
     }
     val (sigB1, sigF1) = walk("sigs")
     val (bandB1, bandF1) = walk("bands")
     val (labB1, _) = walk("labels")
-    // labels directory holds TWO snapshots after the night (old is
-    // retained for time travel until vacuum) — the night's label write
-    // is the NEW snapshot, i.e. the labels delta
+    // night_label_bytes is the override DELTA segment (changed rows
+    // only) plus its bytes-sized manifest — O(changed), not the
+    // pre-r15 O(corpus) snapshot rewrite
     try {
       println(f"""{"metric":"store_write","sf":"$sfDir","denom":$denom,"corpus_rows":$corpusRows,"batch_rows":$batchRows,"build_sec":$buildSec%.2f,"corpus_sig_bytes":$sigB0,"corpus_band_bytes":$bandB0,"corpus_sig_files":$sigF0,"corpus_band_files":$bandF0,"night_sec":$nightSec%.2f,"night_sig_bytes":${sigB1 - sigB0},"night_band_bytes":${bandB1 - bandB0},"night_label_bytes":${labB1 - labB0},"night_sig_files":${sigF1 - sigF0},"night_band_files":${bandF1 - bandF0},"night_over_corpus_bytes":${(sigB1 - sigB0 + bandB1 - bandB0).toDouble / (sigB0 + bandB0)}%.4f,"batch_fraction":${batchRows.toDouble / (corpusRows + batchRows)}%.4f}""")
     } finally {

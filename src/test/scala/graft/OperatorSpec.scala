@@ -755,6 +755,28 @@ class OperatorSpec extends SparkSpec {
     val noop = labelsOf(Dedupe.incrementalComponents(oldLabels,
       Seq((1L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b"))
     assert(noop == labelsOf(oldLabels))
+    // the delta output is EXACTLY the rows differing from the old
+    // assignment — changed labels (bridged/relabeled components,
+    // including members NOT touched by any new edge, e.g. 41) plus new
+    // nodes — what an O(changed) label commit persists
+    val (full, delta) = Dedupe.incrementalComponentsWithDelta(
+      oldLabels, newEdges, "a", "b")
+    val deltaSet = delta.as[(Long, Long)].collect().toSet
+    assert(deltaSet ==
+      full.exceptAll(oldLabels).as[(Long, Long)].collect().toSet)
+    val oldMap = oldLabels.as[(Long, Long)].collect().toMap
+    assert(deltaSet.nonEmpty &&
+      !deltaSet.exists { case (n, l) => oldMap.get(n).contains(l) })
+    assert(deltaSet.contains(41L -> 5L)) // untouched member relabeled
+    // folding the delta over the old labels reproduces the full output
+    val applied = oldLabels
+      .join(delta.select("node"), Seq("node"), "left_anti")
+      .unionByName(delta)
+    assert(labelsOf(applied) == labelsOf(full))
+    // and an all-intra-component batch produces an EMPTY delta
+    val (_, noopDelta) = Dedupe.incrementalComponentsWithDelta(oldLabels,
+      Seq((1L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+    assert(noopDelta.isEmpty)
   }
 
   test("incrementalFromStore equals from-scratch; store round-trips") {
@@ -1493,6 +1515,66 @@ class OperatorSpec extends SparkSpec {
     assert(sigRows == docs.count())
   }
 
+  test("label delta commit is O(changed): base segment untouched, " +
+      "only changed rows land, merge-on-read equals the merged " +
+      "assignment; tagged replay is a no-op") {
+    import graft.sources.SegmentedTable
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val root = java.nio.file.Files.createTempDirectory("sigstore5").toString
+    SignatureStore.build(spark, root, corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
+    def dataFiles(dir: String): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.getName.endsWith(".parquet"))
+          b += (f.getPath -> f.length())
+      walk(new java.io.File(dir)); b.result()
+    }
+    val labRoot = SignatureStore.labelsRoot(root)
+    val labsBefore = dataFiles(labRoot)
+    val (bands, labels0) = (SignatureStore.readBands(spark, root),
+      SignatureStore.readLabels(spark, root))
+    val (merged, delta) = Dedupe.incrementalFromStoreWithDelta(
+      bands, labels0, batch, docs, "doc_id", "text", 3, 16, 4, 0.5)
+    val mergedSet = merged.as[(Long, Long)].collect().toSet
+    val deltaSet = delta.as[(Long, Long)].collect().toSet
+    val oldSet = labels0.as[(Long, Long)].collect().toSet
+    // the delta really is the changed subset, and strictly smaller
+    // than the full assignment (this corpus has surviving old labels)
+    assert(deltaSet == mergedSet -- oldSet)
+    assert(deltaSet.nonEmpty && deltaSet.size < mergedSet.size)
+    SignatureStore.appendBatch(spark, root,
+      Dedupe.minhashWide(batch, "doc_id", "text", 3, 16,
+        withCount = true), merged, 16, 4, tag = Some("n1"),
+      labelDelta = Some(delta))
+    val labsAfter = dataFiles(labRoot)
+    // base label files survive byte-identical; the night added only a
+    // delta-sized override segment
+    assert(labsBefore.forall { case (p, sz) => labsAfter.get(p) == Some(sz) })
+    val addedBytes = labsAfter.collect {
+      case (p, sz) if !labsBefore.contains(p) => sz }.sum
+    assert(addedBytes > 0 &&
+      addedBytes < labsBefore.values.sum) // wrote less than the base
+    // merge-on-read equals the merged assignment exactly
+    assert(SignatureStore.readLabels(spark, root)
+      .as[(Long, Long)].collect().toSet == mergedSet)
+    // a replayed tagged commit changes nothing (exactly-once)
+    val v = SegmentedTable.currentVersion(spark, labRoot)
+    SignatureStore.appendBatch(spark, root,
+      Dedupe.minhashWide(batch, "doc_id", "text", 3, 16,
+        withCount = true), merged, 16, 4, tag = Some("n1"),
+      labelDelta = Some(delta))
+    assert(SegmentedTable.currentVersion(spark, labRoot) == v)
+    // compact folds deltas into a fresh base; the folded read survives
+    SignatureStore.compact(spark, root, 16, 4)
+    assert(SegmentedTable.members(spark, labRoot).size == 1)
+    assert(SignatureStore.readLabels(spark, root)
+      .as[(Long, Long)].collect().toSet == mergedSet)
+  }
+
   test("pre-delta (full-snapshot) store upgrades in place on append: " +
       "legacy dir adopted as segment zero, zero bytes rewritten") {
     import graft.sources.{SegmentedTable, VersionedTable}
@@ -1598,5 +1680,36 @@ class OperatorSpec extends SparkSpec {
     // and the tag metadata line survives FURTHER commits
     SegmentedTable.appendSegment(part(60, 70), root)
     assert(SegmentedTable.hasTag(spark, root, "b41"))
+  }
+
+  test("SegmentedTable latest-wins: override deltas fold over the " +
+      "base, later deltas win, compaction drops superseded rows") {
+    import graft.sources.SegmentedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("seglw").toString + "/t"
+    def df(rows: (Long, String)*) = rows.toDF("k", "v")
+    def got(): Set[(Long, String)] =
+      SegmentedTable.readLatestWins(spark, root, Seq("k"))
+        .as[(Long, String)].collect().toSet
+    SegmentedTable.commitFull(df(1L -> "a", 2L -> "b", 3L -> "c"), root)
+    assert(got() == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // one delta: override an existing key + introduce a new one
+    SegmentedTable.appendSegment(df(2L -> "B", 4L -> "d"), root)
+    assert(got() == Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // a LATER delta re-overrides the same key — commit order wins
+    SegmentedTable.appendSegment(df(2L -> "BB"), root)
+    val expect = Set(1L -> "a", 2L -> "BB", 3L -> "c", 4L -> "d")
+    assert(got() == expect)
+    // compaction folds to one base segment holding only live rows
+    SegmentedTable.compactLatestWins(spark, root, Seq("k"), _.coalesce(1))
+    assert(SegmentedTable.members(spark, root).size == 1)
+    assert(got() == expect)
+    assert(SegmentedTable.read(spark, root)
+      .as[(Long, String)].collect().toSet == expect) // no stale rows
+    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    assert(got() == expect)
+    // deltas appended AFTER a compaction override the new base
+    SegmentedTable.appendSegment(df(1L -> "A"), root)
+    assert(got() == Set(1L -> "A", 2L -> "BB", 3L -> "c", 4L -> "d"))
   }
 }
