@@ -6,12 +6,12 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{CleanFunctions, HtmlTextNodesExpr, LicenseMap}
 
-/** The two remaining CONCRETE provider configurations — Flickr and
-  * Wikimedia Commons — parsed from the real API response shapes the
-  * reference's own fixture JSON captures, completing the 1:1 mapping
-  * from `catalog/dags/providers/provider_api_scripts/` (the other 19
-  * are in [[ProviderExtract]]; iNaturalist's bulk-CSV path is
-  * `graft.inat.Inat`).
+/** The CONCRETE provider configurations — Flickr, Wikimedia Commons,
+  * Smithsonian and Freesound — parsed from the real API response
+  * shapes the reference's own fixture JSON captures, completing the
+  * 1:1 mapping from `catalog/dags/providers/provider_api_scripts/`
+  * (the others are archetypes in [[ProviderExtract]]; iNaturalist's
+  * bulk-CSV path is `graft.inat.Inat`).
   *
   * Architecture note: the reference's per-record Python
   * (`flickr.py:220-339`, `wikimedia_commons.py:300-612`) becomes pure
@@ -687,5 +687,192 @@ object ConcreteProviders {
     val newCodes = api.except(current).collect().toSeq.sorted
     val outdated = current.except(api).collect().toSeq.sorted
     (newCodes, outdated)
+  }
+
+  // =====================================================================
+  // Freesound (freesound.py) — page-numbered audio search batches with
+  // TWO per-record side fetches in the reference (a HEAD for the
+  // preview's content-length, freesound.py:168-186, and a pack-info
+  // GET behind an lru_cache, freesound.py:142-166). Spark-first those
+  // become explicit lookup tables: collect the DISTINCT urls with
+  // [[freesoundPreviewUrls]]/[[freesoundPackUrls]], fetch them once
+  // with [[Fetcher]] (which owns the reference's flaky-exception
+  // retry, freesound.py:167-171), and broadcast-join the results —
+  // exact global dedup instead of a 1024-entry per-process cache, and
+  // no blocking HTTP inside the record loop.
+  // =====================================================================
+
+  /** `FreesoundDataIngester.preview_bitrates` (freesound.py:39-44). */
+  val freesoundPreviewBitrates: Map[String, Long] = Map(
+    "preview-hq-mp3" -> 128000L, "preview-lq-mp3" -> 64000L,
+    "preview-hq-ogg" -> 192000L, "preview-lq-ogg" -> 80000L)
+
+  /** `preferred_preview` (freesound.py:38). */
+  val freesoundPreferredPreview: String = "preview-hq-mp3"
+
+  /** Requested `fields` list (freesound.py:71-93); `geotag` is a
+    * "lat lon" string when present.
+    */
+  val freesoundResultSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("url", StringType),
+    StructField("name", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("description", StringType),
+    StructField("created", StringType),
+    StructField("license", StringType),
+    StructField("type", StringType),
+    StructField("download", StringType),
+    StructField("filesize", LongType),
+    StructField("bitrate", LongType),
+    StructField("bitdepth", LongType),
+    StructField("duration", DoubleType),
+    StructField("samplerate", DoubleType),
+    StructField("pack", StringType),
+    StructField("username", StringType),
+    StructField("num_downloads", LongType),
+    StructField("avg_rating", DoubleType),
+    StructField("num_ratings", LongType),
+    StructField("geotag", StringType),
+    StructField("previews", StructType(
+      freesoundPreviewBitrates.keys.toSeq.sorted
+        .map(StructField(_, StringType))))))
+
+  val freesoundBatchSchema: StructType = StructType(Seq(
+    StructField("count", LongType),
+    StructField("next", StringType),
+    StructField("results", ArrayType(freesoundResultSchema))))
+
+  /** The dated-DAG search filter (freesound.py:59-98): full runs scan
+    * `created:[* TO NOW]`, dated runs anchor the range at the DAG date.
+    */
+  def freesoundQueryFilter(date: Option[String]): String = {
+    val start = date.map { d =>
+      java.time.LocalDate.parse(d).atStartOfDay()
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    }.getOrElse("*")
+    s"created:[$start TO NOW]"
+  }
+
+  private def freesoundItems(rawResponses: Dataset[String]): DataFrame =
+    rawResponses.toDF("value")
+      .select(from_json(col("value"), freesoundBatchSchema).as("b"))
+      .select(explode(col("b.results")).as("t"))
+      // the API sometimes returns literal-null items; get_batch_data
+      // filters them (freesound.py:102-106)
+      .filter(col("t").isNotNull)
+
+  /** Distinct preferred-preview urls that need a content-length HEAD —
+    * the fetch-stage input replacing the reference's per-record
+    * `_get_audio_file_size` (freesound.py:168-186). One column
+    * `preview_url`.
+    */
+  def freesoundPreviewUrls(spark: SparkSession,
+      rawResponses: Dataset[String]): DataFrame =
+    freesoundItems(rawResponses)
+      .select(col("t.previews").getField(freesoundPreferredPreview)
+        .as("preview_url"))
+      .filter(col("preview_url").isNotNull).distinct()
+
+  /** Distinct pack urls that need an info GET — replaces the
+    * lru_cache'd `_get_set_info` (freesound.py:142-156). One column
+    * `pack_url`.
+    */
+  def freesoundPackUrls(spark: SparkSession,
+      rawResponses: Dataset[String]): DataFrame =
+    freesoundItems(rawResponses)
+      .select(col("t.pack").as("pack_url"))
+      .filter(col("pack_url").isNotNull).distinct()
+
+  /** Raw search responses → normalized audio records, the Spark image
+    * of `FreesoundDataIngester.get_record_data` (freesound.py:225-283).
+    *
+    * @param previewSizes `(preview_url, content_length)` HEAD results;
+    *   records whose preview is missing here are dropped, matching the
+    *   reference's skip-on-404 (freesound.py:199-204) — so a row per
+    *   SUCCESSFUL head only.
+    * @param packInfo `(pack_url, pack_id, pack_name)` pack-endpoint
+    *   results; missing rows keep the record with null set id/name but
+    *   the url intact, matching `_get_set_info`'s RetriesExceeded
+    *   fallback (freesound.py:152-156).
+    *
+    * Drops (freesound.py:225-257): null landing url or id,
+    * unresolvable license, no previews / no preferred preview, no
+    * content-length. duration seconds→ms truncates like Python
+    * `int()`. meta_data keeps only TRUTHY values (0 / 0.0 / "" drop —
+    * `_get_metadata`'s walrus filter, freesound.py:118-132).
+    */
+  def freesound(spark: SparkSession, rawResponses: Dataset[String],
+      previewSizes: DataFrame, packInfo: DataFrame): DataFrame = {
+    val t = freesoundItems(rawResponses)
+    val previewUrl =
+      col("t.previews").getField(freesoundPreferredPreview)
+
+    val creator =
+      when(coalesce(col("t.username"), lit("")) =!= "",
+        trim(col("t.username")))
+    val metaVal = (c: Column) => c.cast(StringType)
+    val truthyNum = (c: Column) =>
+      when(c.isNotNull && c =!= 0, metaVal(c))
+    val meta = map_filter(map(
+      lit("description"), nullif(col("t.description"), lit("")),
+      lit("num_downloads"), truthyNum(col("t.num_downloads")),
+      lit("avg_rating"), truthyNum(col("t.avg_rating")),
+      lit("num_ratings"), truthyNum(col("t.num_ratings")),
+      lit("geotag"), nullif(col("t.geotag"), lit("")),
+      lit("download"), nullif(col("t.download"), lit(""))),
+      (_, v) => v.isNotNull)
+    // the original upload rides as the auth-gated alt file
+    // (freesound.py:205-215); bitrate arrives in kbit
+    val altFiles = array(struct(
+      col("t.download").as("url"),
+      (col("t.bitrate") * 1000L).as("bit_rate"),
+      col("t.samplerate").cast(LongType).as("sample_rate"),
+      col("t.type").as("filetype"),
+      col("t.filesize").as("filesize")))
+
+    val rec = t
+      // Python truthiness: "" and 0 drop like None (freesound.py:227-233)
+      .filter(coalesce(col("t.url"), lit("")) =!= "" &&
+        coalesce(col("t.id"), lit(0L)) =!= 0L)
+      .withColumn("url", previewUrl)
+      .filter(col("url").isNotNull)
+      // inner broadcast join = skip-on-failed-HEAD
+      .join(broadcast(previewSizes.withColumnRenamed("content_length",
+        "filesize")), col("url") === col("preview_url"))
+      .join(broadcast(packInfo), col("t.pack") === col("pack_url"),
+        "left")
+      .select(
+        col("t.id").as("foreign_identifier"),
+        col("t.url").as("foreign_landing_url"),
+        col("url"),
+        lit(freesoundPreferredPreview.split("-").last).as("filetype"),
+        lit(freesoundPreviewBitrates(freesoundPreferredPreview))
+          .as("bit_rate"),
+        col("filesize"),
+        floor(col("t.duration") * 1000).cast(LongType).as("duration"),
+        col("t.name").as("title"),
+        creator.as("creator"),
+        when(creator.isNotNull, concat(
+          lit("https://freesound.org/people/"), creator, lit("/")))
+          .as("creator_url"),
+        col("t.license").as("raw_license_url"),
+        meta.as("meta_data"),
+        col("t.tags").as("raw_tags"),
+        struct(
+          col("pack_id").as("set_foreign_id"),
+          col("pack_name").as("audio_set"),
+          col("t.pack").as("set_url")).as("audio_set"),
+        altFiles.as("alt_files"),
+        lit("freesound").as("provider"))
+
+    LicenseMap.resolve(rec, "raw_license_url")
+      .withColumn("license_url",
+        when(col("license").isNotNull, concat(
+          lit("https://creativecommons.org/"), col("license_path"),
+          lit("/"))))
+      .drop("license_path")
+      .filter(col("license").isNotNull)
   }
 }

@@ -1555,4 +1555,136 @@ class ProviderGoldenSpec extends SparkSpec {
         msgs(t.getCause)
     assert(msgs(err).contains("NOTAUNIT"))
   }
+
+  // ---- freesound (concrete) --------------------------------------------
+  // Expected values are test_freesound.py's own expectations; the two
+  // side-fetch tables stand in for the reference's mocked HEAD
+  // (AUDIO_FILE_SIZE=16359) and pack-info GET (("foo", set_url)).
+
+  private val fsPreview =
+    "https://freesound.org/data/previews/415/415362_6044691-hq.mp3"
+  private val fsPack = "https://freesound.org/apiv2/packs/23434/"
+
+  private def fsBatch(items: String*): String =
+    s"""{"count":${items.length},"next":null,"results":[${items.mkString(",")}]}"""
+
+  private def fsSizes(pairs: (String, Long)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("preview_url", "content_length")
+  }
+
+  private def fsPacks(rows: (String, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("pack_url", "pack_id", "pack_name")
+  }
+
+  test("freesound: reference audio_data_example -> expected record") {
+    val got = ConcreteProviders.freesound(spark,
+      Seq(fsBatch(fixture("freesound/audio_data_example.json"))).toDS(),
+      fsSizes(fsPreview -> 16359L), fsPacks((fsPack, "foo", fsPack)))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("foreign_identifier") == 415362L)
+    assert(r.getAs[String]("foreign_landing_url") ==
+      "https://freesound.org/people/owly-bee/sounds/415362/")
+    // main file = the hq-mp3 preview (test_get_audio_files_handles_
+    // example_audio_data)
+    assert(r.getAs[String]("url") == fsPreview)
+    assert(r.getAs[String]("filetype") == "mp3")
+    assert(r.getAs[Long]("bit_rate") == 128000L)
+    assert(r.getAs[Long]("filesize") == 16359L)
+    // int(0.608754 * 1000) truncates
+    assert(r.getAs[Long]("duration") == 608L)
+    assert(r.getAs[String]("title") == "Ehh disinterested.wav")
+    assert(r.getAs[String]("creator") == "owly-bee")
+    assert(r.getAs[String]("creator_url") ==
+      "https://freesound.org/people/owly-bee/")
+    assert(r.getAs[String]("license") == "by" &&
+      r.getAs[String]("license_version") == "3.0")
+    assert(r.getAs[String]("license_url") ==
+      "https://creativecommons.org/licenses/by/3.0/")
+    assert(r.getAs[String]("raw_license_url") ==
+      "http://creativecommons.org/licenses/by/3.0/")
+    // meta_data keeps only truthy fields: avg_rating 0.0, num_ratings 0
+    // and geotag null all drop
+    val md = r.getAs[Map[String, String]]("meta_data")
+    assert(md.keySet == Set("description", "num_downloads", "download"))
+    assert(md("num_downloads") == "164")
+    assert(md("download") ==
+      "https://freesound.org/apiv2/sounds/415362/download/")
+    assert(r.getAs[collection.Seq[String]]("raw_tags").toSeq ==
+      Seq("eh", "disinterest", "low", "uh", "voice", "uncaring"))
+    // audio set from the pack lookup
+    val set = r.getAs[org.apache.spark.sql.Row]("audio_set")
+    assert(set.getAs[String]("set_foreign_id") == "foo")
+    assert(set.getAs[String]("audio_set") == fsPack)
+    assert(set.getAs[String]("set_url") == fsPack)
+    // the original upload as the auth-gated alt file; kbit -> bit
+    val alt = r.getAs[collection.Seq[org.apache.spark.sql.Row]]("alt_files")
+    assert(alt.length == 1)
+    assert(alt.head.getAs[String]("url") ==
+      "https://freesound.org/apiv2/sounds/415362/download/")
+    assert(alt.head.getAs[Long]("bit_rate") == 1381000L)
+    assert(alt.head.getAs[Long]("sample_rate") == 44100L)
+    assert(alt.head.getAs[String]("filetype") == "wav")
+    assert(alt.head.getAs[Long]("filesize") == 107592L)
+    assert(r.getAs[String]("provider") == "freesound")
+  }
+
+  test("freesound: drop gates — id/url/license/previews/failed HEAD") {
+    val base = fixture("freesound/audio_data_example.json")
+    val sizes = fsSizes(fsPreview -> 16359L)
+    val packs = fsPacks((fsPack, "foo", fsPack))
+    def count(json: String, ps: org.apache.spark.sql.DataFrame = sizes) =
+      ConcreteProviders.freesound(spark, Seq(fsBatch(json)).toDS(), ps,
+        packs).count()
+    // test_get_record_data_returns_none_when_missing_data
+    for (field <- Seq("id", "url", "license"))
+      assert(count(base.replace(s""""$field":""", s""""_$field":""")) == 0,
+        s"missing $field should drop")
+    // missing previews / missing preferred preview
+    assert(count(base.replace(""""previews":""", """"_previews":""")) == 0)
+    assert(count(base.replace("preview-hq-mp3", "preview-xx-mp3")) == 0)
+    // 404ing HEAD (no content-length row) skips the record
+    assert(count(base, fsSizes()) == 0)
+    // a non-CC license url resolves to nothing and drops
+    assert(count(base.replace(
+      "http://creativecommons.org/licenses/by/3.0/",
+      "https://example.com/my-license/")) == 0)
+  }
+
+  test("freesound: pack-info fetch failure keeps record, null set info") {
+    // test_handles_failure_to_get_set_info: url survives, id/name null
+    val got = ConcreteProviders.freesound(spark,
+      Seq(fsBatch(fixture("freesound/audio_data_example.json"))).toDS(),
+      fsSizes(fsPreview -> 16359L), fsPacks()).collect()
+    assert(got.length == 1)
+    val set = got.head.getAs[org.apache.spark.sql.Row]("audio_set")
+    assert(set.getAs[String]("set_foreign_id") == null)
+    assert(set.getAs[String]("audio_set") == null)
+    assert(set.getAs[String]("set_url") == fsPack)
+  }
+
+  test("freesound: page fixture yields 6 records; null items filtered; " +
+      "distinct side-fetch urls") {
+    import org.apache.spark.sql.functions.col
+    val page = fixture("freesound/page.json").trim
+    // page.json is the raw results list; wrap as the API envelope with
+    // interleaved nulls (test_get_audio_pages_* null-item filtering)
+    val inner = page.substring(1, page.length - 1)
+    val batch = s"""{"count":8,"next":null,"results":[null,$inner,null]}"""
+    val raw = Seq(batch).toDS()
+    val urls = ConcreteProviders.freesoundPreviewUrls(spark, raw)
+    assert(urls.count() == 6)
+    val sizes = urls.withColumn("content_length", lit(16359L))
+    // lru_cache -> exact distinct: 6 records share 2 packs
+    val packUrls = ConcreteProviders.freesoundPackUrls(spark, raw)
+    assert(packUrls.count() == 2)
+    val got = ConcreteProviders.freesound(spark, raw, sizes, fsPacks())
+    assert(got.count() == 6) // test_get_items
+    // broadcast joins on both lookup sides
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
