@@ -368,6 +368,9 @@ object Similarity {
     graft.sources.VersionedTable.withWriterLock(spark, path) {
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a prior crashed compaction may have left a cell stashed-but-
+      // not-reinstalled; heal before listing or the cell is invisible
+      recoverIvfCompaction(spark, path)
       val fragNames = fs.listStatus(new Path(path)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
         .map(_.getPath)
@@ -427,6 +430,96 @@ object Similarity {
         }
         fs.delete(tmpRoot, true)
       }
+    }
+  }
+
+  /** Heal a crash inside [[compactIvfCells]]'s rename-pair window: a
+    * `.compact-old-cell_id=c` stash with NO live `cell_id=c` directory
+    * means the crash hit between retire and install — the stash IS the
+    * cell's data, so rename it back (the packed copy under
+    * `.compact-tmp` is a duplicate and is dropped). A stash alongside
+    * a live directory means install succeeded and only the final
+    * cleanup was lost — drop the stash. Idempotent; call before any
+    * append or compaction on an index a crashed process may have
+    * touched (the streaming sink does, every fold).
+    */
+  def recoverIvfCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact-old-cell_id="))
+      .foreach { stash =>
+        val live = new Path(root,
+          stash.getPath.getName.stripPrefix(".compact-old-"))
+        if (fs.exists(live)) fs.delete(stash.getPath, true)
+        else require(fs.rename(stash.getPath, live),
+          s"recover: failed to restore ${stash.getPath}")
+      }
+    fs.delete(new Path(root, ".compact-tmp"), true)
+  }
+
+  /** [[appendToIvfIndex]] with exactly-once replay semantics for a
+    * streaming sink: the batch stages into a hidden directory, its
+    * files move into the cell partitions under names suffixed with
+    * `tag`, and a `_batch_tags/<tag>` marker commits LAST. A replayed
+    * batch whose marker exists returns false untouched; a replay after
+    * a crash mid-move first scrubs the tag's partial files, so the
+    * retry lands the batch exactly once. Returns true when the batch
+    * was (re)applied.
+    *
+    * Taken under the index writer lock so appends serialize with
+    * [[compactIvfCells]]. Marker files live under an underscore
+    * directory (invisible to parquet scans) and survive compaction —
+    * replay decisions never depend on the data files' names
+    * outliving a rewrite.
+    */
+  def appendToIvfIndexTagged(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String, tag: String)
+      : Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(tag.nonEmpty && !tag.contains("/"), s"bad tag: $tag")
+    val spark = batch.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_batch_tags/$tag")
+    if (fs.exists(marker)) return false
+    graft.sources.VersionedTable.withWriterLock(spark, path) {
+      // scrub residue from a crashed attempt of THIS batch
+      if (fs.exists(root)) {
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("cell_id="))
+          .foreach { cd =>
+            fs.listStatus(cd.getPath).toSeq
+              .filter(_.getPath.getName.endsWith(s"-$tag.parquet"))
+              .foreach(f => fs.delete(f.getPath, false))
+          }
+      }
+      val staged = new Path(root, s".append-stage-$tag")
+      fs.delete(staged, true)
+      batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
+        .write.partitionBy("cell_id").parquet(staged.toString)
+      fs.listStatus(staged).toSeq
+        .filter(_.getPath.getName.startsWith("cell_id="))
+        .foreach { cd =>
+          val dest = new Path(root, cd.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(cd.getPath).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex
+            .foreach { case (f, i) =>
+              require(fs.rename(f, new Path(dest, s"part-$i-$tag.parquet")),
+                s"append: failed to move $f")
+            }
+        }
+      fs.delete(staged, true)
+      val out = fs.create(marker, false)
+      out.close()
+      true
     }
   }
 

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** The nightly IVF-index maintenance loop as a Structured Streaming
+  * sink: each micro-batch of embedding vectors is assigned to the
+  * index's FROZEN centroids and appended into its cell partitions,
+  * and every `compactEvery` batches the fragmented cells are packed
+  * back to full-size files — so a continuously-arriving corpus keeps
+  * a searchable, pruning-friendly ANN index without ever re-reading
+  * the vectors already indexed. The streaming twin of
+  * [[StreamingDedupe]] for the vector store, and the engine-side
+  * analog of the reference's recurring data-refresh → ES-index
+  * promote cadence (`data_refresh_task_factory.py:183-240`).
+  *
+  * Exactly-once: `foreachBatch` re-delivers a micro-batch after a
+  * crash, so the append stages aside, moves files in under
+  * tag-suffixed names, and commits a `_batch_tags` marker LAST
+  * ([[Similarity.appendToIvfIndexTagged]]). A replayed batch whose
+  * marker exists skips itself; a replay after a crash mid-move scrubs
+  * its partial files first. Compaction is a pure rewrite (search
+  * results spec-identical), so a replayed or skipped compaction never
+  * affects correctness — a crash inside its rename window is healed
+  * by [[Similarity.recoverIvfCompaction]] at the next fold.
+  *
+  * Scale: per micro-batch cost is O(batch) — one broadcast-centroid
+  * argmin over the batch and one partitioned write of batch-sized
+  * files; the indexed corpus is never read, moved, or re-encoded.
+  * Compaction cost scales with the fragmented fraction (one
+  * partition-pruned scan + one partitioned write), and bounds the
+  * per-cell file count that would otherwise grow one file per batch
+  * forever — the measured 3.5x probed-search penalty at 8 appends.
+  * Centroid drift after many appends is a NEW index version (rebuild
+  * + atomic flip), not an append — same discipline as the signature
+  * store's once-per-corpus-version build.
+  */
+object StreamingIvf {
+
+  /** Fold one micro-batch of vectors into the index; returns false on
+    * a pure replay (batch already fully committed). Runs the
+    * compaction pass after every `compactEvery`-th batch
+    * (0 disables).
+    */
+  def foldBatch(spark: SparkSession, indexPath: String,
+      centroids: DataFrame, batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, compactEvery: Int,
+      targetRowsPerFile: Long): Boolean = {
+    Similarity.recoverIvfCompaction(spark, indexPath)
+    val applied = Similarity.appendToIvfIndexTagged(batch, centroids,
+      idCol, vecCol, indexPath, s"b$batchId")
+    if (applied && compactEvery > 0 &&
+        batchId % compactEvery == compactEvery - 1)
+      Similarity.compactIvfCells(spark, indexPath,
+        targetRowsPerFile = targetRowsPerFile)
+    applied
+  }
+
+  /** Start the maintenance stream: `vecStream` (streaming frame with
+    * `idCol`/`vecCol`) appends into the index per micro-batch against
+    * the frozen `centroids`.
+    */
+  def run(vecStream: DataFrame, indexPath: String, centroids: DataFrame,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "emb", compactEvery: Int = 8,
+      targetRowsPerFile: Long = 500000L): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldBatch(b.sparkSession, indexPath, centroids, b, id,
+          idCol, vecCol, compactEvery, targetRowsPerFile)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
