@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * (true width/height/channels, raster never materialized), the
   * resize path bilinear-resamples actual pixels, and [[embedImage]]
   * projects decoded pixels to patch color means that feed the
-  * Similarity operators (ANN / SemDeDup / near-dup) directly. Payloads
-  * no registered reader recognizes (audio, video, arbitrary bytes)
-  * fall back to the DETERMINISTIC STUB ([[decodeStub]]/[[embedStub]]:
+  * Similarity operators (ANN / SemDeDup / near-dup) directly. Audio is
+  * REAL too for JVM-containered formats (WAV/AIFF/AU via
+  * `javax.sound.sampled`): [[decodeAudio]] parses true headers and
+  * [[embedAudio]] projects actual PCM frames to band envelope
+  * statistics. Payloads no registered reader recognizes (video,
+  * arbitrary bytes) fall back to the DETERMINISTIC STUB
+  * ([[decodeStub]]/[[embedStub]]:
   * byte length, md5 fingerprint, digest-derived values) — the
   * schema/partitioning/batch contract stays identical either way, so
   * swapping in further codecs is a per-format addition, not a rewrite.
@@ -336,6 +340,155 @@ object Multimodal {
             gy += 1
           }
           ImageEmbedding(blob.id, w, h, "pixels", feats.toSeq)
+        }
+      }
+    }
+  }
+
+  // ── Audio: real JVM codec (javax.sound.sampled — WAV/AIFF/AU, no
+  //    external dependency), same fixture→decode→feature discipline as
+  //    the image path. ──
+
+  /** Deterministic synthetic audio fixture: `nSamples` 16-bit signed
+    * PCM mono samples where
+    *
+    * {{{ sample(i) = ((seed*131071 + i*8191) % 65536) - 32768 }}}
+    *
+    * containered as WAV (lossless). Like [[syntheticPng]], the formula
+    * is trivially re-computable in SQL, so the REAL decode→feature path
+    * is oracle-checkable exactly: an engine that truly parses the RIFF
+    * container and PCM frames reproduces the formula's band statistics
+    * bit for bit; any endianness, framing, or sign bug mismatches.
+    */
+  def syntheticWav(seed: Long, nSamples: Int = 64,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((seed * 131071L + i * 8191L) % 65536L - 32768L).toInt
+      pcm(2 * i) = (v & 0xff).toByte // little-endian, per WAV PCM
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Decoded audio metadata — the audio twin of [[DecodedMeta]]. */
+  case class AudioMeta(id: Long, n_bytes: Long, fingerprint: String,
+      sample_rate: Double, channels: Int, bits: Int, n_frames: Long,
+      encoding: String)
+
+  /** Header-only audio probe via `javax.sound.sampled`: parses the
+    * container header (RIFF/AIFF/AU) WITHOUT reading PCM frames — the
+    * audio analog of [[imageMeta]]'s no-raster rule: at 100 TB the
+    * metadata pass must not stream payload bodies.
+    */
+  private[operators] def audioMeta(content: Array[Byte])
+      : Option[(Float, Int, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val f = aff.getFormat
+      Some((f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong, f.getEncoding.toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched audio metadata decode. Payloads no JVM audio
+    * codec recognizes are DROPPED (quarantine-over-crash, like
+    * [[embedImage]]) — callers wanting a total function over mixed
+    * corpora union with [[decodeStub]] rows on the complement.
+    */
+  def decodeAudio(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        audioMeta(b.content).map { case (sr, ch, bits, frames, enc) =>
+          val md = MessageDigest.getInstance("MD5").digest(b.content)
+          AudioMeta(b.id, b.content.length.toLong,
+            md.map("%02x".format(_)).mkString, sr.toDouble, ch, bits,
+            frames, enc)
+        }
+      }
+    }
+  }
+
+  /** One embedded audio row: real PCM features + stream provenance. */
+  case class AudioEmbedding(id: Long, sample_rate: Double,
+      n_samples: Int, channels: Int, embedding: Seq[Double])
+
+  /** REAL audio embedding: decode the PCM stream (actual codec, actual
+    * frames), split samples into `bands` contiguous windows, and emit
+    * per-band [mean, mean-absolute] ordered (band, [mean, abs]) — the
+    * classic pre-neural envelope descriptor, the audio twin of
+    * [[embedImage]]'s patch means. Integer sample sums divided by the
+    * window count are evaluated identically in any IEEE engine, so
+    * oracle comparison is exact. 16-bit signed PCM only (what WAV
+    * carries); anything else — undecodable payloads, other bit depths —
+    * is DROPPED (quarantine-over-crash).
+    *
+    * Scale shape: one mapPartitions projection, no shuffle; codec init
+    * amortizes per partition. Run AFTER [[dedupStats]] hygiene.
+    */
+  def embedAudio(blobs: Dataset[MediaBlob], bands: Int = 8)
+      : Dataset[AudioEmbedding] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { blob =>
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(blob.content))
+            try {
+              val f = ais.getFormat
+              if (f.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16) None
+              else Some((f, ais.readAllBytes()))
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.flatMap { case (f, bytes) =>
+          val n = bytes.length / 2
+          if (n == 0) None
+          else {
+            val big = f.isBigEndian
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (big) (bytes(2 * i + 1), bytes(2 * i))
+                else (bytes(2 * i), bytes(2 * i + 1))
+              samples(i) = (hi.toInt << 8) | (lo & 0xff)
+              i += 1
+            }
+            val feats = new Array[Double](2 * bands)
+            var b = 0
+            while (b < bands) {
+              val s0 = n * b / bands
+              val s1 = math.max(n * (b + 1) / bands, s0 + 1).min(n)
+              var (sum, sumAbs) = (0L, 0L)
+              var j = s0
+              while (j < s1) {
+                sum += samples(j)
+                sumAbs += math.abs(samples(j))
+                j += 1
+              }
+              val cnt = (s1 - s0).toDouble
+              feats(2 * b) = sum / cnt
+              feats(2 * b + 1) = sumAbs / cnt
+              b += 1
+            }
+            Some(AudioEmbedding(blob.id, f.getSampleRate.toDouble, n,
+              f.getChannels, feats.toSeq))
+          }
         }
       }
     }

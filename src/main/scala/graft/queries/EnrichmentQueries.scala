@@ -491,6 +491,66 @@ object EnrichmentQueries extends QueryPack {
              e.embedding
       FROM emb e JOIN grp g ON e.doc_id % 251 = g.seed"""))
 
+  /** The AUDIO leg of the multimodal pillar, end to end real:
+    * synthesize one 64-sample WAV per document (16-bit PCM samples a
+    * pure function of `doc_id % 97` —
+    * [[graft.operators.Multimodal.syntheticWav]]), DECODE it with the
+    * JVM's actual RIFF/PCM codec, embed the decoded frames as 8-band
+    * [mean, mean-abs] envelope statistics
+    * ([[graft.operators.Multimodal.embedAudio]]; integer sums over
+    * power-of-two windows → exact doubles, so the oracle compares
+    * values exactly), and dedup by embedding identity — 97 seed
+    * classes. The oracle recomputes the band stats FROM THE SAMPLE
+    * FORMULA (WAV is lossless): any container-parse, endianness,
+    * sign-extension, or band-indexing bug hash-mismatches.
+    *
+    * Scale shape: encode+decode+embed is one mapPartitions projection
+    * (no shuffle); the dedup groups by the 16-double embedding — at
+    * 100 TB you'd group by a digest of it, same plan shape.
+    */
+  val q106 = Q("q106_audio_embed_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val blobs = docs.as[Long].mapPartitions { it =>
+        it.map(id => Multimodal.MediaBlob(id, "audio",
+          Multimodal.syntheticWav(id % 97)))
+      }
+      val emb = Multimodal.embedAudio(blobs, bands = 8).toDF()
+      val grp = emb.groupBy("embedding")
+        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
+      emb.join(grp, "embedding")
+        .select(col("id").as("doc"), col("sample_rate"),
+          col("n_samples"), col("grp"), col("grp_size"),
+          col("embedding"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT d.doc_id, d.doc_id % 97 AS seed, i.i,
+          ((d.doc_id % 97)*131071 + i.i*8191) % 65536 - 32768 AS v
+        FROM documents d CROSS JOIN generate_series(0, 63) AS i(i)),
+      b AS (
+        SELECT doc_id, i // 8 AS band,
+          CAST(SUM(v) AS DOUBLE) / 8 AS mean,
+          CAST(SUM(ABS(v)) AS DOUBLE) / 8 AS mabs
+        FROM s GROUP BY 1, 2),
+      f AS (
+        SELECT doc_id, band*2 + c.c AS idx,
+          CASE c.c WHEN 0 THEN mean ELSE mabs END AS val
+        FROM b CROSS JOIN generate_series(0, 1) AS c(c)),
+      emb AS (
+        SELECT doc_id, list(val ORDER BY idx) AS embedding
+        FROM f GROUP BY doc_id),
+      grp AS (
+        SELECT doc_id % 97 AS seed, MIN(doc_id) AS grp,
+               COUNT(*) AS grp_size
+        FROM documents GROUP BY 1)
+      SELECT e.doc_id AS doc, CAST(8000 AS DOUBLE) AS sample_rate,
+             CAST(64 AS INTEGER) AS n_samples, g.grp, g.grp_size,
+             e.embedding
+      FROM emb e JOIN grp g ON e.doc_id % 97 = g.seed"""))
+
   override def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104, q106)
 }

@@ -288,6 +288,41 @@ class EnrichmentSpec extends SparkSpec {
       Set(7L, 47L, 87L))
   }
 
+  test("real audio decode: WAV header metadata true, PCM samples " +
+      "round-trip the formula, duplicates collapse, junk quarantines") {
+    val blobs = spark.range(0, 60).as[Long].map(id =>
+      Multimodal.MediaBlob(id, "audio", Multimodal.syntheticWav(id % 20)))
+    // header-only metadata parse is REAL: true rate/channels/bits/frames
+    val meta = Multimodal.decodeAudio(blobs).collect()
+    assert(meta.length == 60)
+    assert(meta.forall(m => m.sample_rate == 8000.0 && m.channels == 1 &&
+      m.bits == 16 && m.n_frames == 64 && m.encoding == "PCM_SIGNED"))
+    val rows = Multimodal.embedAudio(blobs, bands = 8).collect()
+    assert(rows.length == 60 &&
+      rows.forall(r => r.n_samples == 64 && r.channels == 1))
+    // the decode is REAL: seed 0's samples are (i*8191)%65536 - 32768,
+    // so band features must equal the formula exactly — any
+    // endianness, sign-extension, or band-indexing bug fails here
+    val v = (0 until 64).map(i => (i * 8191) % 65536 - 32768)
+    val e0 = rows.find(_.id == 0L).get.embedding
+    assert(e0.length == 16)
+    for (b <- 0 until 8) {
+      val w = v.slice(b * 8, (b + 1) * 8)
+      assert(e0(2 * b) == w.sum / 8.0)
+      assert(e0(2 * b + 1) == w.map(math.abs).sum / 8.0)
+    }
+    // equal payloads embed equally; the 20 seed classes stay distinct
+    assert(Multimodal.embedAudio(blobs, bands = 8).toDF()
+      .select("embedding").distinct().count() == 20)
+    // undecodable payloads quarantine (dropped), never crash the task
+    val junk = Seq(
+      Multimodal.MediaBlob(1L, "audio", Array[Byte](1, 2, 3)),
+      Multimodal.MediaBlob(2L, "audio", Array.empty[Byte]),
+      Multimodal.MediaBlob(3L, "audio", "RIFFgarbage".getBytes)).toDS()
+    assert(Multimodal.embedAudio(junk).isEmpty)
+    assert(Multimodal.decodeAudio(junk).isEmpty)
+  }
+
   test("percentile_disc_exact aggregate equals windowed implementation") {
     PercentileDiscAgg.register(spark)
     val e = Tables(spark, sfDir, "events")
