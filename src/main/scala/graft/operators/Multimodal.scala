@@ -305,45 +305,57 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       iter.flatMap { blob =>
-        decodeRaster(blob.content).map { img =>
-          val w = img.getWidth
-          val h = img.getHeight
-          val feats = new Array[Double](3 * grid * grid)
-          var gy = 0
-          while (gy < grid) {
-            val y0 = h * gy / grid
-            val y1 = math.max(h * (gy + 1) / grid, y0 + 1).min(h)
-            var gx = 0
-            while (gx < grid) {
-              val x0 = w * gx / grid
-              val x1 = math.max(w * (gx + 1) / grid, x0 + 1).min(w)
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff
-                  sg += (rgb >> 8) & 0xff
-                  sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val n = ((y1 - y0) * (x1 - x0)).toDouble
-              val base = (gy * grid + gx) * 3
-              feats(base) = sr / n
-              feats(base + 1) = sg / n
-              feats(base + 2) = sb / n
-              gx += 1
-            }
-            gy += 1
-          }
+        imagePatchMeans(blob.content, grid).map { case (w, h, feats) =>
           ImageEmbedding(blob.id, w, h, "pixels", feats.toSeq)
         }
       }
     }
   }
+
+  /** Pure per-blob form of [[embedImage]]'s feature step: decode the
+    * payload with the real codec and return (width, height, patch
+    * color means). Exposed so multi-modality plans (one scan routing
+    * each payload to its kind's features) stay a single projection
+    * instead of one pass per modality. `None` = quarantine.
+    */
+  def imagePatchMeans(content: Array[Byte], grid: Int = 4)
+      : Option[(Int, Int, Array[Double])] =
+    decodeRaster(content).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val feats = new Array[Double](3 * grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        val y0 = h * gy / grid
+        val y1 = math.max(h * (gy + 1) / grid, y0 + 1).min(h)
+        var gx = 0
+        while (gx < grid) {
+          val x0 = w * gx / grid
+          val x1 = math.max(w * (gx + 1) / grid, x0 + 1).min(w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = ((y1 - y0) * (x1 - x0)).toDouble
+          val base = (gy * grid + gx) * 3
+          feats(base) = sr / n
+          feats(base + 1) = sg / n
+          feats(base + 2) = sb / n
+          gx += 1
+        }
+        gy += 1
+      }
+      (w, h, feats)
+    }
 
   // ── Audio: real JVM codec (javax.sound.sampled — WAV/AIFF/AU, no
   //    external dependency), same fixture→decode→feature discipline as
@@ -443,53 +455,66 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       iter.flatMap { blob =>
-        val decoded =
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(blob.content))
-            try {
-              val f = ais.getFormat
-              if (f.getEncoding !=
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  f.getSampleSizeInBits != 16) None
-              else Some((f, ais.readAllBytes()))
-            } finally ais.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
-        decoded.flatMap { case (f, bytes) =>
-          val n = bytes.length / 2
-          if (n == 0) None
-          else {
-            val big = f.isBigEndian
-            val samples = new Array[Int](n)
-            var i = 0
-            while (i < n) {
-              val (lo, hi) =
-                if (big) (bytes(2 * i + 1), bytes(2 * i))
-                else (bytes(2 * i), bytes(2 * i + 1))
-              samples(i) = (hi.toInt << 8) | (lo & 0xff)
-              i += 1
-            }
-            val feats = new Array[Double](2 * bands)
-            var b = 0
-            while (b < bands) {
-              val s0 = n * b / bands
-              val s1 = math.max(n * (b + 1) / bands, s0 + 1).min(n)
-              var (sum, sumAbs) = (0L, 0L)
-              var j = s0
-              while (j < s1) {
-                sum += samples(j)
-                sumAbs += math.abs(samples(j))
-                j += 1
-              }
-              val cnt = (s1 - s0).toDouble
-              feats(2 * b) = sum / cnt
-              feats(2 * b + 1) = sumAbs / cnt
-              b += 1
-            }
-            Some(AudioEmbedding(blob.id, f.getSampleRate.toDouble, n,
-              f.getChannels, feats.toSeq))
-          }
+        audioBandStats(blob.content, bands).map {
+          case (rate, n, ch, feats) =>
+            AudioEmbedding(blob.id, rate, n, ch, feats.toSeq)
         }
+      }
+    }
+  }
+
+  /** Pure per-blob form of [[embedAudio]]'s feature step: decode the
+    * PCM stream with the real codec and return (sample rate, sample
+    * count, channels, band envelope features). The single-pass hook
+    * for multi-modality routing, like [[imagePatchMeans]]. `None` =
+    * quarantine (undecodable, non-PCM, non-16-bit, or empty).
+    */
+  def audioBandStats(content: Array[Byte], bands: Int = 8)
+      : Option[(Double, Int, Int, Array[Double])] = {
+    val decoded =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = ais.getFormat
+          if (f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16) None
+          else Some((f, ais.readAllBytes()))
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    decoded.flatMap { case (f, bytes) =>
+      val n = bytes.length / 2
+      if (n == 0) None
+      else {
+        val big = f.isBigEndian
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val (lo, hi) =
+            if (big) (bytes(2 * i + 1), bytes(2 * i))
+            else (bytes(2 * i), bytes(2 * i + 1))
+          samples(i) = (hi.toInt << 8) | (lo & 0xff)
+          i += 1
+        }
+        val feats = new Array[Double](2 * bands)
+        var b = 0
+        while (b < bands) {
+          val s0 = n * b / bands
+          val s1 = math.max(n * (b + 1) / bands, s0 + 1).min(n)
+          var (sum, sumAbs) = (0L, 0L)
+          var j = s0
+          while (j < s1) {
+            sum += samples(j)
+            sumAbs += math.abs(samples(j))
+            j += 1
+          }
+          val cnt = (s1 - s0).toDouble
+          feats(2 * b) = sum / cnt
+          feats(2 * b + 1) = sumAbs / cnt
+          b += 1
+        }
+        Some((f.getSampleRate.toDouble, n, f.getChannels, feats))
       }
     }
   }

@@ -551,6 +551,74 @@ object EnrichmentQueries extends QueryPack {
              e.embedding
       FROM emb e JOIN grp g ON e.doc_id % 97 = g.seed"""))
 
+  /** Cross-modal dedup router — the capstone of the multimodal pillar:
+    * ONE scan over `documents` routes each row to its modality
+    * (doc_id % 3 → image / audio / text), synthesizes the payload,
+    * decodes it with the REAL codec
+    * ([[graft.operators.Multimodal.imagePatchMeans]] /
+    * [[graft.operators.Multimodal.audioBandStats]] — the pure per-blob
+    * hooks behind q104/q106's embeddings), and dedups on the canonical
+    * per-modality key: decoded-pixel patch means for images, decoded
+    * PCM band stats for audio, content md5 for text. The oracle knows
+    * the feature formulas collapse exactly by seed (q104/q106 pin
+    * that), so it groups by seed class — ANY divergence between
+    * feature-equality and seed-equality (a feature bug splitting or
+    * colliding classes) hash-mismatches here.
+    *
+    * Scale shape: a single projection computes every modality's key in
+    * one pass (no per-modality re-scan), then ONE shuffle: a window
+    * partitioned by the dedup class (kind, embedding, text_key), whose
+    * partitions are bounded by true duplicate-group size. At 100 TB
+    * the 48-double image key would ride as a digest; same plan.
+    */
+  val q107 = Q("q107_multimodal_route_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val keyed = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, text) =>
+          id % 3 match {
+            case 0L =>
+              val (_, _, f) = Multimodal.imagePatchMeans(
+                Multimodal.syntheticPng(id % 251)).get
+              (id, "image", f.toSeq, "")
+            case 1L =>
+              val (_, _, _, f) = Multimodal.audioBandStats(
+                Multimodal.syntheticWav(id % 97)).get
+              (id, "audio", f.toSeq, "")
+            case _ =>
+              (id, "text", Seq.empty[Double], text)
+          }
+        }
+      }.toDF("doc", "kind", "embedding", "text")
+        .withColumn("text_key",
+          when(col("kind") === "text", md5(col("text")))
+            .otherwise(lit("")))
+      val w = Window.partitionBy("kind", "embedding", "text_key")
+      val grp = min("doc").over(w)
+      keyed.select(col("doc"), col("kind"), grp.as("grp"),
+        count(lit(1)).over(w).as("grp_size"),
+        (col("doc") === grp).as("keep"))
+    },
+    Some("""
+      WITH cls AS (
+        SELECT doc_id AS doc,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'text' END AS kind,
+          CASE doc_id % 3
+            WHEN 0 THEN concat('i', doc_id % 251)
+            WHEN 1 THEN concat('a', doc_id % 97)
+            ELSE concat('t', md5(text)) END AS k
+        FROM documents),
+      g AS (
+        SELECT k, MIN(doc) AS grp, COUNT(*) AS grp_size
+        FROM cls GROUP BY 1)
+      SELECT c.doc, c.kind, g.grp, g.grp_size, c.doc = g.grp AS keep
+      FROM cls c JOIN g USING (k)"""))
+
   override def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104, q106)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104, q106,
+      q107)
 }

@@ -323,6 +323,32 @@ class EnrichmentSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk).isEmpty)
   }
 
+  test("real audio embedding feeds ANN: a duplicate WAV retrieves all " +
+      "corpus copies through brute force and IVF") {
+    import graft.operators.Similarity
+    // 120 blobs over 40 seed classes -> 3 byte-identical copies each
+    val blobs = spark.range(0, 120).as[Long].map(id =>
+      Multimodal.MediaBlob(id, "audio", Multimodal.syntheticWav(id % 40)))
+    val corpus = Multimodal.embedAudio(blobs, bands = 8).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    // a NEW query payload duplicating seed 7 retrieves all three
+    // corpus copies (ids 7, 47, 87) — brute force and the IVF path
+    // agree, completing bytes -> RIFF decode -> embed -> ANN on real PCM
+    val qEmb = Multimodal.embedAudio(Seq(Multimodal.MediaBlob(1000L,
+        "audio", Multimodal.syntheticWav(7L))).toDS()).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(qEmb, corpus, "vec_id",
+      "embedding", 3, dim = 16)
+    assert(brute.select("neighbor_id").as[Long].collect().toSet ==
+      Set(7L, 47L, 87L))
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      8, iters = 2, dim = 16)
+    val ivf = Similarity.ivfTopK(qEmb, corpus, cents, "vec_id",
+      "embedding", 3, nprobe = 8, dim = 16)
+    assert(ivf.select("neighbor_id").as[Long].collect().toSet ==
+      Set(7L, 47L, 87L))
+  }
+
   test("percentile_disc_exact aggregate equals windowed implementation") {
     PercentileDiscAgg.register(spark)
     val e = Tables(spark, sfDir, "events")
