@@ -240,6 +240,152 @@ object Multimodal {
     }
   }
 
+  // ── Video-analog: real multi-frame container (GIF — the one the JVM
+  //    codecs both write and read frame-addressably). Indexed-color
+  //    frames make the LZW round-trip lossless, so the REAL
+  //    seek→decode→feature path is oracle-checkable exactly, same
+  //    discipline as syntheticPng/syntheticWav. ──
+
+  /** Deterministic synthetic animation: `nFrames` full-size 16×16
+    * frames in one GIF, each pixel an index into a fixed 256-entry
+    * palette:
+    *
+    * {{{
+    *   idx(f, x, y) = (seed*31 + f*37 + x*7 + y*13) % 256
+    *   palette(i)   = (r = i, g = (i*3) % 256, b = (i*7) % 256)
+    * }}}
+    *
+    * Indexed frames + our own palette mean GIF encodes the index map
+    * losslessly — a decoder that truly seeks to frame f and reads its
+    * pixels reproduces the formula's colors bit for bit, so frame
+    * addressing, palette lookup and LZW round-trip are all
+    * oracle-checkable.
+    */
+  def syntheticGif(seed: Long, nFrames: Int = 8, w: Int = 16,
+      h: Int = 16): Array[Byte] = {
+    val r = new Array[Byte](256)
+    val g = new Array[Byte](256)
+    val b = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      r(i) = i.toByte
+      g(i) = ((i * 3) % 256).toByte
+      b(i) = ((i * 7) % 256).toByte
+      i += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((seed * 31 + f * 37 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling: open the container with the actual codec,
+    * read the true frame count, seek to `n` evenly-spaced frame
+    * indices (`total*i/n`), decode each, and re-encode as PNG — the
+    * decoded upgrade of [[sampleFrames]]'s byte-slice stub, keeping
+    * the same one-blob→many-rows `Frame` contract (`n_frames` is now
+    * the TRUE container count, `frame_idx` the sampled container
+    * index). Payloads no codec recognizes are DROPPED
+    * (quarantine-over-crash); iterator-to-iterator, so a partition
+    * never materializes all frames at once.
+    */
+  def sampleDecodedFrames(blobs: Dataset[MediaBlob], n: Int)
+      : Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { blob =>
+        withFrameReader(blob.content) { (reader, total) =>
+          (0 until n).map { i =>
+            val idx = (total.toLong * i / n).toInt
+            val png = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(idx), "png", png)
+            Frame(blob.id, idx, total, png.toByteArray)
+          }
+        }.getOrElse(Seq.empty)
+      }
+    }
+  }
+
+  /** One embedded video row: true frame count, the sampled container
+    * indices, and the concatenated per-frame features.
+    */
+  case class VideoEmbedding(id: Long, n_frames: Int,
+      sampled: Seq[Int], embedding: Seq[Double])
+
+  /** REAL video embedding: seek + decode `sample` evenly-spaced frames
+    * with the actual codec and concatenate each decoded frame's patch
+    * color means ([[imagePatchMeans]]'s raster step) frame-major —
+    * feature `(s*grid + gy)*grid*3 + gx*3 + c` is sampled-frame s's
+    * patch (gy, gx) channel c. One mapPartitions projection, no
+    * shuffle; undecodable payloads DROP (quarantine-over-crash).
+    */
+  def embedVideo(blobs: Dataset[MediaBlob], sample: Int = 4,
+      grid: Int = 2): Dataset[VideoEmbedding] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.flatMap { blob =>
+        withFrameReader(blob.content) { (reader, total) =>
+          val idxs = (0 until sample).map(i => (total.toLong * i / sample).toInt)
+          val feats = idxs.toArray.flatMap { idx =>
+            rasterPatchMeans(reader.read(idx), grid)
+          }
+          VideoEmbedding(blob.id, total, idxs, feats.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Open a frame-addressable reader over `content`; `None` when no
+    * codec recognizes the payload or `body` throws (quarantine).
+    */
+  private def withFrameReader[T](content: Array[Byte])(
+      body: (javax.imageio.ImageReader, Int) => T): Option[T] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some(body(reader, reader.getNumImages(true)))
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Deterministic synthetic raster: pixel (x, y) has channel values
     *
     * {{{
@@ -321,41 +467,49 @@ object Multimodal {
   def imagePatchMeans(content: Array[Byte], grid: Int = 4)
       : Option[(Int, Int, Array[Double])] =
     decodeRaster(content).map { img =>
-      val w = img.getWidth
-      val h = img.getHeight
-      val feats = new Array[Double](3 * grid * grid)
-      var gy = 0
-      while (gy < grid) {
-        val y0 = h * gy / grid
-        val y1 = math.max(h * (gy + 1) / grid, y0 + 1).min(h)
-        var gx = 0
-        while (gx < grid) {
-          val x0 = w * gx / grid
-          val x1 = math.max(w * (gx + 1) / grid, x0 + 1).min(w)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          val n = ((y1 - y0) * (x1 - x0)).toDouble
-          val base = (gy * grid + gx) * 3
-          feats(base) = sr / n
-          feats(base + 1) = sg / n
-          feats(base + 2) = sb / n
-          gx += 1
-        }
-        gy += 1
-      }
-      (w, h, feats)
+      (img.getWidth, img.getHeight, rasterPatchMeans(img, grid))
     }
+
+  /** Patch color means of a decoded raster — the shared feature step
+    * behind [[imagePatchMeans]] and [[embedVideo]].
+    */
+  private def rasterPatchMeans(img: java.awt.image.BufferedImage,
+      grid: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val feats = new Array[Double](3 * grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      val y0 = h * gy / grid
+      val y1 = math.max(h * (gy + 1) / grid, y0 + 1).min(h)
+      var gx = 0
+      while (gx < grid) {
+        val x0 = w * gx / grid
+        val x1 = math.max(w * (gx + 1) / grid, x0 + 1).min(w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = ((y1 - y0) * (x1 - x0)).toDouble
+        val base = (gy * grid + gx) * 3
+        feats(base) = sr / n
+        feats(base + 1) = sg / n
+        feats(base + 2) = sb / n
+        gx += 1
+      }
+      gy += 1
+    }
+    feats
+  }
 
   // ── Audio: real JVM codec (javax.sound.sampled — WAV/AIFF/AU, no
   //    external dependency), same fixture→decode→feature discipline as

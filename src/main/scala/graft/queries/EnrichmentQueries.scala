@@ -618,7 +618,68 @@ object EnrichmentQueries extends QueryPack {
       SELECT c.doc, c.kind, g.grp, g.grp_size, c.doc = g.grp AS keep
       FROM cls c JOIN g USING (k)"""))
 
+  /** The VIDEO leg of the multimodal pillar, end to end real:
+    * synthesize one 8-frame animated GIF per document (indexed-color
+    * frames, pixel index a pure function of `doc_id % 61` —
+    * [[graft.operators.Multimodal.syntheticGif]]), SEEK + DECODE 4
+    * evenly-spaced frames with the JVM's actual GIF codec, and
+    * concatenate each decoded frame's 2×2 patch color means
+    * ([[graft.operators.Multimodal.embedVideo]]). Indexed frames make
+    * the LZW round-trip lossless, so the oracle recomputes the
+    * 48-double embedding FROM THE INDEX + PALETTE FORMULAS — any
+    * frame-addressing, palette-lookup, channel-order or patch-layout
+    * bug hash-mismatches. Dedup groups by embedding — 61 seed classes.
+    *
+    * Scale shape: encode+seek+decode+embed is one mapPartitions
+    * projection (no shuffle; only sampled frames decode, never the
+    * whole animation); the dedup groupBy matches q104/q106.
+    */
+  val q108 = Q("q108_video_frame_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val blobs = docs.as[Long].mapPartitions { it =>
+        it.map(id => Multimodal.MediaBlob(id, "video",
+          Multimodal.syntheticGif(id % 61)))
+      }
+      val emb = Multimodal.embedVideo(blobs, sample = 4, grid = 2).toDF()
+      val grp = emb.groupBy("embedding")
+        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
+      emb.join(grp, "embedding")
+        .select(col("id").as("doc"), col("n_frames"),
+          col("grp"), col("grp_size"), col("embedding"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT d.doc_id, d.doc_id % 61 AS seed, s.s, x.x, y.y,
+          ((d.doc_id % 61)*31 + (s.s*2)*37 + x.x*7 + y.y*13) % 256 AS pi
+        FROM documents d
+        CROSS JOIN generate_series(0, 3) AS s(s)
+        CROSS JOIN generate_series(0, 15) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      pm AS (
+        SELECT doc_id, s, y // 8 AS gy, x // 8 AS gx,
+          CAST(SUM(pi) AS DOUBLE) / 64 AS mr,
+          CAST(SUM((pi*3) % 256) AS DOUBLE) / 64 AS mg,
+          CAST(SUM((pi*7) % 256) AS DOUBLE) / 64 AS mb
+        FROM px GROUP BY 1, 2, 3, 4),
+      f AS (
+        SELECT doc_id, s*12 + (gy*2 + gx)*3 + c.c AS idx,
+          CASE c.c WHEN 0 THEN mr WHEN 1 THEN mg ELSE mb END AS val
+        FROM pm CROSS JOIN generate_series(0, 2) AS c(c)),
+      emb AS (
+        SELECT doc_id, list(val ORDER BY idx) AS embedding
+        FROM f GROUP BY doc_id),
+      grp AS (
+        SELECT doc_id % 61 AS seed, MIN(doc_id) AS grp,
+               COUNT(*) AS grp_size
+        FROM documents GROUP BY 1)
+      SELECT e.doc_id AS doc, CAST(8 AS INTEGER) AS n_frames,
+             g.grp, g.grp_size, e.embedding
+      FROM emb e JOIN grp g ON e.doc_id % 61 = g.seed"""))
+
   override def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104, q106,
-      q107)
+      q107, q108)
 }

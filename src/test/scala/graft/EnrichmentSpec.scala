@@ -323,6 +323,49 @@ class EnrichmentSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk).isEmpty)
   }
 
+  test("real video decode: GIF frame seek true, sampled pixels " +
+      "round-trip the formula, duplicates collapse, junk quarantines") {
+    val blobs = spark.range(0, 60).as[Long].map(id =>
+      Multimodal.MediaBlob(id, "video", Multimodal.syntheticGif(id % 20)))
+    val rows = Multimodal.embedVideo(blobs, sample = 4, grid = 2).collect()
+    assert(rows.length == 60 && rows.forall(r =>
+      r.n_frames == 8 && r.sampled == Seq(0, 2, 4, 6)))
+    // the decode is REAL: seed 0, frame f, pixel index
+    // (f*37 + 7x + 13y) % 256 and palette (i, 3i%256, 7i%256) — any
+    // frame-seek, palette, channel-order or layout bug fails here
+    val e0 = rows.find(_.id == 0L).get.embedding
+    assert(e0.length == 48)
+    val p0 = for { y <- 0 until 8; x <- 0 until 8 }
+      yield (x * 7 + y * 13) % 256
+    assert(e0.head == p0.sum / 64.0)                          // f0 red
+    assert(e0(1) == p0.map(i => (i * 3) % 256).sum / 64.0)    // f0 green
+    val p2 = for { y <- 0 until 8; x <- 0 until 8 }
+      yield (2 * 37 + x * 7 + y * 13) % 256
+    assert(e0(12) == p2.sum / 64.0)          // sampled frame 1 = container 2
+    // equal payloads embed equally; the 20 seed classes stay distinct
+    assert(Multimodal.embedVideo(blobs, sample = 4, grid = 2).toDF()
+      .select("embedding").distinct().count() == 20)
+    // sampleDecodedFrames: true container count, real per-frame seek,
+    // and the PNG re-encode preserves the decoded pixels exactly
+    val fr = Multimodal.sampleDecodedFrames(blobs.filter(_.id == 0L), 4)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6) &&
+      fr.forall(_.n_frames == 8))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fr(1).frame_bytes))
+    val idx = (2 * 37 + 3 * 7 + 5 * 13) % 256
+    val rgb = img.getRGB(3, 5)
+    assert(((rgb >> 16) & 0xff) == idx &&
+      ((rgb >> 8) & 0xff) == (idx * 3) % 256 &&
+      (rgb & 0xff) == (idx * 7) % 256)
+    // undecodable payloads quarantine (dropped), never crash the task
+    val junk = Seq(
+      Multimodal.MediaBlob(1L, "video", Array[Byte](9, 9)),
+      Multimodal.MediaBlob(2L, "video", Array.empty[Byte])).toDS()
+    assert(Multimodal.embedVideo(junk).isEmpty)
+    assert(Multimodal.sampleDecodedFrames(junk, 4).isEmpty)
+  }
+
   test("real audio embedding feeds ANN: a duplicate WAV retrieves all " +
       "corpus copies through brute force and IVF") {
     import graft.operators.Similarity
