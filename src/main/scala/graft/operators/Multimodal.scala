@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * REAL too for JVM-containered formats (WAV/AIFF/AU via
   * `javax.sound.sampled`): [[decodeAudio]] parses true headers and
   * [[embedAudio]] projects actual PCM frames to band envelope
-  * statistics. Payloads no registered reader recognizes (video,
-  * arbitrary bytes) fall back to the DETERMINISTIC STUB
+  * statistics. Video-analog payloads are REAL for frame-addressable
+  * containers the JVM reads (animated GIF): [[sampleDecodedFrames]]
+  * seeks + decodes true frames and [[embedVideo]] concatenates
+  * sampled decoded frames' patch means. Payloads no registered
+  * reader recognizes (arbitrary bytes, containers without a JVM
+  * codec) fall back to the DETERMINISTIC STUB
   * ([[decodeStub]]/[[embedStub]]:
   * byte length, md5 fingerprint, digest-derived values) — the
   * schema/partitioning/batch contract stays identical either way, so
