@@ -357,16 +357,29 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       iter.flatMap { blob =>
-        withFrameReader(blob.content) { (reader, total) =>
-          val idxs = (0 until sample).map(i => (total.toLong * i / sample).toInt)
-          val feats = idxs.toArray.flatMap { idx =>
-            rasterPatchMeans(reader.read(idx), grid)
-          }
-          VideoEmbedding(blob.id, total, idxs, feats.toSeq)
+        videoFrameFeatures(blob.content, sample, grid).map {
+          case (total, idxs, feats) =>
+            VideoEmbedding(blob.id, total, idxs, feats.toSeq)
         }
       }
     }
   }
+
+  /** Pure per-blob form of [[embedVideo]]'s feature step: seek +
+    * decode `sample` evenly-spaced frames and return (true frame
+    * count, sampled indices, concatenated patch means). The
+    * single-pass hook for multi-modality routing, like
+    * [[imagePatchMeans]]/[[audioBandStats]]. `None` = quarantine.
+    */
+  def videoFrameFeatures(content: Array[Byte], sample: Int = 4,
+      grid: Int = 2): Option[(Int, Seq[Int], Array[Double])] =
+    withFrameReader(content) { (reader, total) =>
+      val idxs = (0 until sample).map(i => (total.toLong * i / sample).toInt)
+      val feats = idxs.toArray.flatMap { idx =>
+        rasterPatchMeans(reader.read(idx), grid)
+      }
+      (total, idxs, feats)
+    }
 
   /** Open a frame-addressable reader over `content`; `None` when no
     * codec recognizes the payload or `body` throws (quarantine).

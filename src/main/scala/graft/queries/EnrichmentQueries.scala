@@ -553,14 +553,16 @@ object EnrichmentQueries extends QueryPack {
 
   /** Cross-modal dedup router — the capstone of the multimodal pillar:
     * ONE scan over `documents` routes each row to its modality
-    * (doc_id % 3 → image / audio / text), synthesizes the payload,
-    * decodes it with the REAL codec
+    * (doc_id % 4 → image / audio / video / text), synthesizes the
+    * payload, decodes it with the REAL codec
     * ([[graft.operators.Multimodal.imagePatchMeans]] /
-    * [[graft.operators.Multimodal.audioBandStats]] — the pure per-blob
-    * hooks behind q104/q106's embeddings), and dedups on the canonical
-    * per-modality key: decoded-pixel patch means for images, decoded
-    * PCM band stats for audio, content md5 for text. The oracle knows
-    * the feature formulas collapse exactly by seed (q104/q106 pin
+    * [[graft.operators.Multimodal.audioBandStats]] /
+    * [[graft.operators.Multimodal.videoFrameFeatures]] — the pure
+    * per-blob hooks behind q104/q106/q108's embeddings), and dedups on
+    * the canonical per-modality key: decoded-pixel patch means for
+    * images, decoded PCM band stats for audio, sampled decoded-frame
+    * means for video, content md5 for text. The oracle knows the
+    * feature formulas collapse exactly by seed (q104/q106/q108 pin
     * that), so it groups by seed class — ANY divergence between
     * feature-equality and seed-equality (a feature bug splitting or
     * colliding classes) hash-mismatches here.
@@ -579,7 +581,7 @@ object EnrichmentQueries extends QueryPack {
         .select(col("doc_id"), col("text"))
       val keyed = docs.as[(Long, String)].mapPartitions { it =>
         it.map { case (id, text) =>
-          id % 3 match {
+          id % 4 match {
             case 0L =>
               val (_, _, f) = Multimodal.imagePatchMeans(
                 Multimodal.syntheticPng(id % 251)).get
@@ -588,6 +590,10 @@ object EnrichmentQueries extends QueryPack {
               val (_, _, _, f) = Multimodal.audioBandStats(
                 Multimodal.syntheticWav(id % 97)).get
               (id, "audio", f.toSeq, "")
+            case 2L =>
+              val (_, _, f) = Multimodal.videoFrameFeatures(
+                Multimodal.syntheticGif(id % 61)).get
+              (id, "video", f.toSeq, "")
             case _ =>
               (id, "text", Seq.empty[Double], text)
           }
@@ -605,11 +611,12 @@ object EnrichmentQueries extends QueryPack {
     Some("""
       WITH cls AS (
         SELECT doc_id AS doc,
-          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'text' END AS kind,
-          CASE doc_id % 3
+          CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            WHEN 2 THEN 'video' ELSE 'text' END AS kind,
+          CASE doc_id % 4
             WHEN 0 THEN concat('i', doc_id % 251)
             WHEN 1 THEN concat('a', doc_id % 97)
+            WHEN 2 THEN concat('v', doc_id % 61)
             ELSE concat('t', md5(text)) END AS k
         FROM documents),
       g AS (
