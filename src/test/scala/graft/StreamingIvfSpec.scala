@@ -80,6 +80,56 @@ class StreamingIvfSpec extends SparkSpec {
     assert(spark.read.parquet(index).count() == emb.count())
   }
 
+  test("streaming media blobs: real decode + embed inside the stream " +
+      "feeds the exactly-once index; a duplicate payload retrieves " +
+      "all indexed copies") {
+    import graft.operators.Multimodal
+    // 80 image blobs over 20 seed classes -> 4 byte-identical copies
+    // each; micro-batch m = id % 4
+    val blobs = spark.range(0, 80).as[Long].map(id =>
+      Multimodal.MediaBlob(id, "image", Multimodal.syntheticPng(id % 20)))
+    val vdim = 48
+    val allEmb = Multimodal.embedImage(blobs).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    // frozen centroids, trained once offline (the index's contract)
+    val cents = Similarity.kmeansCentroids(allEmb, "vec_id", "embedding",
+      k = 4, iters = 2, dim = vdim)
+    val landing = tmp("sivf_blob_land")
+    val index = tmp("sivf_blob_idx") + "/ix"
+    val chk = tmp("sivf_blob_chk")
+    def writeBatch(m: Int): Unit =
+      blobs.filter(_.id % 4 == m).toDF()
+        .coalesce(1).write.mode("append").parquet(landing)
+    writeBatch(0)
+    // the decode + embed runs INSIDE the streaming frame: blob rows in,
+    // vector rows out, one projection per micro-batch
+    val blobStream = spark.readStream.schema(blobs.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .as[Multimodal.MediaBlob]
+    val vecStream = Multimodal.embedImage(blobStream).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    val q = StreamingIvf.run(vecStream, index, cents, chk,
+      idCol = "vec_id", vecCol = "embedding", compactEvery = 4)
+    try {
+      q.processAllAvailable()
+      (1 to 3).foreach { m => writeBatch(m); q.processAllAvailable() }
+    } finally q.stop()
+    // every blob embedded and indexed exactly once
+    val idx = spark.read.parquet(index)
+    assert(idx.count() == 80 &&
+      idx.select("vec_id").distinct().count() == 80)
+    // a NEW duplicate payload (seed 7) retrieves all four indexed
+    // copies through the streamed index — bytes -> decode -> embed ->
+    // stream-append -> ANN, end to end real
+    val qEmb = Multimodal.embedImage(Seq(Multimodal.MediaBlob(1000L,
+        "image", Multimodal.syntheticPng(7L))).toDS()).toDF()
+      .select(col("id").as("vec_id"), col("embedding"))
+    val hits = Similarity.ivfTopKIndexed(spark, index, qEmb, cents,
+      "vec_id", "embedding", 4, nprobe = 4, dim = vdim)
+    assert(hits.select("neighbor_id").as[Long].collect().toSet ==
+      Set(7L, 27L, 47L, 67L))
+  }
+
   test("crash mid-move replay scrubs the tag's partial files") {
     val index = tmp("sivf_crash") + "/ix"
     val corpus = emb.filter(col("vec_id") % 2 === 0)
