@@ -366,6 +366,82 @@ class EnrichmentSpec extends SparkSpec {
     assert(Multimodal.sampleDecodedFrames(junk, 4).isEmpty)
   }
 
+  test("audio decode covers the codec corners: big-endian AIFF equals " +
+      "the WAV embedding, stereo interleaves, 8-bit drops") {
+    // the same PCM samples containered as AIFF (big-endian) must embed
+    // identically to the WAV (little-endian) — exercises the endianness
+    // branch with a REAL second container format
+    def pcm16(seed: Long, n: Int): Array[Byte] = {
+      val b = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = ((seed * 131071L + i * 8191L) % 65536L - 32768L).toInt
+        b(2 * i) = (v & 0xff).toByte
+        b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b
+    }
+    def container(tp: javax.sound.sampled.AudioFileFormat.Type,
+        big: Boolean, channels: Int, seed: Long): Array[Byte] = {
+      val n = 64
+      val raw = pcm16(seed, n * channels)
+      val bytes =
+        if (!big) raw
+        else raw.grouped(2).flatMap(p => Array(p(1), p(0))).toArray
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, channels, 2 * channels, 8000f, big)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais, tp, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val pairs = Seq(
+      Multimodal.MediaBlob(1L, "audio", container(Wave, big = false,
+        channels = 1, seed = 5)),
+      Multimodal.MediaBlob(2L, "audio", container(Aiff, big = true,
+        channels = 1, seed = 5))).toDS()
+    val e = Multimodal.embedAudio(pairs, bands = 8).collect()
+      .sortBy(_.id)
+    assert(e.length == 2)
+    assert(e(0).embedding == e(1).embedding,
+      "AIFF (big-endian) must decode to the same features as WAV")
+    assert(e(0).embedding == Multimodal
+      .embedAudio(Seq(Multimodal.MediaBlob(9L, "audio",
+        Multimodal.syntheticWav(5L))).toDS(), bands = 8)
+      .collect().head.embedding)
+    // stereo: channels reported, interleaved samples counted raw
+    val stereo = Multimodal.decodeAudio(Seq(Multimodal.MediaBlob(3L,
+      "audio", container(Wave, big = false, channels = 2, seed = 1)))
+      .toDS()).collect().head
+    assert(stereo.channels == 2 && stereo.n_frames == 64)
+    val se = Multimodal.embedAudio(Seq(Multimodal.MediaBlob(3L, "audio",
+      container(Wave, big = false, channels = 2, seed = 1))).toDS())
+      .collect().head
+    assert(se.channels == 2 && se.n_samples == 128)
+    // 8-bit PCM: metadata decodes (real header), embedding DROPS (the
+    // operator's 16-bit contract)
+    val pcm8 = {
+      val n = 64
+      val raw = (0 until n).map(i => ((i * 31) % 256 - 128).toByte).toArray
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais, Wave, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+    val eight = Seq(Multimodal.MediaBlob(4L, "audio", pcm8)).toDS()
+    assert(Multimodal.decodeAudio(eight).collect().head.bits == 8)
+    assert(Multimodal.embedAudio(eight).isEmpty)
+  }
+
   test("real audio embedding feeds ANN: a duplicate WAV retrieves all " +
       "corpus copies through brute force and IVF") {
     import graft.operators.Similarity
