@@ -569,9 +569,10 @@ object EnrichmentQueries extends QueryPack {
     *
     * Scale shape: a single projection computes every modality's key in
     * one pass (no per-modality re-scan), then ONE shuffle: a window
-    * partitioned by the dedup class (kind, embedding, text_key), whose
-    * partitions are bounded by true duplicate-group size. At 100 TB
-    * the 48-double image key would ride as a digest; same plan.
+    * partitioned by a 64-bit xxhash64 digest of the dedup class
+    * (kind + features + text hash), whose partitions are bounded by
+    * true duplicate-group size. The features never cross the exchange
+    * — rows shrink to (doc, kind, digest) before the shuffle.
     */
   val q107 = Q("q107_multimodal_route_dedup",
     (s, dir) => {
@@ -599,10 +600,18 @@ object EnrichmentQueries extends QueryPack {
           }
         }
       }.toDF("doc", "kind", "embedding", "text")
-        .withColumn("text_key",
-          when(col("kind") === "text", md5(col("text")))
-            .otherwise(lit("")))
-      val w = Window.partitionBy("kind", "embedding", "text_key")
+        // collapse every modality's key to ONE 64-bit digest before
+        // the exchange: the embedding never needs to survive the
+        // shuffle (the output is doc/grp/keep), so the exchange row is
+        // ~40 bytes instead of the 48-double vector — the "group on a
+        // digest at 100 TB" shape, implemented rather than promised
+        // (collision odds ~2^-64; the seed-class oracle would catch
+        // any merge it caused)
+        .select(col("doc"), col("kind"),
+          xxhash64(col("kind"), to_json(col("embedding")),
+            when(col("kind") === "text", md5(col("text")))
+              .otherwise(lit(""))).as("class_key"))
+      val w = Window.partitionBy("class_key")
       val grp = min("doc").over(w)
       keyed.select(col("doc"), col("kind"), grp.as("grp"),
         count(lit(1)).over(w).as("grp_size"),
