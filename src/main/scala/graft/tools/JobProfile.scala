@@ -48,7 +48,8 @@ object JobProfile {
         lines.add(f"  stage ${si.stageId}%3d ${wall}%7.3fs tasks=${si.numTasks}%4d " +
           f"cpu=${tm.executorCpuTime / 1e9}%6.2fs run=${tm.executorRunTime / 1e3}%6.2fs " +
           f"gc=${tm.jvmGCTime / 1e3}%5.2fs in=${tm.inputMetrics.recordsRead}%9d " +
-          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(40)}")
+          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%9d " +
+          f"swB=${tm.shuffleWriteMetrics.bytesWritten}%11d  ${si.name.take(40)}")
       }
     })
     // interleaved A/B when several queries are named (args 1..n-1 with
