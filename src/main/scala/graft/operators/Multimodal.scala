@@ -690,6 +690,69 @@ object Multimodal {
     }
   }
 
+  /** One decoded-signal quality row: per-modality primary/auxiliary
+    * metrics with a decodability flag — the multimodal twin of the
+    * Gopher-style text quality record.
+    */
+  case class BlobQuality(id: Long, kind: String, decodable: Boolean,
+      q_main: Double, q_aux: Double)
+
+  /** DECODED-signal quality gates — the curation stage that runs
+    * between ingestion hygiene ([[dedupStats]]) and embedding: route
+    * each blob by its declared kind, decode with the real codec, and
+    * emit the two signals a keep/drop policy thresholds on:
+    *
+    *  - image: q_main = mean luminance over decoded pixels (mean of
+    *    the 3×grid² patch channel means — exact: patch means are
+    *    rationals with power-of-two denominators), q_aux = min(w, h)
+    *  - audio: q_main = overall mean |sample| (mean of the band
+    *    mean-abs features — equal power-of-two bands, so exact),
+    *    q_aux = duration in ms from the true sample count and rate
+    *  - video: q_main = mean luminance over the sampled decoded
+    *    frames, q_aux = TRUE container frame count
+    *  - text (any other kind): q_main = ASCII-alpha fraction of the
+    *    UTF-8 payload, q_aux = character count
+    *
+    * Undecodable media rows keep their id with `decodable = false`
+    * and zeroed metrics (a policy can quarantine rather than silently
+    * lose them — unlike the embed operators, a quality pass must
+    * account for every input). One mapPartitions projection, no
+    * shuffle; thresholds stay in the query layer where policy lives.
+    */
+  def qualitySignals(blobs: Dataset[MediaBlob], grid: Int = 4,
+      bands: Int = 8, sample: Int = 4): Dataset[BlobQuality] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      iter.map { b =>
+        val q = b.kind match {
+          case "image" =>
+            imagePatchMeans(b.content, grid).map { case (w, h, f) =>
+              (f.sum / f.length, math.min(w, h).toDouble)
+            }
+          case "audio" =>
+            audioBandStats(b.content, bands).map { case (rate, n, _, f) =>
+              val meanAbs = (0 until bands).map(i => f(2 * i + 1)).sum / bands
+              (meanAbs, n * 1000.0 / rate)
+            }
+          case "video" =>
+            videoFrameFeatures(b.content, sample, 2).map {
+              case (total, _, f) => (f.sum / f.length, total.toDouble)
+            }
+          case _ =>
+            val s = new String(b.content, java.nio.charset.StandardCharsets.UTF_8)
+            val alpha = s.count(c =>
+              (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+            Some((if (s.isEmpty) 0.0 else alpha.toDouble / s.length,
+              s.length.toDouble))
+        }
+        q match {
+          case Some((m, a)) => BlobQuality(b.id, b.kind, true, m, a)
+          case None => BlobQuality(b.id, b.kind, false, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
   /** Deterministic stub embedding: digest bytes → fixed-dim unit-norm
     * float vector, the schema contract of a real vision/audio encoder.
     * Output plugs straight into the Similarity operators (ANN, near-dup).

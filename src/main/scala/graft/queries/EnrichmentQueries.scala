@@ -695,7 +695,124 @@ object EnrichmentQueries extends QueryPack {
              g.grp, g.grp_size, e.embedding
       FROM emb e JOIN grp g ON e.doc_id % 61 = g.seed"""))
 
+  /** Decoded-signal quality gates over a mixed-modality corpus — the
+    * multimodal twin of the Gopher text rules (q52): route each
+    * document to its modality, decode with the REAL codec
+    * ([[graft.operators.Multimodal.qualitySignals]]), and emit the
+    * per-kind primary/auxiliary metrics plus a threshold keep policy:
+    * mean decoded luminance + min dimension (image), mean |PCM
+    * sample| + true duration (audio), sampled-frame luminance + true
+    * container frame count (video), alpha fraction + length (text).
+    * Every metric is an exact rational of decoded values (power-of-
+    * two denominators up to one final rounded division that both
+    * engines perform identically), so the oracle recomputes them from
+    * the payload formulas and the whole gate hash-checks.
+    *
+    * Scale shape: ONE projection, ZERO shuffles — quality gating at
+    * 100 TB is embarrassingly parallel and must stay that way.
+    */
+  val q109 = Q("q109_multimodal_quality",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val blobs = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, text) =>
+          id % 4 match {
+            case 0L => Multimodal.MediaBlob(id, "image",
+              Multimodal.syntheticPng(id % 251))
+            case 1L => Multimodal.MediaBlob(id, "audio",
+              Multimodal.syntheticWav(id % 97))
+            case 2L => Multimodal.MediaBlob(id, "video",
+              Multimodal.syntheticGif(id % 61))
+            case _ => Multimodal.MediaBlob(id, "text",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }
+      Multimodal.qualitySignals(blobs).toDF()
+        .select(col("id").as("doc"), col("kind"), col("decodable"),
+          col("q_main"), col("q_aux"),
+          (col("decodable") && (
+            when(col("kind") === "image",
+              col("q_main") >= 64 && col("q_main") <= 192 &&
+                col("q_aux") >= 8)
+            .when(col("kind") === "audio",
+              col("q_main") >= 4096 && col("q_aux") >= 5)
+            .when(col("kind") === "video",
+              col("q_main") >= 64 && col("q_main") <= 192 &&
+                col("q_aux") >= 4)
+            .otherwise(col("q_main") >= 0.5 && col("q_aux") >= 10)))
+            .as("keep"))
+    },
+    Some("""
+      WITH ipx AS (
+        SELECT d.doc_id, d.doc_id % 251 AS seed, x.x, y.y
+        FROM documents d
+        CROSS JOIN generate_series(0, 15) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)
+        WHERE d.doc_id % 4 = 0),
+      ipm AS (
+        SELECT doc_id, y // 4 AS gy, x // 4 AS gx,
+          CAST(SUM((seed*31 + x*7 + y*13) % 256) AS DOUBLE) / 16 AS mr,
+          CAST(SUM((seed*17 + x*3 + y*5) % 256) AS DOUBLE) / 16 AS mg,
+          CAST(SUM((seed*29 + x*11 + y*3) % 256) AS DOUBLE) / 16 AS mb
+        FROM ipx GROUP BY 1, 2, 3),
+      img AS (
+        SELECT doc_id, SUM(mr + mg + mb) / 48 AS q_main,
+               CAST(16 AS DOUBLE) AS q_aux
+        FROM ipm GROUP BY 1),
+      asm AS (
+        SELECT d.doc_id,
+          ABS(((d.doc_id % 97)*131071 + i.i*8191) % 65536 - 32768) AS av
+        FROM documents d CROSS JOIN generate_series(0, 63) AS i(i)
+        WHERE d.doc_id % 4 = 1),
+      aud AS (
+        SELECT doc_id, CAST(SUM(av) AS DOUBLE) / 64 AS q_main,
+               CAST(8 AS DOUBLE) AS q_aux
+        FROM asm GROUP BY 1),
+      vpx AS (
+        SELECT d.doc_id, s.s, x.x, y.y,
+          ((d.doc_id % 61)*31 + (s.s*2)*37 + x.x*7 + y.y*13) % 256 AS pi
+        FROM documents d
+        CROSS JOIN generate_series(0, 3) AS s(s)
+        CROSS JOIN generate_series(0, 15) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)
+        WHERE d.doc_id % 4 = 2),
+      vpm AS (
+        SELECT doc_id, s, y // 8 AS gy, x // 8 AS gx,
+          CAST(SUM(pi) AS DOUBLE) / 64 AS mr,
+          CAST(SUM((pi*3) % 256) AS DOUBLE) / 64 AS mg,
+          CAST(SUM((pi*7) % 256) AS DOUBLE) / 64 AS mb
+        FROM vpx GROUP BY 1, 2, 3, 4),
+      vid AS (
+        SELECT doc_id, SUM(mr + mg + mb) / 48 AS q_main,
+               CAST(8 AS DOUBLE) AS q_aux
+        FROM vpm GROUP BY 1),
+      txt AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            AS DOUBLE) / length(text) AS q_main,
+          CAST(length(text) AS DOUBLE) AS q_aux
+        FROM documents WHERE doc_id % 4 = 3),
+      m AS (
+        SELECT doc_id AS doc, 'image' AS kind, q_main, q_aux FROM img
+        UNION ALL
+        SELECT doc_id, 'audio', q_main, q_aux FROM aud
+        UNION ALL
+        SELECT doc_id, 'video', q_main, q_aux FROM vid
+        UNION ALL
+        SELECT doc_id, 'text', q_main, q_aux FROM txt)
+      SELECT doc, kind, TRUE AS decodable, q_main, q_aux,
+        CASE kind
+          WHEN 'image' THEN q_main >= 64 AND q_main <= 192 AND q_aux >= 8
+          WHEN 'audio' THEN q_main >= 4096 AND q_aux >= 5
+          WHEN 'video' THEN q_main >= 64 AND q_main <= 192 AND q_aux >= 4
+          ELSE q_main >= 0.5 AND q_aux >= 10 END AS keep
+      FROM m"""))
+
   override def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q47, q91, q104, q106,
-      q107, q108)
+      q107, q108, q109)
 }

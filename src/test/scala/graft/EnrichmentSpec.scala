@@ -366,6 +366,38 @@ class EnrichmentSpec extends SparkSpec {
     assert(Multimodal.sampleDecodedFrames(junk, 4).isEmpty)
   }
 
+  test("quality signals: decoded metrics match the formulas, every " +
+      "input is accounted for, junk flags undecodable") {
+    val blobs = Seq(
+      Multimodal.MediaBlob(0L, "image", Multimodal.syntheticPng(0L)),
+      Multimodal.MediaBlob(1L, "audio", Multimodal.syntheticWav(0L)),
+      Multimodal.MediaBlob(2L, "video", Multimodal.syntheticGif(0L)),
+      Multimodal.MediaBlob(3L, "text", "abc123".getBytes("UTF-8")),
+      Multimodal.MediaBlob(4L, "image", Array[Byte](1, 2, 3))).toDS()
+    val rows = Multimodal.qualitySignals(blobs).collect().sortBy(_.id)
+    // a quality pass must account for EVERY input row
+    assert(rows.length == 5)
+    val img = rows(0)
+    val mean = (ch: (Int, Int) => Int) => (for {
+      y <- 0 until 16; x <- 0 until 16 } yield ch(x, y)).sum / 16.0 / 16
+    // patch-mean-of-means == overall mean for power-of-two patches
+    val lum = ((for { y <- 0 until 16; x <- 0 until 16 } yield
+      (x * 7 + y * 13) % 256 + (x * 3 + y * 5) % 256 +
+        (x * 11 + y * 3) % 256).sum / 16.0) / 48
+    assert(img.decodable && img.q_main == lum && img.q_aux == 16.0)
+    val aud = rows(1)
+    val meanAbs = (0 until 64)
+      .map(i => math.abs((i * 8191) % 65536 - 32768)).sum / 64.0
+    assert(aud.decodable && aud.q_main == meanAbs && aud.q_aux == 8.0)
+    val vid = rows(2)
+    assert(vid.decodable && vid.q_aux == 8.0 &&
+      vid.q_main > 0 && vid.q_main < 256)
+    val txt = rows(3)
+    assert(txt.decodable && txt.q_main == 0.5 && txt.q_aux == 6.0)
+    // undecodable media: flagged, zeroed, NOT dropped
+    assert(!rows(4).decodable && rows(4).q_main == 0.0)
+  }
+
   test("audio decode covers the codec corners: big-endian AIFF equals " +
       "the WAV embedding, stereo interleaves, 8-bit drops") {
     // the same PCM samples containered as AIFF (big-endian) must embed
