@@ -445,7 +445,10 @@ object EnrichmentQueries extends QueryPack {
     *
     * Scale shape: encode+decode+embed is one mapPartitions projection
     * (no shuffle); the dedup groups by the 48-double embedding — at
-    * 100 TB you'd group by a digest of it, same plan shape.
+    * 100 TB you'd group by a digest of it, same plan shape. The
+    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows (one
+    * per feature) so every decoded value stays hash-pinned by the
+    * driver's comparator, which cannot sort array cells.
     */
   val q104 = Q("q104_image_embed_dedup",
     (s, dir) => {
@@ -461,7 +464,10 @@ object EnrichmentQueries extends QueryPack {
         .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
       emb.join(grp, "embedding")
         .select(col("id").as("doc"), col("width"), col("height"),
-          col("grp"), col("grp_size"), col("embedding"))
+          col("grp"), col("grp_size"),
+          posexplode(col("embedding")).as(Seq("i", "val")))
+        .select(col("doc"), col("width"), col("height"), col("grp"),
+          col("grp_size"), col("i").cast("long").as("idx"), col("val"))
     },
     Some("""
       WITH px AS (
@@ -479,17 +485,14 @@ object EnrichmentQueries extends QueryPack {
         SELECT doc_id, (gy*4 + gx)*3 + c.c AS idx,
           CASE c.c WHEN 0 THEN mr WHEN 1 THEN mg ELSE mb END AS val
         FROM pm CROSS JOIN generate_series(0, 2) AS c(c)),
-      emb AS (
-        SELECT doc_id, list(val ORDER BY idx) AS embedding
-        FROM f GROUP BY doc_id),
       grp AS (
         SELECT doc_id % 251 AS seed, MIN(doc_id) AS grp,
                COUNT(*) AS grp_size
         FROM documents GROUP BY 1)
-      SELECT e.doc_id AS doc, CAST(16 AS INTEGER) AS width,
+      SELECT f.doc_id AS doc, CAST(16 AS INTEGER) AS width,
              CAST(16 AS INTEGER) AS height, g.grp, g.grp_size,
-             e.embedding
-      FROM emb e JOIN grp g ON e.doc_id % 251 = g.seed"""))
+             CAST(f.idx AS BIGINT) AS idx, f.val
+      FROM f JOIN grp g ON f.doc_id % 251 = g.seed"""))
 
   /** The AUDIO leg of the multimodal pillar, end to end real:
     * synthesize one 64-sample WAV per document (16-bit PCM samples a
@@ -506,7 +509,10 @@ object EnrichmentQueries extends QueryPack {
     *
     * Scale shape: encode+decode+embed is one mapPartitions projection
     * (no shuffle); the dedup groups by the 16-double embedding — at
-    * 100 TB you'd group by a digest of it, same plan shape.
+    * 100 TB you'd group by a digest of it, same plan shape. The
+    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows so
+    * every decoded band statistic stays hash-pinned by the driver's
+    * comparator, which cannot sort array cells.
     */
   val q106 = Q("q106_audio_embed_dedup",
     (s, dir) => {
@@ -523,7 +529,10 @@ object EnrichmentQueries extends QueryPack {
       emb.join(grp, "embedding")
         .select(col("id").as("doc"), col("sample_rate"),
           col("n_samples"), col("grp"), col("grp_size"),
-          col("embedding"))
+          posexplode(col("embedding")).as(Seq("i", "val")))
+        .select(col("doc"), col("sample_rate"), col("n_samples"),
+          col("grp"), col("grp_size"),
+          col("i").cast("long").as("idx"), col("val"))
     },
     Some("""
       WITH s AS (
@@ -539,17 +548,14 @@ object EnrichmentQueries extends QueryPack {
         SELECT doc_id, band*2 + c.c AS idx,
           CASE c.c WHEN 0 THEN mean ELSE mabs END AS val
         FROM b CROSS JOIN generate_series(0, 1) AS c(c)),
-      emb AS (
-        SELECT doc_id, list(val ORDER BY idx) AS embedding
-        FROM f GROUP BY doc_id),
       grp AS (
         SELECT doc_id % 97 AS seed, MIN(doc_id) AS grp,
                COUNT(*) AS grp_size
         FROM documents GROUP BY 1)
-      SELECT e.doc_id AS doc, CAST(8000 AS DOUBLE) AS sample_rate,
+      SELECT f.doc_id AS doc, CAST(8000 AS DOUBLE) AS sample_rate,
              CAST(64 AS INTEGER) AS n_samples, g.grp, g.grp_size,
-             e.embedding
-      FROM emb e JOIN grp g ON e.doc_id % 97 = g.seed"""))
+             CAST(f.idx AS BIGINT) AS idx, f.val
+      FROM f JOIN grp g ON f.doc_id % 97 = g.seed"""))
 
   /** Cross-modal dedup router — the capstone of the multimodal pillar:
     * ONE scan over `documents` routes each row to its modality
@@ -648,7 +654,10 @@ object EnrichmentQueries extends QueryPack {
     *
     * Scale shape: encode+seek+decode+embed is one mapPartitions
     * projection (no shuffle; only sampled frames decode, never the
-    * whole animation); the dedup groupBy matches q104/q106.
+    * whole animation); the dedup groupBy matches q104/q106. The
+    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows so
+    * every decoded frame feature stays hash-pinned by the driver's
+    * comparator, which cannot sort array cells.
     */
   val q108 = Q("q108_video_frame_dedup",
     (s, dir) => {
@@ -664,7 +673,10 @@ object EnrichmentQueries extends QueryPack {
         .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
       emb.join(grp, "embedding")
         .select(col("id").as("doc"), col("n_frames"),
-          col("grp"), col("grp_size"), col("embedding"))
+          col("grp"), col("grp_size"),
+          posexplode(col("embedding")).as(Seq("i", "val")))
+        .select(col("doc"), col("n_frames"), col("grp"),
+          col("grp_size"), col("i").cast("long").as("idx"), col("val"))
     },
     Some("""
       WITH px AS (
@@ -684,16 +696,13 @@ object EnrichmentQueries extends QueryPack {
         SELECT doc_id, s*12 + (gy*2 + gx)*3 + c.c AS idx,
           CASE c.c WHEN 0 THEN mr WHEN 1 THEN mg ELSE mb END AS val
         FROM pm CROSS JOIN generate_series(0, 2) AS c(c)),
-      emb AS (
-        SELECT doc_id, list(val ORDER BY idx) AS embedding
-        FROM f GROUP BY doc_id),
       grp AS (
         SELECT doc_id % 61 AS seed, MIN(doc_id) AS grp,
                COUNT(*) AS grp_size
         FROM documents GROUP BY 1)
-      SELECT e.doc_id AS doc, CAST(8 AS INTEGER) AS n_frames,
-             g.grp, g.grp_size, e.embedding
-      FROM emb e JOIN grp g ON e.doc_id % 61 = g.seed"""))
+      SELECT f.doc_id AS doc, CAST(8 AS INTEGER) AS n_frames,
+             g.grp, g.grp_size, CAST(f.idx AS BIGINT) AS idx, f.val
+      FROM f JOIN grp g ON f.doc_id % 61 = g.seed"""))
 
   /** Decoded-signal quality gates over a mixed-modality corpus — the
     * multimodal twin of the Gopher text rules (q52): route each

@@ -17,6 +17,26 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no query output schema contains array/map/struct columns") {
+    // The driver's comparator sorts result rows by ALL columns with
+    // pandas; an array cell raises "unhashable type: numpy.ndarray"
+    // and the whole query is reported red with no values compared
+    // (r15: q104/q106/q108). Nested types must never reach a
+    // SparkEntry output — digest them (q107's xxhash64 pattern) or
+    // unpivot to scalar rows (q104/q106/q108's posexplode pattern).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(bad.isEmpty,
+        s"$name outputs nested-typed columns ${bad.mkString(",")} " +
+          "— the driver's comparator cannot sort these")
+    }
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     // the file stream source wants a directory (landing zone analog)
     val landing = java.nio.file.Files.createTempDirectory("events_landing")

@@ -18,11 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(df):
+    # Mirror the driver's comparator exactly: sort the RAW frame by all
+    # columns. No list-to-JSON coercion — an array-typed column makes
+    # pandas raise "unhashable type: numpy.ndarray" here, the same
+    # crash the driver's gate reports, so the pre-flight now fails on
+    # exactly the shapes the driver fails on (r15: q104/q106/q108).
     df = df[sorted(df.columns)]
-    for c in df.columns:
-        if df[c].dtype == object and df[c].map(
-                lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
-            df[c] = df[c].map(lambda v: None if v is None else json.dumps(list(v)))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
