@@ -384,11 +384,24 @@ object Bench {
     // the artifact as evidence for spike-level adjudication.
     val medianDrift = if (calProbes.isEmpty) 1.0
       else probesSorted(probesSorted.size / 2) / calMin
+    // ... plus sustained-run detection: a co-tenant active for LESS
+    // than ~half the suite lifts several consecutive probes without
+    // moving the overall median — reading only the median bit would
+    // lose that signal while the span's query medians are still
+    // inflated. K consecutive probes >2x (in SUITE order, not sorted)
+    // is a shape self-residue cannot produce (residue decays within
+    // one probe gap; JIT flukes are single-probe), so it trips the
+    // flag even for a sub-half-suite co-tenant.
+    val sustainedK = 3
+    val drifts = calProbes.map(_._2 / calMin).toSeq
+    val sustainedRun = drifts.size >= sustainedK &&
+      drifts.sliding(sustainedK).exists(_.forall(_ > 2.0))
     // contended = the gate never saw a quiet machine OR the probes'
-    // median ran >1.5x the quiet anchor — either way the medians in
-    // this artifact should not be read as clean-machine numbers.
-    val contended = gateContended || medianDrift > 1.5
-    val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"median_drift":$medianDrift%.2f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
+    // median ran >1.5x the quiet anchor OR a sustained >2x probe run —
+    // any way the medians in this artifact should not all be read as
+    // clean-machine numbers.
+    val contended = gateContended || medianDrift > 1.5 || sustainedRun
+    val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"median_drift":$medianDrift%.2f,"sustained_run":$sustainedRun,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
     // ---- Durable full-evidence file (r14 judge directive): the driver
     // captures only the LAST ~2000 chars of stdout, which clipped the
     // r14 quiet-rerun line and left two >2x outliers unadjudicable.

@@ -589,8 +589,11 @@ object SimilarityQueries extends QueryPack {
         emb, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
       val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 64,
         iters = 3, dim = 64)
-      val idxPath = s"${sys.props("java.io.tmpdir")}/graft_q105_ivfpq_" +
-        s.sparkContext.applicationId
+      // slot-claimed scratch: each run reclaims the previous run's
+      // multi-GB-at-scale index instead of leaving per-applicationId
+      // residue under /tmp (same fix as q80's temp store)
+      val idxPath = graft.core.TempDirs.claim("graft_q105_ivfpq") +
+        "/index"
       Pq.writeIvfIndex(emb, centroids, "vec_id", "embedding", cb, idxPath)
       Pq.ivfTopKReranked(s, idxPath, emb.filter(col("vec_id") < 10),
         centroids, emb, cb, "vec_id", "embedding", k = 10, nprobe = 8,

@@ -74,17 +74,21 @@ object SegmentedTable {
     * the pointer file is a read fast-path that a writer rolls forward
     * AFTER committing. A writer that crashed (or was beaten to the
     * pointer flip by a later committer) can leave the pointer lagging
-    * the newest manifest, so the committed version is the max of the
-    * two — a lagging pointer must never hide a committed manifest from
-    * the next appender, or its segments would be dropped from the
-    * successor manifest (lost update).
+    * the newest manifest — or, for a table's FIRST commit, absent
+    * entirely — so the committed version is derived from the manifests
+    * themselves (max numbered manifest), with the pointer only ever
+    * able to confirm, never to hide. A lagging or missing pointer must
+    * never hide a committed manifest: readers would report the table
+    * uncommitted (exists/members/hasTag all false) and a streaming
+    * replay guard would re-apply an already-committed batch.
     */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val p = new Path(root, Pointer)
-    if (!f.exists(p)) None
-    else Some(math.max(readSmall(f, p).trim.toLong,
-      maxNumbered(f, root, "_manifest-")))
+    val newest = maxNumbered(f, root, "_manifest-")
+    val pointed = if (f.exists(p)) readSmall(f, p).trim.toLong else 0L
+    val v = math.max(newest, pointed)
+    if (v == 0L) None else Some(v)
   }
 
   private def manifestLines(f: FileSystem, root: String,
@@ -380,9 +384,21 @@ object SegmentedTable {
     * newest `keepManifests` manifest versions. Orphaned (crashed-writer)
     * segments newer than the current pointer are kept, mirroring
     * [[VersionedTable.vacuum]]'s concurrent-writer caution.
+    *
+    * Unreferenced segments are additionally retained for `graceMs`
+    * after their last modification: a segment's NUMBER alone cannot
+    * prove it dead, because a concurrent writer can stage `_segN` and
+    * then lose the staging race to a writer that stages AND commits
+    * `_segN+1` — the staged-but-unpublished `_segN` is now below the
+    * committed high-water mark while its owner is still about to
+    * publish it. The mtime grace window keeps such in-flight segments
+    * alive; only directories both unreferenced and quiescent past the
+    * window are reclaimed (true crash orphans and compacted-away
+    * members, which by definition stopped changing long ago).
     */
   def vacuum(spark: SparkSession, root: String,
-      keepManifests: Int = 2): Unit = {
+      keepManifests: Int = 2,
+      graceMs: Long = 15L * 60L * 1000L): Unit = {
     val f = fs(spark, root)
     currentVersion(spark, root).foreach { cur =>
       val keptVersions = (math.max(1L, cur - keepManifests + 1L) to cur)
@@ -392,12 +408,16 @@ object SegmentedTable {
       // a segment numbered above every committed segment may be a
       // concurrent writer's staged-but-unpublished data — keep it; one
       // below the committed high-water mark that no kept manifest
-      // references is definitely dead (stale crash orphan or compacted)
+      // references is dead ONLY once it has also been quiet for the
+      // grace window (see scaladoc: staged segments can be undercut)
       val maxLiveSeg = live.flatMap(n => numberOf(n, "_seg"))
         .foldLeft(0L)(math.max)
-      f.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+      val deadline = System.currentTimeMillis() - graceMs
+      f.listStatus(new Path(root)).toSeq.foreach { st =>
+        val p = st.getPath
         val n = p.getName
-        val isDeadSegment = !live.contains(n) && (
+        val isDeadSegment = !live.contains(n) &&
+          st.getModificationTime < deadline && (
           n.startsWith("_v") ||
           numberOf(n, "_seg").exists(_ < maxLiveSeg))
         // only manifests strictly OLDER than the retention window are

@@ -36,6 +36,21 @@ import graft.operators.Similarity
   * Centroid drift after many appends is a NEW index version (rebuild
   * + atomic flip), not an append — same discipline as the signature
   * store's once-per-corpus-version build.
+  *
+  * READ-VISIBILITY CAVEAT of inline compaction: `compactIvfCells`
+  * installs each packed cell with a retire-then-install rename pair
+  * that is only writer-side locked — a query planning its scan
+  * between the two renames silently misses that cell's rows (no
+  * error, just absent candidates for queries probing it). Because
+  * `foldBatch` triggers compaction inline every `compactEvery`
+  * batches, a deployment serving live query traffic from the same
+  * index must either (a) schedule the stream so compaction batches
+  * fall in a query-quiet window (set `compactEvery` to the nightly
+  * cadence, 0 to disable and compact out-of-band), or (b) serve
+  * queries from a snapshot/copy promoted after the fold — the same
+  * promote-then-flip discipline the reference uses for its ES index
+  * swap. Appends themselves have no such window (new files only;
+  * a concurrent reader sees the cell before-or-after, never torn).
   */
 object StreamingIvf {
 

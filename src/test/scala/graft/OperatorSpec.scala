@@ -1509,7 +1509,7 @@ class OperatorSpec extends SparkSpec {
     // default vacuum keeps 2 manifests (time travel); retention 1
     // collapses the table to exactly the compacted segment's files
     SegmentedTable.vacuum(spark, SignatureStore.sigsRoot(root),
-      keepManifests = 1)
+      keepManifests = 1, graceMs = 0L)
     assert(dataFiles(SignatureStore.sigsRoot(root)).size == 1)
     val sigRows = SignatureStore.read(spark, root)._1.count()
     assert(sigRows == docs.count())
@@ -1664,7 +1664,7 @@ class OperatorSpec extends SparkSpec {
     assert(ms.size == 2) // the packed segment + the raced append
     // retention floor: vacuum to the newest manifest only — the table
     // still reads complete (packed ∪ raced), superseded segments gone
-    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    SegmentedTable.vacuum(spark, root, keepManifests = 1, graceMs = 0L)
     assert(allIds() == (0L until 50L).toSet)
     // durable tags: a tagged append (streaming replay guard) must keep
     // answering hasTag even after compaction packs the segment away —
@@ -1674,12 +1674,51 @@ class OperatorSpec extends SparkSpec {
     assert(SegmentedTable.hasTag(spark, root, "b41"))
     assert(!SegmentedTable.hasTag(spark, root, "b42"))
     SegmentedTable.compact(spark, root, _.coalesce(1))
-    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    SegmentedTable.vacuum(spark, root, keepManifests = 1, graceMs = 0L)
     assert(SegmentedTable.hasTag(spark, root, "b41"))
     assert(allIds() == (0L until 60L).toSet)
     // and the tag metadata line survives FURTHER commits
     SegmentedTable.appendSegment(part(60, 70), root)
     assert(SegmentedTable.hasTag(spark, root, "b41"))
+  }
+
+  test("SegmentedTable first-commit crash window: a committed manifest " +
+      "with NO pointer file is still the visible truth, and vacuum's " +
+      "grace period protects a staged segment undercut by a later " +
+      "committed one") {
+    import graft.sources.SegmentedTable
+    val root = java.nio.file.Files.createTempDirectory("segtab_fc")
+      .toString
+    def part(lo: Int, hi: Int) =
+      spark.range(lo, hi).toDF("id").coalesce(1)
+    SegmentedTable.commitFull(part(0, 10), root) // manifest 1 + pointer
+    // simulate a writer that died between its FIRST manifest commit
+    // and the pointer write: manifest present, pointer absent
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_LATEST_MANIFEST"))
+    assert(SegmentedTable.currentVersion(spark, root) == Some(1L))
+    assert(SegmentedTable.members(spark, root).size == 1)
+    assert(SegmentedTable.read(spark, root).count() == 10L)
+    // the replay guard path: a tagged commit made before the crash is
+    // still visible, so the batch is NOT re-applied
+    SegmentedTable.appendSegment(part(10, 20), root, tag = Some("fc1"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_LATEST_MANIFEST"))
+    assert(SegmentedTable.hasTag(spark, root, "fc1"))
+    // vacuum undercut race: writer A stages _segN (never published —
+    // its owner is still running), writer B stages AND commits a
+    // higher-numbered segment, putting A's below the committed
+    // high-water mark. The mtime grace window must keep A's staged
+    // directory; zero grace (maintenance-window semantics) reclaims it.
+    part(90, 95).write.parquet(s"$root/_seg00000050") // A: staged only
+    part(20, 30).write.parquet(s"$root/_seg00000051") // B: staged ...
+    SegmentedTable.appendSegment(part(30, 40), root) // ... and committed above
+    val staged = new java.io.File(s"$root/_seg00000050")
+    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    assert(staged.exists(), "grace window must retain the staged segment")
+    SegmentedTable.vacuum(spark, root, keepManifests = 1, graceMs = 0L)
+    assert(!staged.exists())
+    assert(SegmentedTable.read(spark, root).count() == 30L)
   }
 
   test("SegmentedTable latest-wins: override deltas fold over the " +
@@ -1706,7 +1745,7 @@ class OperatorSpec extends SparkSpec {
     assert(got() == expect)
     assert(SegmentedTable.read(spark, root)
       .as[(Long, String)].collect().toSet == expect) // no stale rows
-    SegmentedTable.vacuum(spark, root, keepManifests = 1)
+    SegmentedTable.vacuum(spark, root, keepManifests = 1, graceMs = 0L)
     assert(got() == expect)
     // deltas appended AFTER a compaction override the new base
     SegmentedTable.appendSegment(df(1L -> "A"), root)
