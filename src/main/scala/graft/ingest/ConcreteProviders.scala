@@ -875,4 +875,106 @@ object ConcreteProviders {
       .drop("license_path")
       .filter(col("license").isNotNull)
   }
+
+  // =====================================================================
+  // Europeana (europeana.py) — the dated-daily cursor DAG: each run
+  // covers one [date, date+1day) `timestamp_created` window, paging via
+  // the response's `nextCursor`. The record mapping itself is the
+  // cursor archetype [[ProviderExtract.europeanaish]], which mirrors
+  // `EuropeanaRecordBuilder` field-exactly (golden-pinned against the
+  // reference's own fixtures and test_europeana.py's expected record);
+  // this section adds the CONCRETE request planning the DAG needs: the
+  // timestamp query param, the full base request body, and the
+  // cursor-threading successor params.
+  // =====================================================================
+
+  /** The one-day `timestamp_created` range filter of a dated run —
+    * `EuropeanaDataIngester._get_timestamp_query_param`
+    * (europeana.py:198-208): `date` (YYYY-MM-DD) as a UTC [start,
+    * start+1day) ISO-instant pair with the `+00:00` suffix folded to
+    * `Z` (test_europeana.py:29-35 pins the exact string).
+    */
+  def europeanaTimestampQuery(date: String): String = {
+    val d = java.time.LocalDate.parse(date)
+    def z(x: java.time.LocalDate) = s"${x}T00:00:00Z"
+    s"timestamp_created:[${z(d)} TO ${z(d.plusDays(1))}]"
+  }
+
+  /** `base_request_body` (europeana.py:175-195): the first request's
+    * params — rich profile, open+restricted reusability, stable sort,
+    * media-only IMAGE hits with a populated isShownBy, the dated
+    * window from [[europeanaTimestampQuery]], and the `*` start
+    * cursor. Values are param→occurrences (reusability/sort/qf are
+    * repeated query params).
+    */
+  def europeanaBaseParams(apiKey: String, date: String,
+      batchLimit: Int = 100): Map[String, Seq[String]] = Map(
+    "wskey" -> Seq(apiKey),
+    "profile" -> Seq("rich"),
+    "reusability" -> Seq("open", "restricted"),
+    "sort" -> Seq("europeana_id+desc", "timestamp_created+desc"),
+    "rows" -> Seq(batchLimit.toString),
+    "media" -> Seq("true"),
+    "start" -> Seq("1"),
+    "qf" -> Seq("TYPE:IMAGE", "provider_aggregation_edm_isShownBy:*"),
+    "query" -> Seq(europeanaTimestampQuery(date)),
+    "cursor" -> Seq("*"))
+
+  /** `get_next_query_params` + `get_should_continue`
+    * (europeana.py:210-226) folded into one step: thread the
+    * response's `nextCursor` (surfaced per batch by
+    * [[ProviderExtract.europeanaNextCursors]]) into the successor
+    * request, or stop when the API returned none.
+    */
+  def europeanaNextParams(prev: Map[String, Seq[String]],
+      nextCursor: Option[String]): Option[Map[String, Seq[String]]] =
+    nextCursor.map(c => prev.updated("cursor", Seq(c)))
+
+  /** Raw Europeana search responses → normalized image records. The
+    * field mapping is exactly [[ProviderExtract.europeanaish]] (the
+    * archetype IS Europeana's concrete record builder — see the
+    * golden spec for the fixture-pinned contract); exposed here so
+    * the concrete provider surface is uniform.
+    */
+  def europeana(spark: SparkSession,
+      rawResponses: Dataset[String]): DataFrame =
+    ProviderExtract.europeanaish(spark, rawResponses)
+
+  // =====================================================================
+  // Jamendo (jamendo.py) — offset-paged audio tracks. The record
+  // mapping is the offset archetype [[ProviderExtract.jamendoish]]
+  // (golden-pinned against the reference's audio_data_example fixture
+  // and test_jamendo.py's expected record, including the audio-set
+  // subrecord, secret-param strip, photon slash, slugged set URL and
+  // ranked tag assembly); this section adds the CONCRETE request
+  // planning: the default param set and the offset-increment
+  // successor.
+  // =====================================================================
+
+  /** `JamendoDataIngester.batch_limit` (jamendo.py:37). */
+  val jamendoBatchLimit: Int = 200
+
+  /** First-request params (jamendo.py:44-56). */
+  def jamendoBaseParams(clientId: String): Map[String, String] = Map(
+    "format" -> "json",
+    "client_id" -> clientId,
+    "include" -> "musicinfo licenses stats lyrics",
+    "imagesize" -> "200",
+    "limit" -> jamendoBatchLimit.toString,
+    "audioformat" -> "mp32",
+    "offset" -> "0")
+
+  /** Successor params (jamendo.py:57-61): bump `offset` by the batch
+    * limit, keep every other key untouched.
+    */
+  def jamendoNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("offset",
+      (prev("offset").toInt + jamendoBatchLimit).toString)
+
+  /** Raw Jamendo track batches → normalized audio records — the
+    * field mapping is exactly [[ProviderExtract.jamendoish]].
+    */
+  def jamendo(spark: SparkSession,
+      rawResponses: Dataset[String]): DataFrame =
+    ProviderExtract.jamendoish(spark, rawResponses)
 }

@@ -161,11 +161,25 @@ object ProviderExtract {
   /** Drop one query parameter from a URL, fixing separators — the
     * columnar form of `jamendo._remove_param_from_url:69-74` (used for
     * the `from` API-secret param and the audio-set `trackid`).
+    *
+    * Split-filter rather than regex so REPEATED parameters all drop
+    * (`?a=1&a=2&b=3` → `?b=3`) and the `?` disappears with the last
+    * pair, matching every case of the reference's parametrized table
+    * (test_jamendo.py:34-48). Divergence beyond that table: the
+    * reference round-trips through parse_qs/urlencode, which also
+    * drops OTHER params' blank values and re-percent-encodes; this
+    * keeps untouched parameters byte-identical instead — the safer
+    * behavior for URLs that must keep working.
     */
-  def removeUrlParam(url: Column, param: String): Column =
-    regexp_replace(
-      regexp_replace(url, s"([?&])$param=[^&]*&", "$$1"),
-      s"[?&]$param=[^&]*$$", "")
+  def removeUrlParam(url: Column, param: String): Column = {
+    val parts = split(url, "\\?", 2)
+    val base = element_at(parts, 1)
+    val kept = filter(split(element_at(parts, 2), "&"),
+      p => !p.startsWith(param + "=") && p =!= param)
+    when(size(parts) < 2, url)
+      .when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
+      .otherwise(base)
+  }
 
   /** `jamendo._add_trailing_slash:99-111` — photon needs `/?`. */
   def addSlashBeforeQuery(url: Column): Column =

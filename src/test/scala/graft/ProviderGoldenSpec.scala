@@ -1687,4 +1687,182 @@ class ProviderGoldenSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  // ---- europeana CONCRETE (dated-daily cursor DAG config) --------------
+
+  test("europeana: dated timestamp query matches the reference exactly") {
+    // test_europeana.py:29-35 (FROZEN_DATE = 2018-01-15)
+    assert(ConcreteProviders.europeanaTimestampQuery("2018-01-15") ==
+      "timestamp_created:[2018-01-15T00:00:00Z TO 2018-01-16T00:00:00Z]")
+    // day/month/year rollovers go through real calendar arithmetic
+    assert(ConcreteProviders.europeanaTimestampQuery("2023-12-31") ==
+      "timestamp_created:[2023-12-31T00:00:00Z TO 2024-01-01T00:00:00Z]")
+    assert(ConcreteProviders.europeanaTimestampQuery("2024-02-28") ==
+      "timestamp_created:[2024-02-28T00:00:00Z TO 2024-02-29T00:00:00Z]")
+  }
+
+  test("europeana: base params carry the full request body; cursor " +
+      "threads through successors and stops on none") {
+    val base = ConcreteProviders.europeanaBaseParams("test_key",
+      "2018-01-15")
+    // europeana.py:175-195
+    assert(base("wskey") == Seq("test_key"))
+    assert(base("profile") == Seq("rich"))
+    assert(base("reusability") == Seq("open", "restricted"))
+    assert(base("sort") ==
+      Seq("europeana_id+desc", "timestamp_created+desc"))
+    assert(base("rows") == Seq("100") && base("media") == Seq("true"))
+    assert(base("qf") ==
+      Seq("TYPE:IMAGE", "provider_aggregation_edm_isShownBy:*"))
+    assert(base("query") == Seq(
+      "timestamp_created:[2018-01-15T00:00:00Z TO 2018-01-16T00:00:00Z]"))
+    assert(base("cursor") == Seq("*"))
+    // test_get_next_query_params_updates_cursor: only `cursor` moves
+    val next = ConcreteProviders.europeanaNextParams(base, Some("c1"))
+    assert(next == Some(base.updated("cursor", Seq("c1"))))
+    val next2 = ConcreteProviders.europeanaNextParams(next.get, Some("c2"))
+    assert(next2 == Some(base.updated("cursor", Seq("c2"))))
+    // test_get_should_continue_returns_false: no nextCursor -> stop
+    assert(ConcreteProviders.europeanaNextParams(base, None).isEmpty)
+  }
+
+  test("europeana: concrete extraction matches the reference record " +
+      "through ConcreteProviders") {
+    val batch = europeanaBatch(fixture("europeana/image_data_example.json"))
+    val got = ConcreteProviders.europeana(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("foreign_identifier") ==
+      "/2022704/lod_oai_bibliotecadigital_jcyl_es_26229_ent1")
+    assert(got.head.getAs[String]("license") == "cc0")
+  }
+
+  test("europeana: langAware `en` description beats `def` and plain") {
+    // test_get_description_with_langaware_en (test_europeana.py:226-236)
+    val item = fixture("europeana/image_data_example.json").replaceFirst(
+      """"dcDescriptionLangAware":\s*\{""",
+      """"dcDescriptionLangAware": {"en": ["First English Description",
+        | "Second English Description"],""".stripMargin.replaceAll("\n", ""))
+    val got = ConcreteProviders.europeana(spark,
+      Seq(europeanaBatch(item)).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[org.apache.spark.sql.Row]("meta_data")
+      .getAs[String]("description") == "First English Description")
+  }
+
+  test("europeana: missing edmIsShownAt falls back to guid") {
+    // test_get_foreign_landing_url_without_edmIsShownAt
+    val item = fixture("europeana/image_data_example.json").replaceFirst(
+      """"edmIsShownAt":\s*\[[^\]]*\],""", "")
+    assert(item != fixture("europeana/image_data_example.json"))
+    val got = ConcreteProviders.europeana(spark,
+      Seq(europeanaBatch(item)).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("foreign_landing_url") ==
+      "https://www.europeana.eu/item/2022704/lod_oai_bibliotecadigital_" +
+        "jcyl_es_26229_ent1?utm_source=api&utm_medium=api&" +
+        "utm_campaign=test_key")
+  }
+
+  test("europeana: multiple rights entries pick the creativecommons one") {
+    // test_get_license_url_with_multiple_license
+    val item = fixture("europeana/image_data_example.json").replaceFirst(
+      """"rights":\s*\["http://creativecommons.org/publicdomain/zero/1.0/"\]""",
+      """"rights": ["http://noncc.org/",
+        | "http://creativecommons.org/publicdomain/zero/1.0/"]"""
+        .stripMargin.replaceAll("\n", ""))
+    val got = ConcreteProviders.europeana(spark,
+      Seq(europeanaBatch(item)).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("license") == "cc0" &&
+      got.head.getAs[String]("license_version") == "1.0")
+  }
+
+  test("europeana: absent country drops from the meta_data JSON " +
+      "boundary like the reference's dict") {
+    // test_get_meta_data_dict_without_country: the reference filters
+    // None values out of the dict; the struct's null field vanishes at
+    // the to_json boundary the TSV sink serializes through
+    val item = fixture("europeana/image_data_example.json").replaceFirst(
+      """"country":\s*\[[^\]]*\],""", "")
+    assert(item != fixture("europeana/image_data_example.json"))
+    val got = ConcreteProviders.europeana(spark,
+      Seq(europeanaBatch(item)).toDS())
+      .select(to_json(col("meta_data")).as("j")).collect()
+    assert(got.length == 1)
+    val j = got.head.getAs[String]("j")
+    assert(!j.contains("country"))
+    assert(j.contains("\"dataProvider\":" +
+      "[\"Biblioteca Digital de Castilla y León\"]"))
+    assert(j.contains(
+      "\"description\":\"Sello en seco: España artística y monumental.\""))
+  }
+
+  // ---- jamendo CONCRETE (offset-paged request config) ------------------
+
+  test("jamendo: base params and offset-increment successors") {
+    val base = ConcreteProviders.jamendoBaseParams("jamendo_app_key")
+    // jamendo.py:44-56
+    assert(base("format") == "json" && base("client_id") == "jamendo_app_key")
+    assert(base("include") == "musicinfo licenses stats lyrics")
+    assert(base("imagesize") == "200" && base("limit") == "200")
+    assert(base("audioformat") == "mp32" && base("offset") == "0")
+    // test_get_next_query_params_adds_offset
+    assert(ConcreteProviders.jamendoNextParams(
+      Map("offset" -> "0"))("offset") == "200")
+    // test_get_next_query_params_leaves_other_keys
+    val next = ConcreteProviders.jamendoNextParams(
+      Map("offset" -> "200", "test" -> "value"))
+    assert(next("test") == "value" && next.size == 2 &&
+      next("offset") == "400")
+  }
+
+  test("jamendo: removeUrlParam matches the reference's full " +
+      "parametrized table") {
+    // test_remove_param_from_url (test_jamendo.py:34-48)
+    val cases = Seq(
+      ("", "", ""),
+      ("https://example.com?a=1&b=2", "a", "https://example.com?b=2"),
+      ("https://example.com?a=1", "a", "https://example.com"),
+      ("https://example.com/?a=1", "a", "https://example.com/"),
+      ("https://example.com?a=1&a=2&b=3", "a", "https://example.com?b=3"),
+      ("https://example.com?a=1&a=2", "a", "https://example.com"),
+      ("https://example.com?a=1&b=2", "notexist",
+        "https://example.com?a=1&b=2"))
+    for ((url, param, expected) <- cases) {
+      val got = Seq(url).toDF("u")
+        .select(ProviderExtract.removeUrlParam(col("u"), param).as("r"))
+        .collect().head.getAs[String]("r")
+      assert(got == expected, s"removeUrlParam($url, $param)")
+    }
+  }
+
+  test("jamendo: addSlashBeforeQuery matches the reference's table") {
+    // test_add_trailing_slash (test_jamendo.py:155-172)
+    val cases = Seq(
+      (null: String, null: String),
+      ("", ""),
+      ("https://usercontent.jamendo.com?type=album&id=100007&width=300",
+        "https://usercontent.jamendo.com/?type=album&id=100007&width=300"),
+      ("https://usercontent.jamendo.com/some-other-page/subpage" +
+        "?type=album&id=100007&width=300",
+        "https://usercontent.jamendo.com/some-other-page/subpage/" +
+          "?type=album&id=100007&width=300"))
+    for ((url, expected) <- cases) {
+      val got = Seq(Option(url)).toDF("u")
+        .select(ProviderExtract.addSlashBeforeQuery(col("u")).as("r"))
+        .collect().head.getAs[String]("r")
+      assert(got == expected, s"addSlashBeforeQuery($url)")
+    }
+  }
+
+  test("jamendo: concrete extraction matches the reference record " +
+      "through ConcreteProviders") {
+    val batch =
+      s"""{"headers":{"results_count":1},"results":[${fixture("jamendo/audio_data_example.json")}]}"""
+    val got = ConcreteProviders.jamendo(spark, Seq(batch).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("foreign_identifier") == "732")
+    assert(got.head.getAs[String]("url") ==
+      "https://mp3d.jamendo.com/?trackid=732&format=mp32")
+  }
 }
