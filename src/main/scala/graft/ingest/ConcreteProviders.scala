@@ -977,4 +977,118 @@ object ConcreteProviders {
   def jamendo(spark: SparkSession,
       rawResponses: Dataset[String]): DataFrame =
     ProviderExtract.jamendoish(spark, rawResponses)
+
+  // =====================================================================
+  // Metropolitan Museum (metropolitan_museum.py) — a dated DAG with NO
+  // pagination: one listing request (optionally filtered by
+  // `metadataDate`) returns every object ID, then each object document
+  // is fetched individually. The record mapping (CC0 gate, multi-image
+  // fan-out, accession-number meta, 9-field + term tag assembly) is
+  // the archetype [[ProviderExtract.metish]], fixture-golden-tested;
+  // this section adds the request planning.
+  // =====================================================================
+
+  val metEndpoint =
+    "https://collectionapi.metmuseum.org/public/collection/v1/objects"
+
+  /** `self.query_param` (metropolitan_museum.py:52-57): dated runs
+    * filter the listing by `metadataDate`; undated runs send no params
+    * (the full collection). `get_next_query_params` always returns
+    * this same value — combined with [[metShouldContinue]] that means
+    * exactly ONE listing request per run.
+    */
+  def metBaseParams(date: Option[String]): Map[String, String] =
+    date.map(d => Map("metadataDate" -> d)).getOrElse(Map.empty)
+
+  /** `get_should_continue` (metropolitan_museum.py:129-133): the
+    * listing has no pagination — stop after the first response.
+    */
+  def metShouldContinue(responseSeen: Boolean): Boolean = !responseSeen
+
+  /** Per-object detail endpoint (metropolitan_museum.py:81-84). */
+  def metObjectEndpoint(objectId: Long): String = s"$metEndpoint/$objectId"
+
+  /** `get_batch_data` (metropolitan_museum.py:68-78): the listing
+    * response's objectIDs, exploded one per row for the fetch plan
+    * (each becomes a [[metObjectEndpoint]] GET).
+    */
+  def metObjectIds(spark: SparkSession,
+      listingResponses: Dataset[String]): DataFrame =
+    listingResponses.toDF("value")
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("total", LongType),
+        StructField("objectIDs", ArrayType(LongType))))).as("b"))
+      .select(explode(col("b.objectIDs")).as("object_id"))
+
+  /** Raw per-object documents → normalized image records — the field
+    * mapping is exactly [[ProviderExtract.metish]].
+    */
+  def met(spark: SparkSession,
+      rawObjects: Dataset[String]): DataFrame =
+    ProviderExtract.metish(spark, rawObjects)
+
+  // =====================================================================
+  // Finnish Museums (finnish_museums.py) — the time-delineated dated
+  // DAG: per-building sweeps over a one-day `last_indexed` window,
+  // page-numbered within a slice, with the day subdivided into equal
+  // timestamp slices when a building's count crosses the thresholds
+  // (driver-side planning owned by [[IngestPlanner]]; the thresholds
+  // are pinned here). The record mapping (status gate, deed-suffix
+  // license normalization, author-name-key creator join, building
+  // sub-provider attribution, multi-image fan-out) is the archetype
+  // [[ProviderExtract.finnishish]], fixture-golden-tested.
+  // =====================================================================
+
+  /** `FinnishMuseumsDataIngester.buildings` (finnish_museums.py:46-51). */
+  val finnishBuildings: Seq[String] = Seq(
+    "0/Suomen kansallismuseo/", "0/Museovirasto/",
+    "0/SATMUSEO/", "0/SA-kuva/")
+
+  /** Slicing thresholds (finnish_museums.py:52-55), consumed by the
+    * ingest planner's adaptive time slicing: a (building, window)
+    * count past `maxRecords` forces subdivision, `divisionThreshold`
+    * switches from `minDivisions` to `maxDivisions` equal slices.
+    */
+  val finnishBatchLimit = 100
+  val finnishMaxRecords = 10000
+  val finnishDivisionThreshold = 100000L
+  val finnishMinDivisions = 12
+  val finnishMaxDivisions = 20
+
+  /** `format_ts` (time_delineated_provider_data_ingester.py:68-70):
+    * UTC instant ISO form with the `+00:00` suffix folded to `Z`.
+    */
+  def finnishFormatTs(ts: java.time.Instant): String =
+    ts.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME) + "Z"
+
+  /** First-request params for one (building, timestamp slice)
+    * (finnish_museums.py:62-86, pinned by
+    * test_finnish_museums.py:50-76): format/building/last_indexed
+    * filters, the 7 requested fields, batch limit, page 1.
+    */
+  def finnishBaseParams(building: String, startTs: java.time.Instant,
+      endTs: java.time.Instant): Map[String, Seq[String]] = Map(
+    "filter[]" -> Seq(
+      "format:\"0/Image/\"",
+      s"""building:"$building"""",
+      s"""last_indexed:"[${finnishFormatTs(startTs)} TO ${finnishFormatTs(endTs)}]""""),
+    "field[]" -> Seq("authors", "buildings", "id", "imageRights",
+      "images", "subjects", "title"),
+    "limit" -> Seq(finnishBatchLimit.toString),
+    "page" -> Seq("1"))
+
+  /** Successor params (finnish_museums.py:87): bump `page`, keep the
+    * filters untouched.
+    */
+  def finnishNextParams(
+      prev: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    prev.updated("page", Seq((prev("page").head.toInt + 1).toString))
+
+  /** Raw Finna search responses → normalized image records — the
+    * field mapping is exactly [[ProviderExtract.finnishish]].
+    */
+  def finnish(spark: SparkSession,
+      rawResponses: Dataset[String]): DataFrame =
+    ProviderExtract.finnishish(spark, rawResponses)
 }

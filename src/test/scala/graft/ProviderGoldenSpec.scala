@@ -1865,4 +1865,74 @@ class ProviderGoldenSpec extends SparkSpec {
     assert(got.head.getAs[String]("url") ==
       "https://mp3d.jamendo.com/?trackid=732&format=mp32")
   }
+
+  // ---- met CONCRETE (dated, unpaginated listing + per-object GETs) ----
+
+  test("met: dated/undated listing params and the no-pagination stop") {
+    // test_metropolitan_museum.py:40-51
+    assert(ConcreteProviders.metBaseParams(Some("2022-07-01")) ==
+      Map("metadataDate" -> "2022-07-01"))
+    assert(ConcreteProviders.metBaseParams(None) == Map.empty)
+    // get_should_continue: one listing request only
+    assert(ConcreteProviders.metShouldContinue(responseSeen = false))
+    assert(!ConcreteProviders.metShouldContinue(responseSeen = true))
+    assert(ConcreteProviders.metObjectEndpoint(1027L) ==
+      "https://collectionapi.metmuseum.org/public/collection/v1/objects/1027")
+  }
+
+  test("met: listing objectIDs explode for the fetch plan; empty and " +
+      "malformed listings yield none") {
+    // test_get_batch_data's happy_path / empty_dict / None rows
+    val ids = ConcreteProviders.metObjectIds(spark, Seq(
+      """{"total": 4, "objectIDs": [153, 1578, 465, 546]}""",
+      """{}""", """null""").toDS())
+      .collect().map(_.getAs[Long]("object_id")).toSeq
+    assert(ids == Seq(153L, 1578L, 465L, 546L))
+  }
+
+  test("met: concrete extraction fans out through ConcreteProviders") {
+    val got = ConcreteProviders.met(spark,
+      Seq(fixture("metropolitan_museum_of_art/sample_response.json"))
+        .toDS()).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("license") == "cc0"))
+  }
+
+  // ---- finnish museums CONCRETE (time-delineated building sweeps) -----
+
+  test("finnish: slice params match the reference's expected body; " +
+      "page increments keep the filters") {
+    import java.time.Instant
+    val start = Instant.parse("2020-04-01T00:00:00Z")
+    val end = Instant.parse("2020-04-02T00:00:00Z")
+    val base = ConcreteProviders.finnishBaseParams(
+      "0/Museovirasto/", start, end)
+    // test_build_query_param_default (test_finnish_museums.py:50-76)
+    assert(base("filter[]") == Seq(
+      "format:\"0/Image/\"",
+      "building:\"0/Museovirasto/\"",
+      "last_indexed:\"[2020-04-01T00:00:00Z TO 2020-04-02T00:00:00Z]\""))
+    assert(base("field[]") == Seq("authors", "buildings", "id",
+      "imageRights", "images", "subjects", "title"))
+    assert(base("limit") == Seq("100") && base("page") == Seq("1"))
+    // test_build_query_param_given: page bumps, filters untouched
+    val next = ConcreteProviders.finnishNextParams(
+      base.updated("page", Seq("3")))
+    assert(next("page") == Seq("4") &&
+      next("filter[]") == base("filter[]"))
+    // the four swept buildings (finnish_museums.py:46-51)
+    assert(ConcreteProviders.finnishBuildings == Seq(
+      "0/Suomen kansallismuseo/", "0/Museovirasto/",
+      "0/SATMUSEO/", "0/SA-kuva/"))
+  }
+
+  test("finnish: concrete extraction matches the reference record " +
+      "through ConcreteProviders") {
+    val rec = fixture("finnishmuseums/object_complete_example.json")
+    val batch =
+      s"""{"status":"OK","resultCount":1,"records":[$rec]}"""
+    val got = ConcreteProviders.finnish(spark, Seq(batch).toDS()).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[String]("source") == "finnish_military_museum")
+  }
 }
