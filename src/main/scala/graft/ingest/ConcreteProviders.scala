@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1091,4 +1093,215 @@ object ConcreteProviders {
   def finnish(spark: SparkSession,
       rawResponses: Dataset[String]): DataFrame =
     ProviderExtract.finnishish(spark, rawResponses)
+
+  // =====================================================================
+  // The remaining undated providers' request planning — one concrete
+  // config per scraper, completing the 1:1 surface: every provider the
+  // reference can ingest, this library can plan requests for AND
+  // extract records from (the record mappings are the fixture-golden
+  // archetypes in [[ProviderExtract]]). Pagination families:
+  // skip/offset (Cleveland, Brooklyn, SMK), page number (Museum
+  // Victoria per-license, NYPL, Nappy, WordPress), path-segment page
+  // (StockSnap), build-token page (PhyloPic), HMAC-signed page
+  // (Rawpixel), year-range sweeps (Science Museum).
+  // =====================================================================
+
+  /** cleveland_museum.py:15-28 — CC-only artworks with images,
+    * `skip`-paged by 1000.
+    */
+  val clevelandBatchLimit = 1000
+  def clevelandBaseParams: Map[String, String] = Map(
+    "cc" -> "1", "has_image" -> "1",
+    "limit" -> clevelandBatchLimit.toString, "skip" -> "0")
+  def clevelandNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("skip",
+      (prev("skip").toInt + clevelandBatchLimit).toString)
+
+  /** brooklyn_museum.py:17-40 — permissive-rights objects with images,
+    * offset-paged by 35; the api key rides as a HEADER, and each hit
+    * is completed by a per-object GET (brooklyn_museum.py:148-156).
+    */
+  val brooklynBatchLimit = 35
+  val brooklynEndpoint = "https://www.brooklynmuseum.org/api/v2/object/"
+  def brooklynHeaders(apiKey: String): Map[String, String] =
+    Map("api_key" -> apiKey)
+  def brooklynBaseParams: Map[String, String] = Map(
+    "has_images" -> "1", "rights_type_permissive" -> "1",
+    "limit" -> brooklynBatchLimit.toString, "offset" -> "0")
+  def brooklynNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("offset",
+      (prev("offset").toInt + brooklynBatchLimit).toString)
+  def brooklynObjectEndpoint(objectId: Long): String =
+    s"$brooklynEndpoint$objectId"
+
+  /** museum_victoria.py:26-64 — one page-numbered sweep PER LICENSE
+    * string (the API filters by display name, museum_victoria.py:31-38,
+    * 45-47); pages are 0-indexed.
+    */
+  val victoriaLicenseList: Seq[String] = Seq("public domain", "cc by",
+    "cc by-nc", "cc by-nc-sa", "cc by-nc-nd", "cc by-sa")
+  val victoriaBatchLimit = 100
+  def victoriaBaseParams(license: String): Map[String, String] = Map(
+    "hasimages" -> "yes", "perpage" -> victoriaBatchLimit.toString,
+    "imagelicense" -> license, "page" -> "0")
+  def victoriaNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("page", (prev("page").toInt + 1).toString)
+
+  /** nypl.py:48-76 — CC_0 rights-text search, page-numbered from 1 by
+    * 500; each capture's metadata comes from a per-UUID item-details
+    * GET (nypl.py:89-96).
+    */
+  val nyplBatchLimit = 500
+  val nyplMetadataEndpoint =
+    "http://api.repo.nypl.org/api/v1/items/item_details/"
+  def nyplHeaders(apiKey: String): Map[String, String] =
+    Map("Authorization" -> s"Token token=$apiKey")
+  def nyplBaseParams: Map[String, String] = Map(
+    "q" -> "CC_0", "field" -> "use_rtxt_s", "page" -> "1",
+    "per_page" -> nyplBatchLimit.toString)
+  def nyplNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("page", (prev("page").toInt + 1).toString)
+  def nyplItemEndpoint(uuid: String): String =
+    s"$nyplMetadataEndpoint$uuid"
+
+  /** phylopic.py:27-64 — the build-token family: an initial paramless
+    * GET yields the `build` id and total page count; every subsequent
+    * request pins that build with a 0-indexed page, stopping at
+    * totalPages.
+    */
+  def phylopicBaseParams(build: Long, page: Int): Map[String, String] =
+    Map("build" -> build.toString, "page" -> page.toString,
+      "embed_items" -> "true")
+  def phylopicShouldContinue(currentPage: Int, totalPages: Int): Boolean =
+    currentPage < totalPages
+
+  /** stocksnap.py:25-58 — the page number is a PATH SEGMENT, not a
+    * query param; pages from 1, continue while the response carries a
+    * truthy `nextPage`.
+    */
+  def stocksnapEndpoint(page: Int): String =
+    s"https://stocksnap.io/api/load-photos/date/desc/$page"
+
+  /** nappy.py:26-52 — page-numbered from 1 by the default batch limit,
+    * continue while `next_page` is truthy.
+    */
+  val nappyBatchLimit = 100
+  def nappyBaseParams: Map[String, String] =
+    Map("page" -> "1", "per_page" -> nappyBatchLimit.toString)
+  def nappyNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("page", (prev("page").toInt + 1).toString)
+
+  /** wordpress.py:27-92 — page count comes from a HEAD request's
+    * X-WP-TotalPages header BEFORE the first page (the API 400s past
+    * the last page); then page-numbered body requests until that count.
+    */
+  val wordpressBatchLimit = 100
+  val wordpressEndpoint =
+    "https://wordpress.org/photos/wp-json/wp/v2/photos"
+  def wordpressHeadParams: Map[String, String] = Map(
+    "per_page" -> wordpressBatchLimit.toString, "_embed" -> "true")
+  def wordpressPageParams(page: Int): Map[String, String] = Map(
+    "format" -> "json", "page" -> page.toString,
+    "per_page" -> wordpressBatchLimit.toString, "_embed" -> "true")
+  def wordpressShouldContinue(currentPage: Int, totalPages: Int): Boolean =
+    currentPage < totalPages
+
+  /** smk.py:23-44 — full-collection public-domain sweep, offset-paged
+    * by 2000 with the fixed has_image/public_domain filter string.
+    */
+  val smkBatchLimit = 2000
+  def smkBaseParams: Map[String, String] = Map(
+    "keys" -> "*", "filters" -> "[has_image:true],[public_domain:true]",
+    "offset" -> "0", "rows" -> smkBatchLimit.toString, "lang" -> "en")
+  def smkNextParams(prev: Map[String, String]): Map[String, String] =
+    prev.updated("offset", (prev("offset").toInt + smkBatchLimit).toString)
+
+  // ---- Science Museum: year-range sweeps, 50-page API ceiling --------
+
+  /** `_get_year_ranges` (science_museum.py:44-74): the API 400s past
+    * page 50, so the collection is swept in year ranges sized so each
+    * stays under 50 pages — coarse antiquity, 25-year slices 1750-1825,
+    * 10-year 1825-1925, 5-year 1925→`finalYear` (the current year + 1
+    * at DAG time, passed in rather than read from the clock).
+    */
+  def scienceYearRanges(finalYear: Int): Seq[(Int, Int)] =
+    Seq((0, 200), (200, 1500), (1500, 1750)) ++
+      (1750 until 1825 by 25).map(x => (x, x + 25)) ++
+      (1825 until 1925 by 10).map(x => (x, x + 10)) ++
+      (1925 until finalYear by 5).map(x => (x, math.min(x + 5, finalYear)))
+
+  val scienceBatchLimit = 100
+  def scienceParams(yearRange: (Int, Int), pageNumber: Int)
+      : Map[String, String] = Map(
+    "has_image" -> "1", "image_license" -> "CC",
+    "page[size]" -> scienceBatchLimit.toString,
+    "page[number]" -> pageNumber.toString,
+    "date[from]" -> yearRange._1.toString,
+    "date[to]" -> yearRange._2.toString)
+
+  /** `get_should_continue` (science_museum.py:259-271): stop when the
+    * response carries no `links.next`, and HALT (error-worthy in the
+    * reference) at page 50 — the documented API ceiling.
+    */
+  def scienceShouldContinue(hasNextLink: Boolean, pageNumber: Int)
+      : Boolean = hasNextLink && pageNumber != 50
+
+  // ---- Rawpixel: HMAC-signed page requests ----------------------------
+
+  val rawpixelApiPath = "/api/v1/search"
+  val rawpixelBatchLimit = 100
+
+  /** Python's `urllib.parse.quote_plus`: ASCII alphanumerics and
+    * `_.-~` pass, space becomes `+`, everything else percent-encodes
+    * (uppercase hex, UTF-8 bytes) — the exact encoding
+    * `rawpixel._get_signature`'s urlencode uses.
+    */
+  private def quotePlus(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || "_.-~".indexOf(c.toInt) >= 0) sb.append(c)
+      else if (c == ' ') sb.append('+')
+      else c.toString.getBytes(StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+    }
+    sb.toString
+  }
+
+  /** `RawpixelDataIngester._get_signature` (rawpixel.py:87-114): sort
+    * the params, Node-style urlencode them (doseq — each value of a
+    * multi-valued param becomes its own `k=v` pair), prepend the API
+    * path, HMAC-SHA256 under the api key, then url-safe base64 with
+    * the padding stripped. Pinned against the reference test's seven
+    * PREDICTABLE-KEY vectors.
+    */
+  def rawpixelSignature(apiKey: String,
+      params: Map[String, Seq[String]]): String = {
+    val query = params.toSeq.sortBy(_._1).flatMap { case (k, vs) =>
+      vs.map(v => s"${quotePlus(k)}=${quotePlus(v)}")
+    }.mkString("&")
+    val url = s"$rawpixelApiPath?$query"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      apiKey.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(mac.doFinal(url.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** `get_next_query_params` (rawpixel.py:116-128): the public-domain
+    * tag search, page-numbered from 1; the signature `s` is recomputed
+    * over the UNSIGNED params on every request (the previous `s` is
+    * dropped before the bump).
+    */
+  def rawpixelBaseParams(apiKey: String): Map[String, Seq[String]] = {
+    val p = Map("tags" -> Seq("$publicdomain"), "page" -> Seq("1"),
+      "pagesize" -> Seq(rawpixelBatchLimit.toString))
+    p.updated("s", Seq(rawpixelSignature(apiKey, p)))
+  }
+  def rawpixelNextParams(apiKey: String,
+      prev: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val p = (prev - "s").updated("page",
+      Seq((prev("page").head.toInt + 1).toString))
+    p.updated("s", Seq(rawpixelSignature(apiKey, p)))
+  }
 }

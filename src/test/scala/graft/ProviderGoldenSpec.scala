@@ -1935,4 +1935,129 @@ class ProviderGoldenSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.head.getAs[String]("source") == "finnish_military_museum")
   }
+
+  // ---- remaining providers' CONCRETE request planning ------------------
+
+  test("cleveland/brooklyn/smk: skip- and offset-paged param chains") {
+    // cleveland_museum.py:19-28
+    val cl = ConcreteProviders.clevelandBaseParams
+    assert(cl == Map("cc" -> "1", "has_image" -> "1",
+      "limit" -> "1000", "skip" -> "0"))
+    assert(ConcreteProviders.clevelandNextParams(cl)("skip") == "1000")
+    // brooklyn_museum.py:28-40, 148-156
+    val bk = ConcreteProviders.brooklynBaseParams
+    assert(bk == Map("has_images" -> "1", "rights_type_permissive" -> "1",
+      "limit" -> "35", "offset" -> "0"))
+    assert(ConcreteProviders.brooklynNextParams(bk)("offset") == "35")
+    assert(ConcreteProviders.brooklynHeaders("k1") == Map("api_key" -> "k1"))
+    assert(ConcreteProviders.brooklynObjectEndpoint(1027L) ==
+      "https://www.brooklynmuseum.org/api/v2/object/1027")
+    // smk.py:32-44
+    val smk = ConcreteProviders.smkBaseParams
+    assert(smk("keys") == "*" &&
+      smk("filters") == "[has_image:true],[public_domain:true]" &&
+      smk("rows") == "2000" && smk("lang") == "en")
+    assert(ConcreteProviders.smkNextParams(smk)("offset") == "2000")
+  }
+
+  test("victoria/nypl/nappy/wordpress: page-numbered param chains") {
+    // museum_victoria.py:31-64 — one sweep per license string
+    assert(ConcreteProviders.victoriaLicenseList == Seq("public domain",
+      "cc by", "cc by-nc", "cc by-nc-sa", "cc by-nc-nd", "cc by-sa"))
+    val mv = ConcreteProviders.victoriaBaseParams("cc by")
+    assert(mv == Map("hasimages" -> "yes", "perpage" -> "100",
+      "imagelicense" -> "cc by", "page" -> "0"))
+    assert(ConcreteProviders.victoriaNextParams(mv)("page") == "1")
+    // nypl.py:48-76, 89-96
+    val ny = ConcreteProviders.nyplBaseParams
+    assert(ny == Map("q" -> "CC_0", "field" -> "use_rtxt_s",
+      "page" -> "1", "per_page" -> "500"))
+    assert(ConcreteProviders.nyplNextParams(ny)("page") == "2")
+    assert(ConcreteProviders.nyplHeaders("K") ==
+      Map("Authorization" -> "Token token=K"))
+    assert(ConcreteProviders.nyplItemEndpoint("uuid-1") ==
+      "http://api.repo.nypl.org/api/v1/items/item_details/uuid-1")
+    // nappy.py:34-52
+    val np = ConcreteProviders.nappyBaseParams
+    assert(np == Map("page" -> "1", "per_page" -> "100"))
+    assert(ConcreteProviders.nappyNextParams(np)("page") == "2")
+    // wordpress.py:58-92 — HEAD-derived page ceiling
+    assert(ConcreteProviders.wordpressHeadParams ==
+      Map("per_page" -> "100", "_embed" -> "true"))
+    assert(ConcreteProviders.wordpressPageParams(3) == Map(
+      "format" -> "json", "page" -> "3", "per_page" -> "100",
+      "_embed" -> "true"))
+    assert(ConcreteProviders.wordpressShouldContinue(3, 5))
+    assert(!ConcreteProviders.wordpressShouldContinue(5, 5))
+  }
+
+  test("phylopic/stocksnap: build-token and path-segment pagination") {
+    // phylopic.py:40-64 — build id pinned, 0-indexed page
+    assert(ConcreteProviders.phylopicBaseParams(194L, 0) == Map(
+      "build" -> "194", "page" -> "0", "embed_items" -> "true"))
+    assert(ConcreteProviders.phylopicShouldContinue(1, 2))
+    assert(!ConcreteProviders.phylopicShouldContinue(2, 2))
+    // stocksnap.py:24-55 — the page is a path segment
+    assert(ConcreteProviders.stocksnapEndpoint(1) ==
+      "https://stocksnap.io/api/load-photos/date/desc/1")
+    assert(ConcreteProviders.stocksnapEndpoint(7) ==
+      "https://stocksnap.io/api/load-photos/date/desc/7")
+  }
+
+  test("science museum: year ranges match the reference's 1933 table; " +
+      "params and the 50-page ceiling") {
+    // test_science_museum.py:66-89
+    val expected = Seq((0, 200), (200, 1500), (1500, 1750)) ++
+      Seq((1750, 1775), (1775, 1800), (1800, 1825)) ++
+      (1825 until 1925 by 10).map(x => (x, x + 10)) ++
+      Seq((1925, 1930), (1930, 1933))
+    assert(ConcreteProviders.scienceYearRanges(1933) == expected)
+    // test_get_query_param_default
+    assert(ConcreteProviders.scienceParams((0, 1500), 0) == Map(
+      "has_image" -> "1", "image_license" -> "CC", "page[size]" -> "100",
+      "page[number]" -> "0", "date[from]" -> "0", "date[to]" -> "1500"))
+    assert(ConcreteProviders.scienceParams((1925, 1930), 3)(
+      "page[number]") == "3")
+    // science_museum.py:259-271: next link present continues, page 50
+    // halts even with a next link, missing next link stops
+    assert(ConcreteProviders.scienceShouldContinue(hasNextLink = true, 49))
+    assert(!ConcreteProviders.scienceShouldContinue(hasNextLink = true, 50))
+    assert(!ConcreteProviders.scienceShouldContinue(hasNextLink = false, 3))
+  }
+
+  test("rawpixel: HMAC signature matches all seven PREDICTABLE-KEY " +
+      "vectors; params re-sign on every page") {
+    // test_rawpixel.py:25-56
+    val k = "PREDICTABLE-KEY"
+    def sig(params: (String, Seq[String])*) =
+      ConcreteProviders.rawpixelSignature(k, params.toMap)
+    assert(sig() == "j5VDmEme7JqzMkKAxNfjWb6EaVtIpLq4N2QnYIHZvWg")
+    assert(sig("foo" -> Seq("bar")) ==
+      "ZenXVF0pAhfm9EzlAsvw-REsQ27nQQ5mtxmSu4upmHo")
+    assert(sig("foo" -> Seq("bar"), "crimothy" -> Seq("roberts")) ==
+      "rSz4Ou1ZZFY57z5Ff7AHxZqwZW_PsgOsN9ksTmpbWIM")
+    assert(sig("foo" -> Seq("bar"), "dogs" -> Seq("12")) ==
+      "qWEHU7OsSfSFcNsqS9OkHWMDWe_33DBxMR9ULOLrLSw")
+    assert(sig("foo" -> Seq("bar"),
+      "sentence" -> Seq("to+be+or+not+to+be")) ==
+      "aJccI57xaj_pH_xUcD208ZKO_lWne0c2KsjSO15qI-I")
+    assert(sig("foo" -> Seq("bar"),
+      "sentence" -> Seq("to be or not to be")) ==
+      "jbW0P2Oi2LL-BLvRsGAydF7VGlFOvWQFMSbkJFX6LQo")
+    assert(sig("foo" -> Seq("bar"),
+      "favorites" -> Seq("chocolate", "video games", "cats")) ==
+      "FM_kVUym-GonOgfZAeNuswEQLZas3BOOvkTXvax_mTw")
+    // test_get_next_query_params_empty/next: page bumps, s recomputed
+    // over the unsigned params
+    val base = ConcreteProviders.rawpixelBaseParams(k)
+    assert((base - "s") == Map("tags" -> Seq("$publicdomain"),
+      "page" -> Seq("1"), "pagesize" -> Seq("100")))
+    assert(base("s") == Seq(ConcreteProviders.rawpixelSignature(
+      k, base - "s")))
+    val next = ConcreteProviders.rawpixelNextParams(k, base)
+    assert(next("page") == Seq("2"))
+    assert(next("s") == Seq(ConcreteProviders.rawpixelSignature(
+      k, next - "s")))
+    assert(next("s") != base("s"))
+  }
 }
