@@ -59,6 +59,26 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+    // hypervisor CPU-steal jiffies (/proc/stat cpu col 8) — the
+    // contention channel NEITHER loadavg NOR the calibration probe can
+    // attribute: a co-tenant VM stealing cycles inflates the probe and
+    // the base TOGETHER (drift reads ~1.0, contended=false) while
+    // loadavg stays low because THIS guest isn't queueing. r16 caught
+    // a q80 3x inflation with loadavg 1.4 and probe drift 0.34 that
+    // vmstat attributed to 10-16% steal. (steal, total) jiffies.
+    def cpuJiffies(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+    def stealPctSince(j0: (Long, Long)): Double = {
+      val j1 = cpuJiffies()
+      val dt = j1._2 - j0._2
+      if (dt <= 0) 0.0 else 100.0 * (j1._1 - j0._1) / dt
+    }
     // ---- Contention gate (r9 postmortem): the >5x-best re-run trigger
     // below cannot fire when EVERY run is equally contended — BENCH_r09's
     // medians were 2-8x inflated with no single-run outlier to catch.
@@ -84,6 +104,7 @@ object Bench {
     }
     val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
     val gateContended = gateLoad > loadMax
+    val suiteJiffies0 = cpuJiffies()
     def calibrateOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
@@ -93,9 +114,30 @@ object Bench {
     // THREE untimed warm-ups, not one: r15 measured the probe dropping
     // 0.24s -> 0.10s between suite start and mid-suite purely from JIT
     // tiering — a base taken on a half-warmed JVM reads every later
-    // (hot) probe against the wrong quiet level
-    (1 to 3).foreach(_ => calibrateOnce())
-    val calBase = (1 to 3).map(_ => calibrateOnce()).min
+    // (hot) probe against the wrong quiet level.
+    // The warm-up burst doubles as the STEAL gate: the loadavg gate
+    // above cannot see a co-tenant VM (this guest isn't queueing), but
+    // steal measured across our own full-core bursts can. If the
+    // window shows >4% steal, wait and re-anchor — a calBase taken
+    // under steal would make every later quiet probe read as drift<1
+    // and the contended logic blind (r16 incident).
+    var calBase = 0.0
+    var gateSteal = 0.0
+    var stealWaitSec = 0.0
+    var quietAnchor = false
+    while (!quietAnchor) {
+      val j0 = cpuJiffies()
+      (1 to 3).foreach(_ => calibrateOnce())
+      calBase = (1 to 3).map(_ => calibrateOnce()).min
+      gateSteal = stealPctSince(j0)
+      if (gateSteal <= 4.0 || stealWaitSec >= waitMax) quietAnchor = true
+      else {
+        System.err.println(
+          f"bench gate: steal $gateSteal%.1f%% > 4%%, waiting...")
+        Thread.sleep(30000); stealWaitSec += 30
+      }
+    }
+    val gateStealContended = gateSteal > 4.0
     // (afterIndex, sec, load) — probe after every 10th query
     val calProbes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -117,6 +159,15 @@ object Bench {
       // ... and AFTER: a query that persist()ed mid-plan must not hold
       // executor memory while the next query runs
       spark.catalog.clearCache()
+      // ... including localCheckpoint blocks, which clearCache cannot
+      // touch. Iterative operators' final checkpoints outlive their
+      // call by design; across hundreds of runs they accumulate until
+      // storage pressure slows every heavy query 1.4-2x (the r15/r16
+      // "in-JVM aging" — root-caused to exactly this). Between runs
+      // no frame from a previous run is ever consumed again, so the
+      // sweep is safe here.
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .releaseAllPersisted(spark)
       (dt, gc, la)
     }
     var queryIdx = 0
@@ -218,6 +269,13 @@ object Bench {
       target.count()
       val photoRows = photos.count()
       val times = (1 to runsPerQuery).map { _ =>
+        // sweep leaked checkpoint blocks from the suite / previous b3
+        // run, then restore the pre-seeded target OUTSIDE the timed
+        // window (the sweep unpersists it along with everything else)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .releaseAllPersisted(spark)
+        target.persist()
+        target.count()
         val la = loadAvg()
         val g0 = gcMillis()
         val t0 = System.nanoTime()
@@ -286,32 +344,126 @@ object Bench {
         (System.nanoTime() - rerunGateT0) / 1e9 < 60) {
       Thread.sleep(5000); rerunLoad = loadAvg()
     }
-    // Fresh-state discipline (r15 postmortem): the rerun pass itself
-    // ages the JVM — q80's rerun read 22.4s against a 10.8-12.9s
-    // isolated steady state because it ran LAST, after every other
-    // heavy rerun's allocation/cleanup residue. Two counters: (a) run
-    // the most expensive queries FIRST, while the JVM is closest to
-    // the state the main-pass calibration gated, and (b) before each
-    // multi-second query, two gc cycles + a settle so the
-    // ContextCleaner drains the previous rerun's broadcast/shuffle
-    // refs (the first gc queues them, the second collects them)
-    // instead of billing that cleanup to the query being adjudicated.
-    val reruns = heavy.sortBy { case (_, ts) => -medianOf(ts) }
-      .map { case (name, ts) =>
-        val fn = SparkEntry.queries(name)
-        if (medianOf(ts) > 3.0) {
-          System.gc(); Thread.sleep(1500)
-          System.gc(); Thread.sleep(500)
-        }
-        name -> runOnce(name, fn)
+    // Fresh-JVM rerun pass (r15 postmortem, root-caused r16 with A/B/C
+    // restricted runs): the full suite ages the JVM in a way NO
+    // in-process countermeasure undoes — after 109 queries x 3 runs,
+    // every heavy query re-executes 1.4-2x slower than its own
+    // mid-suite median (q80: 23.0s vs 13.5s suite / 12.9s isolated),
+    // with GC accounting for <4% of the wall and gc+settle+reordering
+    // recovering nothing. A 13-query suite shows NO such aging (q80
+    // rerun 13.0s), so the state is cumulative and suite-scale. Since
+    // the rerun pass exists precisely to produce trustworthy
+    // quiet-machine numbers, it now runs in a CHILD JVM: same
+    // classpath, opens, heap and env, restricted to the heavy query
+    // names, one run each — the measurement every "isolated" probe in
+    // SCALING.md is defined by. The in-JVM pass (cost-descending with
+    // a gc settle) remains as the fallback when spawning fails, and
+    // the artifact's note field records which pass produced the data.
+    var childStealPct: Option[Double] = None
+    var childContended: Option[Boolean] = None
+    def freshJvmReruns(names: Seq[String])
+        : Option[Seq[(String, (Double, Long, Double))]] = try {
+      if (names.isEmpty) return Some(Seq.empty)
+      val graftCp = new java.io.File(SparkEntry.getClass
+        .getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+      val sparkJarDir = new java.io.File(classOf[SparkSession]
+        .getProtectionDomain.getCodeSource.getLocation.toURI).getParent
+      val cp = graftCp + java.io.File.pathSeparator + sparkJarDir +
+        java.io.File.separator + "*"
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getPath
+      val opens = (Seq("java.lang", "java.lang.invoke",
+        "java.lang.reflect", "java.io", "java.net", "java.nio",
+        "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar"))
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val mxMb = math.max(2048L,
+        Runtime.getRuntime.maxMemory / (1024L * 1024L))
+      val detail = java.io.File.createTempFile("graft_rerun_", ".json")
+      val childLog = java.io.File.createTempFile("graft_rerun_", ".log")
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx${mxMb}m",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench") ++ names)
+      val pb = new ProcessBuilder(cmd: _*)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      // 3 runs, median adopted: a fresh JVM's FIRST run pays ~40-70%
+      // JIT/codegen warm-up (measured q80: 23.3/14.9/14.2), so a
+      // 1-run child would trade suite-aging inflation for warm-up
+      // inflation; the median is the same statistic the suite itself
+      // reports and the isolated SCALING probes are defined by
+      env.put("SPARK_GRAFT_BENCH_RUNS", runsPerQuery.toString)
+      // the child must not recurse into its own rerun pass
+      env.put("SPARK_GRAFT_BENCH_RERUN_FLOOR", "1e18")
+      env.put("SPARK_GRAFT_BENCH_DETAIL", detail.getPath)
+      // the parent suite just finished: its own load residue takes
+      // ~1-2 min to decay, and the child's numbers are the whole point
+      // — let its load gate wait that out
+      env.put("SPARK_GRAFT_BENCH_WAIT_SEC", "180")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(childLog))
+      val proc = pb.start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); return None }
+      if (proc.exitValue() != 0 || !detail.exists()) return None
+      val txt = {
+        val src = scala.io.Source.fromFile(detail, "UTF-8")
+        try src.mkString finally src.close()
       }
+      // the child self-adjudicates its own machine window — surface it
+      childStealPct = "\"steal_pct\":([0-9.]+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      childContended = "\"contended\":(true|false)".r
+        .findFirstMatchIn(txt).map(_.group(1).toBoolean)
+      val parsed = names.map { name =>
+        val re = ("\"" + java.util.regex.Pattern.quote(name) +
+          "\":\\{\"sec\":\\[([0-9.,]+)\\]" +
+          ",\"gc_ms\":\\[([0-9,]+)\\],\"load\":\\[([-0-9.,]+)\\]").r
+        re.findFirstMatchIn(txt).flatMap { m =>
+          val secs = m.group(1).split(",").map(_.toDouble).toSeq
+          val gcs = m.group(2).split(",").map(_.toLong).toSeq
+          val loads = m.group(3).split(",").map(_.toDouble).toSeq
+          if (secs.isEmpty) None
+          else {
+            // adopt the median RUN (not just the median second), so the
+            // reported gc/load describe the same run as the wall time
+            val mi = secs.zipWithIndex.sortBy(_._1).apply(secs.size / 2)._2
+            Some(name -> ((secs(mi), gcs(mi), loads(mi))))
+          }
+        }
+      }
+      if (parsed.exists(_.isEmpty)) None else Some(parsed.map(_.get))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val wantFresh =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FRESH", "1") == "1"
+    val freshReruns =
+      if (wantFresh) freshJvmReruns(heavy.map(_._1).toSeq) else None
+    val rerunNote = if (freshReruns.isDefined)
+      "fresh-JVM quiet pass" else "late quiet pass (in-JVM fallback)"
+    val reruns = freshReruns.getOrElse(
+      heavy.sortBy { case (_, ts) => -medianOf(ts) }
+        .map { case (name, ts) =>
+          val fn = SparkEntry.queries(name)
+          if (medianOf(ts) > 3.0) {
+            System.gc(); Thread.sleep(1500)
+            System.gc(); Thread.sleep(500)
+          }
+          name -> runOnce(name, fn)
+        }.toSeq)
     val rerunJson = reruns.map { case (k, (s, g, l)) =>
       "\"" + short(k) + f"\":[$s%.2f,$g,$l%.1f]"
     }.mkString("{", ",", "}")
     // own line so a long summary line cannot push it out of the
     // driver's tail-capture window (and vice versa: if anything is
     // truncated it is this evidence line's head, not the summary)
-    println(s"""{"metric":"rerun","note":"late quiet pass, [sec,gc_ms,load], floor ${rerunFloor}s","d":$rerunJson}""")
+    val rerunAdjudication = (childStealPct, childContended) match {
+      case (Some(s), Some(c)) =>
+        f""","rerun_steal_pct":$s%.1f,"rerun_contended":$c"""
+      case _ => ""
+    }
+    println(s"""{"metric":"rerun","note":"$rerunNote, [sec,gc_ms,load], floor ${rerunFloor}s"$rerunAdjudication,"d":$rerunJson}""")
     // ---- q80 phase split (r13 judge directive): q80's bench line is
     // the suite's slowest BY DESIGN — it builds its corpus store from
     // scratch and then runs two nightly commits inside one timed
@@ -330,7 +482,12 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       try {
+        // full isolation between phases: the split runs LAST in the
+        // parent, after b3 — sweep leaked checkpoint blocks (not just
+        // the SQL cache) so the phase numbers aren't aged-JVM numbers
         spark.catalog.clearCache()
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .releaseAllPersisted(spark)
         val buildSec = timed {
           SignatureStore.ensureCorpusState(spark, store,
             docs.filter(col("doc_id") % 4 < 2), "doc_id", "text",
@@ -338,6 +495,8 @@ object Bench {
         }
         val nightSecs = Seq(2, 3).map { m =>
           spark.catalog.clearCache()
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .releaseAllPersisted(spark)
           timed {
             val bands = SignatureStore.readBands(spark, store)
             val (_, labels) = SignatureStore.read(spark, store)
@@ -411,12 +570,19 @@ object Bench {
     val drifts = calProbes.map(_._2 / calMin).toSeq
     val sustainedRun = drifts.size >= sustainedK &&
       drifts.sliding(sustainedK).exists(_.forall(_ > 2.0))
+    // whole-suite hypervisor steal: >4% of all cycles stolen means a
+    // co-tenant VM was active for a substantial share of the suite —
+    // the channel the probe-drift machinery is structurally blind to
+    // (see cpuJiffies). The threshold is conservative: a quiet shared
+    // host idles at 0.5-2%; the r16 incident measured 10-16%.
+    val suiteStealPct = stealPctSince(suiteJiffies0)
     // contended = the gate never saw a quiet machine OR the probes'
-    // median ran >1.5x the quiet anchor OR a sustained >2x probe run —
-    // any way the medians in this artifact should not all be read as
-    // clean-machine numbers.
-    val contended = gateContended || medianDrift > 1.5 || sustainedRun
-    val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"median_drift":$medianDrift%.2f,"sustained_run":$sustainedRun,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
+    // median ran >1.5x the quiet anchor OR a sustained >2x probe run
+    // OR substantial hypervisor steal — any way the medians in this
+    // artifact should not all be read as clean-machine numbers.
+    val contended = gateContended || gateStealContended ||
+      medianDrift > 1.5 || sustainedRun || suiteStealPct > 4.0
+    val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"median_drift":$medianDrift%.2f,"sustained_run":$sustainedRun,"steal_pct":$suiteStealPct%.1f,"gate_steal_pct":$gateSteal%.1f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"steal_wait_sec":$stealWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
     // ---- Durable full-evidence file (r14 judge directive): the driver
     // captures only the LAST ~2000 chars of stdout, which clipped the
     // r14 quiet-rerun line and left two >2x outliers unadjudicable.
@@ -439,7 +605,7 @@ object Bench {
         "\"" + k + f"\":[$s%.3f,$g,$l%.1f]"
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        f"""{"metric":"bench_detail","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"total":$total%.3f,"contended":$contended,$calJson,"runs":$dq,"rerun_quiet_pass":$dr,$b3,$q80Split,"errors":$errs}""" + "\n")
+        f"""{"metric":"bench_detail","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"total":$total%.3f,"contended":$contended,$calJson,"rerun_note":"$rerunNote"$rerunAdjudication,"runs":$dq,"rerun_quiet_pass":$dr,$b3,$q80Split,"errors":$errs}""" + "\n")
       System.err.println(s"bench detail -> $detailPath")
     } catch { case e: Throwable =>
       System.err.println(s"bench detail write failed: $e")

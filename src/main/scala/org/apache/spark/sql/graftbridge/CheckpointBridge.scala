@@ -21,4 +21,26 @@ object CheckpointBridge {
       case lr: LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Unpersist EVERY still-registered persisted RDD in the session —
+    * the sweep a benchmark/pipeline harness runs BETWEEN units of work
+    * it wants isolated. An iterative operator's FINAL
+    * `localCheckpoint()` frame deliberately outlives the operator call
+    * (callers consume it more than once), so its blocks survive until
+    * the DataFrame is garbage-collected and the ContextCleaner gets to
+    * it — under steady allocation that can be never, and r16 measured
+    * the consequence: after a 109-query x 3-run suite in one 8 GB
+    * local[32] JVM, the accumulated final-round checkpoint blocks put
+    * every heavy query 1.4-2x over its own mid-suite median (q80:
+    * 37s vs 13s, GC 1.5s/run) purely from storage-memory pressure.
+    * `clearCache()` cannot reclaim them (RDD persistence, not SQL
+    * cache); this can, because `localCheckpoint` REGISTERS the RDD in
+    * the context's persistentRdds map. Only call between units of
+    * work: a released checkpoint cannot be recomputed (lineage was
+    * truncated), so any still-live consumer of one of these frames
+    * would fail.
+    */
+  def releaseAllPersisted(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(false))
 }
