@@ -876,7 +876,16 @@ object Dedupe {
     }
     und.unpersist()
     // the returned frame keeps its (final-round) checkpoint: callers
-    // typically consume it more than once (labels + cluster sizes)
+    // typically consume it more than once (labels + cluster sizes).
+    // LIFECYCLE at scale: that final checkpoint outlives this call and
+    // is invisible to spark.catalog.clearCache() — a long-running
+    // pipeline that invokes iterative operators hundreds of times per
+    // session (r16 measured a 109-query bench suite) accumulates the
+    // blocks until storage pressure slows every memory-hungry stage
+    // 1.4-2x. When a result is fully consumed, release it with
+    // CheckpointBridge.release(labels); a harness isolating units of
+    // work can sweep everything between units with
+    // CheckpointBridge.releaseAllPersisted(spark).
     labels
   }
 
