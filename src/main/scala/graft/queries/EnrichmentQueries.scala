@@ -443,11 +443,16 @@ object EnrichmentQueries extends QueryPack {
     * hash-mismatches. Group equality doubles as the proof that equal
     * payloads embed equally and distinct payloads don't collide.
     *
-    * Scale shape: encode+decode+embed is one mapPartitions projection
-    * (no shuffle); the dedup groups by the 48-double embedding — at
-    * 100 TB you'd group by a digest of it, same plan shape. The
-    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows (one
-    * per feature) so every decoded value stays hash-pinned by the
+    * Scale shape: encode+decode+embed is ONE mapPartitions projection
+    * — decoded exactly once, because the dedup is a window over a
+    * 64-bit digest of the embedding (q107's "group on a digest at
+    * 100 TB" shape; the previous aggregate+join-back form recomputed
+    * the whole decode projection for the join side, measured 2x the
+    * decode cost at sf1). One shuffle, partitions bounded by true
+    * duplicate-group size; a digest collision (odds ~2^-64) would
+    * hash-mismatch against the oracle's seed classes. The OUTPUT
+    * unpivots the embedding to `(idx, val)` scalar rows (one per
+    * feature) so every decoded value stays hash-pinned by the
     * driver's comparator, which cannot sort array cells.
     */
   val q104 = Q("q104_image_embed_dedup",
@@ -460,12 +465,12 @@ object EnrichmentQueries extends QueryPack {
           Multimodal.syntheticPng(id % 251)))
       }
       val emb = Multimodal.embedImage(blobs, grid = 4).toDF()
-      val grp = emb.groupBy("embedding")
-        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
-      emb.join(grp, "embedding")
-        .select(col("id").as("doc"), col("width"), col("height"),
-          col("grp"), col("grp_size"),
-          posexplode(col("embedding")).as(Seq("i", "val")))
+      val w = Window.partitionBy(xxhash64(to_json(col("embedding"))))
+      emb.select(col("id").as("doc"), col("width"), col("height"),
+          min("id").over(w).as("grp"),
+          count(lit(1)).over(w).as("grp_size"), col("embedding"))
+        .select(col("doc"), col("width"), col("height"), col("grp"),
+          col("grp_size"), posexplode(col("embedding")).as(Seq("i", "val")))
         .select(col("doc"), col("width"), col("height"), col("grp"),
           col("grp_size"), col("i").cast("long").as("idx"), col("val"))
     },
@@ -507,12 +512,14 @@ object EnrichmentQueries extends QueryPack {
     * FORMULA (WAV is lossless): any container-parse, endianness,
     * sign-extension, or band-indexing bug hash-mismatches.
     *
-    * Scale shape: encode+decode+embed is one mapPartitions projection
-    * (no shuffle); the dedup groups by the 16-double embedding — at
-    * 100 TB you'd group by a digest of it, same plan shape. The
-    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows so
-    * every decoded band statistic stays hash-pinned by the driver's
-    * comparator, which cannot sort array cells.
+    * Scale shape: encode+decode+embed is ONE mapPartitions projection
+    * — decoded exactly once via the digest-window dedup (see q104;
+    * the decode here is the trio's most expensive per blob, ~360 us
+    * of javax.sound SPI probing per WAV, so not paying it twice
+    * matters most on this leg). The OUTPUT unpivots the embedding to
+    * `(idx, val)` scalar rows so every decoded band statistic stays
+    * hash-pinned by the driver's comparator, which cannot sort array
+    * cells.
     */
   val q106 = Q("q106_audio_embed_dedup",
     (s, dir) => {
@@ -524,11 +531,12 @@ object EnrichmentQueries extends QueryPack {
           Multimodal.syntheticWav(id % 97)))
       }
       val emb = Multimodal.embedAudio(blobs, bands = 8).toDF()
-      val grp = emb.groupBy("embedding")
-        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
-      emb.join(grp, "embedding")
-        .select(col("id").as("doc"), col("sample_rate"),
-          col("n_samples"), col("grp"), col("grp_size"),
+      val w = Window.partitionBy(xxhash64(to_json(col("embedding"))))
+      emb.select(col("id").as("doc"), col("sample_rate"),
+          col("n_samples"), min("id").over(w).as("grp"),
+          count(lit(1)).over(w).as("grp_size"), col("embedding"))
+        .select(col("doc"), col("sample_rate"), col("n_samples"),
+          col("grp"), col("grp_size"),
           posexplode(col("embedding")).as(Seq("i", "val")))
         .select(col("doc"), col("sample_rate"), col("n_samples"),
           col("grp"), col("grp_size"),
@@ -652,12 +660,12 @@ object EnrichmentQueries extends QueryPack {
     * frame-addressing, palette-lookup, channel-order or patch-layout
     * bug hash-mismatches. Dedup groups by embedding — 61 seed classes.
     *
-    * Scale shape: encode+seek+decode+embed is one mapPartitions
-    * projection (no shuffle; only sampled frames decode, never the
-    * whole animation); the dedup groupBy matches q104/q106. The
-    * OUTPUT unpivots the embedding to `(idx, val)` scalar rows so
-    * every decoded frame feature stays hash-pinned by the driver's
-    * comparator, which cannot sort array cells.
+    * Scale shape: encode+seek+decode+embed is ONE mapPartitions
+    * projection (only sampled frames decode, never the whole
+    * animation) — decoded exactly once via the digest-window dedup
+    * (see q104). The OUTPUT unpivots the embedding to `(idx, val)`
+    * scalar rows so every decoded frame feature stays hash-pinned by
+    * the driver's comparator, which cannot sort array cells.
     */
   val q108 = Q("q108_video_frame_dedup",
     (s, dir) => {
@@ -669,12 +677,12 @@ object EnrichmentQueries extends QueryPack {
           Multimodal.syntheticGif(id % 61)))
       }
       val emb = Multimodal.embedVideo(blobs, sample = 4, grid = 2).toDF()
-      val grp = emb.groupBy("embedding")
-        .agg(min("id").as("grp"), count(lit(1)).as("grp_size"))
-      emb.join(grp, "embedding")
-        .select(col("id").as("doc"), col("n_frames"),
-          col("grp"), col("grp_size"),
-          posexplode(col("embedding")).as(Seq("i", "val")))
+      val w = Window.partitionBy(xxhash64(to_json(col("embedding"))))
+      emb.select(col("id").as("doc"), col("n_frames"),
+          min("id").over(w).as("grp"),
+          count(lit(1)).over(w).as("grp_size"), col("embedding"))
+        .select(col("doc"), col("n_frames"), col("grp"),
+          col("grp_size"), posexplode(col("embedding")).as(Seq("i", "val")))
         .select(col("doc"), col("n_frames"), col("grp"),
           col("grp_size"), col("i").cast("long").as("idx"), col("val"))
     },
