@@ -184,8 +184,9 @@ object Pq {
   def topKIndexed(spark: SparkSession, indexPath: String,
       queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       idCol: String, vecCol: String, k: Int): DataFrame =
-    topK(queries, spark.read.parquet(indexPath), codebooks,
-      idCol, vecCol, k)
+    topK(queries,
+      graft.operators.Similarity.readIvfIndex(spark, indexPath),
+      codebooks, idCol, vecCol, k)
 
   /** IVF-PQ index: code table partitioned by IVF cell. A probe reads
     * nprobe/ncells of a table that is already ~64× smaller than the
@@ -255,7 +256,7 @@ object Pq {
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),
         probed.schema("cell_id"))))
-    spark.read.parquet(indexPath)
+    graft.operators.Similarity.readIvfIndex(spark, indexPath)
       .filter(col("cell_id").isin(cellSet: _*))
       .select(col(idCol).as("neighbor_id"), col("cell_id"),
         posexplode(scores))

@@ -335,8 +335,90 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, path: String): Unit =
-    batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
-      .write.partitionBy("cell_id").mode("append").parquet(path)
+    graft.sources.VersionedTable.withWriterLock(batch.sparkSession,
+        path) {
+      // resolve INSIDE the writer lock: compaction flips the version
+      // pointer under the same lock, so an append can never land its
+      // cells in a root that was retired mid-write
+      val dataRoot = currentIvfRoot(batch.sparkSession, path)
+      batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
+        .write.partitionBy("cell_id").mode("append").parquet(dataRoot)
+    }
+
+  /** Resolve the index's CURRENT data root: the version directory the
+    * `_CURRENT` pointer names, or the index path itself for an index
+    * that has never been compacted (the layout [[writeIvfIndex]] and
+    * plain appends produce). Every reader and writer of a maintained
+    * index goes through this — it is what makes compaction's
+    * copy-then-single-rename version flip atomic for readers.
+    *
+    * The pointer file is replaced atomically (NIO ATOMIC_MOVE on a
+    * local filesystem); on a store whose rename cannot replace, a
+    * reader hitting the sub-millisecond delete+rename window retries,
+    * then falls back to the highest version directory present — it
+    * never silently reads a retired layout.
+    */
+  def currentIvfRoot(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(root, "_CURRENT")
+    def readMarker(): Option[String] =
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        if (v.isEmpty) None else Some(v)
+      }
+    def rootListing() =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root)
+    readMarker() match {
+      case Some(v) => new Path(root, v).toString
+      case None =>
+        // No marker. A version directory may exist MID-BUILD (the
+        // packed write creates it long before the flip), so its mere
+        // presence proves nothing — the live layout is the root for as
+        // long as the root still has cell directories (never-compacted
+        // index, or first compaction still building). Only when the
+        // root's cells are gone (retired => a flip definitely
+        // happened) does the highest version win; that path is only
+        // reachable inside a non-atomic store's sub-ms delete+rename
+        // window, so retry the marker first.
+        var tries = 0
+        while (tries < 3) {
+          val ls = rootListing()
+          val hasRootCells = ls.exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+          val vd = ls.toSeq.filter(s => s.isDirectory &&
+            s.getPath.getName.matches("_v\\d+")).map(_.getPath.getName)
+          if (hasRootCells || vd.isEmpty) return path
+          readMarker() match {
+            case Some(v) => return new Path(root, v).toString
+            case None =>
+              if (tries == 2)
+                return new Path(root,
+                  vd.maxBy(_.drop(2).toLong)).toString
+              Thread.sleep(50L); tries += 1
+          }
+        }
+        path
+    }
+  }
+
+  /** Read a maintained IVF index at its current version — the reader
+    * every search path uses ([[ivfTopKIndexed]], [[Pq.ivfTopK]]).
+    * Partition pruning on `cell_id` works exactly as on a plain
+    * partitioned read; the resolved snapshot's files are immutable
+    * (compaction installs a NEW version and retires old ones only
+    * after they are grand-previous), so a plan taken from this frame
+    * stays valid across a concurrent compaction.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(currentIvfRoot(spark, path))
 
   /** Compact an IVF index's cell partitions: each touched cell (by
     * default every cell holding more than one data file — the residue
@@ -351,35 +433,54 @@ object Similarity {
     * compaction a year of nightly appends makes every probed cell a
     * 365-file listing whose tiny files each cost a task.
     *
-    * Visibility: the per-cell directory swap is two renames (out, in)
-    * — atomic enough for the single-writer maintenance windows the
-    * reference schedules all its table swaps in
-    * (`data_refresh_task_factory.py:183-240` promotes ES indices the
-    * same way: build aside, flip alias); a production deployment on an
-    * object store drops this into a lakehouse OPTIMIZE the same way
-    * MergeUpsert drops into MERGE INTO. Readers planning mid-swap are
-    * excluded by the writer lock only on the write side, so schedule
-    * compaction in the same maintenance window as re-clustering.
+    * Visibility — copy-then-single-rename (lakehouse snapshot
+    * semantics, no torn reads ever): the packed cells are written into
+    * a NEW version directory (`_v<n>`, underscore-hidden from naive
+    * listings), untouched cells are hard-linked (local FS; copied
+    * elsewhere) into it, and ONE atomic pointer replace (`_CURRENT`)
+    * flips readers to the new snapshot. Nothing a reader could have
+    * planned is renamed or deleted: a query planning mid-compaction
+    * reads the previous version whole; a query planned before the flip
+    * keeps its file list valid because retired versions are deleted
+    * only when they become GRAND-previous (the next compaction) — at
+    * any nightly cadence that is hours of read grace. This is the
+    * same install-aside-flip-pointer discipline as [[SegmentedTable]]'s
+    * manifest commit and the reference's ES alias promote
+    * (`data_refresh_task_factory.py:183-240`); on an object store the
+    * hard-links become the table format's metadata-only OPTIMIZE.
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
       path: String, cells: Seq[String] = Seq.empty,
       targetRowsPerFile: Long = 500000L): Unit = {
     import org.apache.hadoop.fs.Path
     graft.sources.VersionedTable.withWriterLock(spark, path) {
-      val fs = new Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a prior crashed compaction may have left a cell stashed-but-
-      // not-reinstalled; heal before listing or the cell is invisible
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a prior crashed PRE-VERSIONING compaction may have left a cell
+      // stashed-but-not-reinstalled; heal before listing or the cell
+      // is invisible
       recoverIvfCompaction(spark, path)
-      val fragNames = fs.listStatus(new Path(path)).toSeq
+      val dataRoot = new Path(currentIvfRoot(spark, path))
+      val curVersion = dataRoot.getName match {
+        case n if n.matches("_v\\d+") => n.drop(2).toLong
+        case _ => 0L
+      }
+      val cellDirs = fs.listStatus(dataRoot).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
         .map(_.getPath)
+      val fragNames = cellDirs
         .filter(p => cells.isEmpty || cells.contains(
           p.getName.stripPrefix("cell_id=")))
         .filter(p => fs.listStatus(p)
           .count(_.getPath.getName.endsWith(".parquet")) > 1)
         .map(_.getName.stripPrefix("cell_id="))
       if (fragNames.nonEmpty) {
+        val newName = f"_v${curVersion + 1}%04d"
+        val newDir = new Path(root, newName)
+        // residue of a crashed build of THIS version: unreferenced by
+        // _CURRENT (the flip is the last step), so no reader can have
+        // planned it — safe to clear and rebuild
+        fs.delete(newDir, true)
         // ONE pruned scan + ONE partitioned write for EVERY fragmented
         // cell, not a read-count-rewrite loop per cell: the loop
         // schedules 2 Spark jobs per cell and is pure job overhead at
@@ -388,7 +489,7 @@ object Similarity {
         // filter is a partition-column predicate, so only fragmented
         // directories are ever read — cost still scales with the
         // fragmented fraction, not the index.
-        val frag = spark.read.parquet(path)
+        val frag = spark.read.parquet(dataRoot.toString)
           .filter(col("cell_id").cast("string").isin(fragNames: _*))
         // rows per cell -> packed file count per cell (cells are a plan
         // parameter, ~sqrt(n); collecting one count per fragmented cell
@@ -400,8 +501,6 @@ object Similarity {
         val dataCols = frag.columns.filter(_ != "cell_id").map(col)
         val totalFiles = math.max(1,
           nfDf.agg(sum("__nfiles")).head().getLong(0).toInt)
-        val tmpRoot = new Path(path, ".compact-tmp")
-        fs.delete(tmpRoot, true)
         frag
           .withColumn("__cell_str", col("cell_id").cast("string"))
           .join(broadcast(nfDf), "__cell_str")
@@ -411,37 +510,89 @@ object Similarity {
             pmod(xxhash64(dataCols: _*), col("__nfiles").cast("long")))
           .repartition(totalFiles, col("cell_id"), col("__bucket"))
           .drop("__cell_str", "__nfiles", "__bucket")
-          .write.partitionBy("cell_id").parquet(tmpRoot.toString)
-        fragNames.foreach { c =>
-          val dir = new Path(path, s"cell_id=$c")
-          val packed = new Path(tmpRoot, s"cell_id=$c")
-          val old = new Path(path, s".compact-old-cell_id=$c")
-          // a fragmented cell whose files hold ZERO rows produces no
-          // packed directory — leave it in place rather than blindly
-          // renaming it away (a failed swap half-done deletes data)
-          if (fs.exists(packed)) {
-            fs.delete(old, true)
-            require(fs.rename(dir, old),
-              s"compact: failed to retire $dir")
-            require(fs.rename(packed, dir),
-              s"compact: failed to install $packed; original at $old")
-            fs.delete(old, true)
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(newDir.toString)
+        // a fragmented cell whose files hold ZERO rows produces no
+        // packed directory; everything else carries over untouched —
+        // hard links on a local FS (metadata-only, so version install
+        // stays O(files) in namespace ops, never O(bytes)), copy on
+        // stores without links (where a lakehouse manifest would make
+        // this step metadata-only instead)
+        val fragSet = fragNames.toSet
+        cellDirs.filterNot(p =>
+            fragSet(p.getName.stripPrefix("cell_id=")))
+          .foreach { src =>
+            val dst = new Path(newDir, src.getName)
+            fs.mkdirs(dst)
+            fs.listStatus(src).toSeq.map(_.getPath)
+              .filter(f => !f.getName.startsWith(".") &&
+                !f.getName.startsWith("_"))
+              .foreach { f =>
+                val df = new Path(dst, f.getName)
+                val local = fs.isInstanceOf[
+                  org.apache.hadoop.fs.LocalFileSystem] ||
+                  fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+                if (local)
+                  java.nio.file.Files.createLink(
+                    java.nio.file.Paths.get(df.toUri.getPath),
+                    java.nio.file.Paths.get(f.toUri.getPath))
+                else
+                  org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, df,
+                    false, spark.sparkContext.hadoopConfiguration)
+              }
           }
+        // THE single rename: flip the version pointer. Readers resolve
+        // through currentIvfRoot, so the flip is the only visibility
+        // event — before it they read the old snapshot whole, after it
+        // the new one whole.
+        val tmpMarker = new Path(root,
+          s"._CURRENT.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmpMarker, true)
+        out.write(newName.getBytes("UTF-8")); out.close()
+        val marker = new Path(root, "_CURRENT")
+        val localFs = fs.isInstanceOf[
+          org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+        if (localFs)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmpMarker.toUri.getPath),
+            java.nio.file.Paths.get(marker.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          // non-atomic stores: sub-ms delete+rename window, covered by
+          // currentIvfRoot's retry-then-highest-version fallback
+          fs.delete(marker, false)
+          require(fs.rename(tmpMarker, marker),
+            s"compact: failed to install pointer $marker")
         }
-        fs.delete(tmpRoot, true)
+        // retire GRAND-previous layouts only: the version we just
+        // replaced stays on disk so any reader that planned against it
+        // (or is mid-scan) keeps a valid file list until the NEXT
+        // compaction — the versioned twin of SegmentedTable.vacuum's
+        // staged-segment grace
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && (
+            (s.getPath.getName.matches("_v\\d+") &&
+              s.getPath.getName.drop(2).toLong < curVersion) ||
+            (curVersion >= 1 &&
+              s.getPath.getName.startsWith("cell_id="))))
+          .foreach(s => fs.delete(s.getPath, true))
       }
     }
   }
 
-  /** Heal a crash inside [[compactIvfCells]]'s rename-pair window: a
-    * `.compact-old-cell_id=c` stash with NO live `cell_id=c` directory
-    * means the crash hit between retire and install — the stash IS the
-    * cell's data, so rename it back (the packed copy under
-    * `.compact-tmp` is a duplicate and is dropped). A stash alongside
-    * a live directory means install succeeded and only the final
-    * cleanup was lost — drop the stash. Idempotent; call before any
-    * append or compaction on an index a crashed process may have
-    * touched (the streaming sink does, every fold).
+  /** Heal compaction crash residue. For the PRE-VERSIONING rename-pair
+    * layout: a `.compact-old-cell_id=c` stash with NO live `cell_id=c`
+    * directory means the crash hit between retire and install — the
+    * stash IS the cell's data, so rename it back; a stash alongside a
+    * live directory means install succeeded and only the final cleanup
+    * was lost — drop the stash. For the versioned layout the only
+    * residue is an orphan pointer-tmp file (`._CURRENT.*.tmp`) — a
+    * half-built version directory is unreferenced and is cleared by
+    * the next compaction itself. Idempotent; call before any append or
+    * compaction on an index a crashed process may have touched (the
+    * streaming sink does, every fold).
     */
   def recoverIvfCompaction(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
@@ -460,6 +611,11 @@ object Similarity {
           s"recover: failed to restore ${stash.getPath}")
       }
     fs.delete(new Path(root, ".compact-tmp"), true)
+    fs.listStatus(root).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("._CURRENT.") &&
+        s.getPath.getName.endsWith(".tmp"))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** [[appendToIvfIndex]] with exactly-once replay semantics for a
@@ -488,9 +644,13 @@ object Similarity {
     val marker = new Path(root, s"_batch_tags/$tag")
     if (fs.exists(marker)) return false
     graft.sources.VersionedTable.withWriterLock(spark, path) {
+      // resolve the data root INSIDE the lock (see appendToIvfIndex);
+      // batch markers stay at the INDEX root so replay decisions
+      // survive version flips
+      val dataRoot = new Path(currentIvfRoot(spark, path))
       // scrub residue from a crashed attempt of THIS batch
-      if (fs.exists(root)) {
-        fs.listStatus(root).toSeq
+      if (fs.exists(dataRoot)) {
+        fs.listStatus(dataRoot).toSeq
           .filter(s => s.isDirectory &&
             s.getPath.getName.startsWith("cell_id="))
           .foreach { cd =>
@@ -506,7 +666,7 @@ object Similarity {
       fs.listStatus(staged).toSeq
         .filter(_.getPath.getName.startsWith("cell_id="))
         .foreach { cd =>
-          val dest = new Path(root, cd.getPath.getName)
+          val dest = new Path(dataRoot, cd.getPath.getName)
           fs.mkdirs(dest)
           fs.listStatus(cd.getPath).toSeq.map(_.getPath)
             .filter(_.getName.endsWith(".parquet"))
@@ -552,7 +712,7 @@ object Similarity {
     val probed = probeCells(queries, centroids, idCol, vecCol, nprobe, dim)
     val cellSet = probed.select("cell_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val corpus = spark.read.parquet(indexPath)
+    val corpus = readIvfIndex(spark, indexPath)
       .filter(col("cell_id").isin(cellSet: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("cell_id"))

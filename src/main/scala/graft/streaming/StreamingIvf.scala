@@ -37,20 +37,17 @@ import graft.operators.Similarity
   * + atomic flip), not an append — same discipline as the signature
   * store's once-per-corpus-version build.
   *
-  * READ-VISIBILITY CAVEAT of inline compaction: `compactIvfCells`
-  * installs each packed cell with a retire-then-install rename pair
-  * that is only writer-side locked — a query planning its scan
-  * between the two renames silently misses that cell's rows (no
-  * error, just absent candidates for queries probing it). Because
-  * `foldBatch` triggers compaction inline every `compactEvery`
-  * batches, a deployment serving live query traffic from the same
-  * index must either (a) schedule the stream so compaction batches
-  * fall in a query-quiet window (set `compactEvery` to the nightly
-  * cadence, 0 to disable and compact out-of-band), or (b) serve
-  * queries from a snapshot/copy promoted after the fold — the same
-  * promote-then-flip discipline the reference uses for its ES index
-  * swap. Appends themselves have no such window (new files only;
-  * a concurrent reader sees the cell before-or-after, never torn).
+  * Read visibility under inline compaction: SAFE for concurrent query
+  * traffic. `compactIvfCells` installs the packed cells as a NEW
+  * version directory and flips the index's `_CURRENT` pointer with
+  * one atomic rename; readers resolve the pointer through
+  * [[Similarity.readIvfIndex]], so a query planning mid-compaction
+  * reads the previous snapshot whole, and a query already planned
+  * keeps a valid file list because a retired version is deleted only
+  * when it becomes grand-previous (the next compaction) —
+  * OperatorSpec pins both with reads racing a live compaction.
+  * Appends have no window either (new files only; a concurrent
+  * reader sees the cell before-or-after, never torn).
   */
 object StreamingIvf {
 

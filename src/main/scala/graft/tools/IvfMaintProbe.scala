@@ -61,7 +61,11 @@ object IvfMaintProbe {
           if (f.isDirectory)
             Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
           else if (f.getName.endsWith(".parquet")) 1 else 0
-        walk(new java.io.File(path))
+        // count the CURRENT version's files (compaction installs a new
+        // version behind a pointer flip; the previous version lingers
+        // as read grace and would double the naive count)
+        walk(new java.io.File(
+          Similarity.currentIvfRoot(spark, path)))
       }
       val queries = emb.filter(col("vec_id") < 100)
       def search(): Set[(Long, Long)] = Similarity.ivfTopKIndexed(spark,

@@ -1751,4 +1751,95 @@ class OperatorSpec extends SparkSpec {
     SegmentedTable.appendSegment(df(1L -> "A"), root)
     assert(got() == Set(1L -> "A", 2L -> "BB", 3L -> "c", 4L -> "d"))
   }
+
+  test("IVF compaction: readers racing a live compaction never see a " +
+      "missing cell, and pre-flip snapshots stay valid") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val dim = 4
+    def vecs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          when(col("id") % dim === d, 1.0).otherwise(0.01)): _*)
+          .as("embedding"))
+    val centroids = (0 until dim).map(c =>
+        (c.toLong, (0 until dim).map(d => if (d == c) 1.0 else 0.0)))
+      .toDF("cell_id", "centroid")
+    val dir = java.nio.file.Files.createTempDirectory("ivfviz").toString
+    Similarity.writeIvfIndex(vecs(0, 50), centroids,
+      "vec_id", "embedding", dir)
+    Seq((50L, 100L), (100L, 150L), (150L, 200L)).foreach { case (a, b) =>
+      Similarity.appendToIvfIndex(vecs(a, b), centroids,
+        "vec_id", "embedding", dir)
+    }
+    val expected = 200L
+    // a snapshot PLANNED before compaction (file list resolved here by
+    // the count) must stay valid after it — the old rename-pair swap
+    // deleted the fragmented cells' files out from under it
+    val planned = Similarity.readIvfIndex(spark, dir)
+    assert(planned.count() == expected)
+    // readers hammering plan+count while the compaction runs: with the
+    // version-flip install they see exactly `expected` rows every time
+    // (old snapshot whole, or new snapshot whole — never torn)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            val n = Similarity.readIvfIndex(spark, dir).count()
+            if (n != expected) errs.add(s"reader saw $n rows")
+          } catch {
+            case e: Throwable => errs.add(s"reader failed: $e")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try Similarity.compactIvfCells(spark, dir,
+      targetRowsPerFile = 100000L)
+    finally { stop = true; readers.foreach(_.join()) }
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    // pre-flip snapshot still readable (its version is previous, not
+    // grand-previous); post-flip read sees the same rows, packed
+    assert(planned.count() == expected)
+    assert(Similarity.readIvfIndex(spark, dir).count() == expected)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = new Path(Similarity.currentIvfRoot(spark, dir))
+    assert(v1.getName == "_v0001")
+    fs.listStatus(v1).filter(_.getPath.getName.startsWith("cell_id="))
+      .foreach { cd =>
+        assert(fs.listStatus(cd.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) == 1,
+          s"cell ${cd.getPath.getName} not packed")
+      }
+    // appends land in the current version; the next compaction makes
+    // the legacy root GRAND-previous and retires it, keeping _v0001
+    Similarity.appendToIvfIndex(vecs(200, 220), centroids,
+      "vec_id", "embedding", dir)
+    Similarity.compactIvfCells(spark, dir, targetRowsPerFile = 100000L)
+    assert(Similarity.currentIvfRoot(spark, dir).endsWith("_v0002"))
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith("cell_id=")),
+      "legacy root cells must be retired once grand-previous")
+    assert(fs.exists(v1), "previous version must be retained")
+    assert(Similarity.readIvfIndex(spark, dir).count() == 220L)
+    // one more round retires _v0001
+    Similarity.appendToIvfIndex(vecs(220, 240), centroids,
+      "vec_id", "embedding", dir)
+    Similarity.compactIvfCells(spark, dir, targetRowsPerFile = 100000L)
+    assert(!fs.exists(v1) &&
+      fs.exists(new Path(dir, "_v0002")) &&
+      Similarity.currentIvfRoot(spark, dir).endsWith("_v0003"))
+    // search over the maintained index equals the direct path
+    val corpus = vecs(0, 240)
+    val queries = vecs(0, 5)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir, queries,
+      centroids, "vec_id", "embedding", k = 3, nprobe = 2, dim = dim)
+    val direct = Similarity.ivfTopK(queries, corpus, centroids,
+      "vec_id", "embedding", k = 3, nprobe = 2, dim = dim)
+    assert(viaIndex.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaIndex).isEmpty)
+  }
 }

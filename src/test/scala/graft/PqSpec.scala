@@ -182,8 +182,11 @@ class PqSpec extends SparkSpec {
     assert(idx.exceptAll(expect).isEmpty && expect.exceptAll(idx).isEmpty)
     // compaction: cells fragmented by the append (build file + append
     // file) collapse to one packed file each; search results identical
+    // count data files in the CURRENT version root (compaction
+    // installs packed cells as a new version and flips a pointer)
     def cellFileCounts(): Map[String, Int] = {
-      val root = new java.io.File(path)
+      val root = new java.io.File(
+        Similarity.currentIvfRoot(spark, path))
       root.listFiles().filter(f => f.isDirectory &&
           f.getName.startsWith("cell_id=")).map { d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))

@@ -34,7 +34,10 @@ class StreamingIvfSpec extends SparkSpec {
   }
 
   private def cellFiles(path: String): Map[String, Int] = {
-    val root = new java.io.File(path)
+    // resolve the CURRENT version root: compaction installs packed
+    // cells as a new version directory behind a pointer flip
+    val root = new java.io.File(
+      Similarity.currentIvfRoot(spark, path))
     root.listFiles().filter(f => f.isDirectory &&
         f.getName.startsWith("cell_id=")).map { d =>
       d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
@@ -67,7 +70,7 @@ class StreamingIvfSpec extends SparkSpec {
         "the 4th fold should have compacted every cell")
     } finally q.stop()
     // every vector indexed exactly once, search parity with direct
-    val idx = spark.read.parquet(index)
+    val idx = Similarity.readIvfIndex(spark, index)
     assert(idx.count() == emb.count())
     assert(idx.select("vec_id").distinct().count() == emb.count())
     searchParity(index, emb)
@@ -77,7 +80,7 @@ class StreamingIvfSpec extends SparkSpec {
       emb.filter(col("vec_id") % 4 === 3), batchId = 3,
       "vec_id", "embedding", compactEvery = 4, targetRowsPerFile = 500000L)
     assert(!replayed)
-    assert(spark.read.parquet(index).count() == emb.count())
+    assert(Similarity.readIvfIndex(spark, index).count() == emb.count())
   }
 
   test("streaming media blobs: real decode + embed inside the stream " +
@@ -115,7 +118,7 @@ class StreamingIvfSpec extends SparkSpec {
       (1 to 3).foreach { m => writeBatch(m); q.processAllAvailable() }
     } finally q.stop()
     // every blob embedded and indexed exactly once
-    val idx = spark.read.parquet(index)
+    val idx = Similarity.readIvfIndex(spark, index)
     assert(idx.count() == 80 &&
       idx.select("vec_id").distinct().count() == 80)
     // a NEW duplicate payload (seed 7) retrieves all four indexed
@@ -149,7 +152,7 @@ class StreamingIvfSpec extends SparkSpec {
       batch, batchId = 7, "vec_id", "embedding", compactEvery = 0,
       targetRowsPerFile = 500000L)
     assert(refolded)
-    val idx = spark.read.parquet(index)
+    val idx = Similarity.readIvfIndex(spark, index)
     assert(idx.count() == emb.count(),
       "replay after crash-before-marker must not duplicate rows")
     searchParity(index, emb)
@@ -166,10 +169,10 @@ class StreamingIvfSpec extends SparkSpec {
       .head
     val stash = new java.io.File(root, s".compact-old-${cell.getName}")
     assert(cell.renameTo(stash))
-    val before = spark.read.parquet(index).count()
+    val before = Similarity.readIvfIndex(spark, index).count()
     assert(before < emb.count(), "the stashed cell should be invisible")
     Similarity.recoverIvfCompaction(spark, index)
-    assert(spark.read.parquet(index).count() == emb.count())
+    assert(Similarity.readIvfIndex(spark, index).count() == emb.count())
     searchParity(index, emb)
     // and a stash ALONGSIDE a live dir (install done, cleanup lost)
     // is dropped, not restored over the live data
@@ -180,6 +183,6 @@ class StreamingIvfSpec extends SparkSpec {
     assert(stale.mkdirs())
     Similarity.recoverIvfCompaction(spark, index)
     assert(!stale.exists())
-    assert(spark.read.parquet(index).count() == emb.count())
+    assert(Similarity.readIvfIndex(spark, index).count() == emb.count())
   }
 }
