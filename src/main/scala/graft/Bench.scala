@@ -518,7 +518,7 @@ object Bench {
     // same semantics, phases timed individually) so the steady-state
     // nightly number is a bench artifact, not a probe-only claim.
     val q80Split = if (only.nonEmpty) """"q80_split":null""" else {
-      import graft.operators.{Dedupe, SignatureStore}
+      import graft.operators.SignatureStore
       val docs = Tables(spark, sfDir, "documents")
       val store = java.nio.file.Files
         .createTempDirectory("graft_bench_q80").toString
@@ -543,14 +543,9 @@ object Bench {
           org.apache.spark.sql.graftbridge.CheckpointBridge
             .releaseAllPersisted(spark)
           timed {
-            val bands = SignatureStore.readBands(spark, store)
-            val (_, labels) = SignatureStore.read(spark, store)
-            val batch = docs.filter(col("doc_id") % 4 === m)
-            val merged = Dedupe.incrementalFromStore(bands, labels, batch,
-              docs, "doc_id", "text", k, n, rpb, minJ)
-            SignatureStore.appendBatch(spark, store,
-              Dedupe.minhashWide(batch, "doc_id", "text", k, n,
-                withCount = true), merged, n, rpb)
+            SignatureStore.foldNight(spark, store,
+              docs.filter(col("doc_id") % 4 === m), docs,
+              "doc_id", "text", k, n, rpb, minJ)
           }
         }
         spark.catalog.clearCache()

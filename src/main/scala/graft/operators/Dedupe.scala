@@ -422,11 +422,19 @@ object Dedupe {
     * the same candidate/verify lineage; consuming only one costs
     * nothing for the other.
     */
+  /** @param preSigned when Some, an ALREADY-persisted-and-materialized
+    *   wide signature frame for `batch` ([[minhashWide]] with
+    *   withCount=true) — the nightly loop signs the batch exactly once
+    *   and shares the frame between this candidate pass and the
+    *   store's segment commit ([[SignatureStore.foldNight]]); when
+    *   None, the batch is signed (and cached) here.
+    */
   def incrementalFromStoreWithDelta(corpusBands: DataFrame,
       corpusLabels: DataFrame, batch: DataFrame, textLookup: DataFrame,
       idCol: String, textCol: String, shingleK: Int, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double,
-      caches: CacheHandle = CacheHandle.session)
+      caches: CacheHandle = CacheHandle.session,
+      preSigned: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     // Candidate pass, O(batch + true collisions) SHUFFLED BYTES: the
     // batch is signed once (codegen'd map), banded, and persisted (two
@@ -449,11 +457,18 @@ object Dedupe {
     // batch signatures carry the trailing distinct-shingle count, like
     // the persisted corpus bands — the size-ratio verify-prune
     // (see minhashCandidatePairs) then drops provably-hopeless pairs
-    // in-row before the verify ever sees them
-    val batchBands = CacheHandle.eager(caches.track(bandRowsOf(
+    // in-row before the verify ever sees them.
+    // The WIDE signature frame is what gets persisted (not the banded
+    // rows): the banding is a cheap explode over the cached
+    // signatures, and caching the wide form lets the nightly commit
+    // ([[SignatureStore.foldNight]]) reuse the exact same frame — the
+    // batch text is scanned and MinHashed ONCE per night, not once for
+    // candidates and again for the segment write.
+    val sig = preSigned.getOrElse(CacheHandle.eager(caches.track(
       minhashWide(batch, idCol, textCol, shingleK, numHashes,
-        withCount = true), numHashes, rowsPerBand)
-        .withColumn("is_new", lit(true)).persist()))
+        withCount = true).persist())))
+    val batchBands = bandRowsOf(sig, numHashes, rowsPerBand)
+      .withColumn("is_new", lit(true))
     val corpusHits = corpusBands.withColumn("is_new", lit(false))
       .join(batchBands.select("band", "band_sig").distinct(),
         Seq("band", "band_sig"), "left_semi")
@@ -969,13 +984,63 @@ object Dedupe {
         coalesce(col("lb"), col("b")).as("cb"))
       .filter(col("ca") =!= col("cb"))
     // components over the contracted graph: (old label or new node id)
-    // → merged label. connectedComponents returns it checkpointed, so
-    // the two consumers below (relabel join + new-node derivation) read
-    // materialized blocks, not the propagation lineage.
-    val merged = connectedComponents(contracted, "ca", "cb",
-      maxIter = maxIter)
-      .withColumnRenamed("node", "old_label")
-      .withColumnRenamed("label", "merged")
+    // → merged label. The map is consumed ONLY through broadcast()
+    // below, so it must fit on the driver NO MATTER how it is computed
+    // — which makes a driver-side union-find over the collected
+    // contracted edges strictly cheaper than the iterative distributed
+    // propagation at the same scale bound: the propagation pays
+    // (join + aggregate + checkpoint + convergence probe) scheduled
+    // JOBS per round — ~0.5-1s of pure fixed overhead per nightly fold
+    // for a result the plan collects to the driver anyway. Graphs past
+    // the broadcast-sized cap (a "batch" that merges millions of
+    // components should rebuild the corpus, not fold nightly) fall
+    // back to the distributed propagation unchanged.
+    val localCap = 2000000
+    val edgesLocal = contracted.limit(localCap + 1).collect()
+    val merged =
+      if (edgesLocal.length > localCap)
+        connectedComponents(contracted, "ca", "cb", maxIter = maxIter)
+          .withColumnRenamed("node", "old_label")
+          .withColumnRenamed("label", "merged")
+      else {
+        // union-find with min-label roots: same result as the
+        // propagation (every node of the contracted graph mapped to
+        // its component's minimum), deterministic
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.get(r) != null && parent.get(r) != r)
+            r = parent.get(r)
+          var c = x
+          while (c != r && parent.get(c) != c) {
+            val next = parent.get(c); parent.put(c, r); c = next
+          }
+          r
+        }
+        @annotation.nowarn("cat=other-match-analysis")
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        edgesLocal.foreach { row =>
+          val (a, b) = (row.get(0), row.get(1))
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // min label becomes the root so the final map needs no
+            // second pass ordering
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_label",
+            contracted.schema("ca").dataType),
+          org.apache.spark.sql.types.StructField("merged",
+            contracted.schema("cb").dataType)))
+        val rows = parent.keySet().asScala.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, find(n)))
+        labels.sparkSession.createDataFrame(rows.asJava, schema)
+      }
     // corpus rewrite: one streaming scan, broadcast of the merge map
     val updated = l.join(broadcast(merged),
         l("label") === merged("old_label"), "left")

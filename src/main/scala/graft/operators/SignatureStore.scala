@@ -168,7 +168,6 @@ object SignatureStore {
       else autoPartitions(sigRows)
     def pack(df: DataFrame): DataFrame =
       if (parts > 0) df.coalesce(parts) else df
-    SegmentedTable.commitFull(pack(sig), sigsRoot(root))
     // the banding index is PART of the corpus version: deriving band
     // rows costs an interpreted slice/join pass per signature, paid
     // here once instead of by every nightly read. Its file count is
@@ -182,9 +181,22 @@ object SignatureStore {
       else autoPartitions(sigRows * nBands)
     def packBands(df: DataFrame): DataFrame =
       if (bandParts > 0) df.coalesce(bandParts) else df
-    SegmentedTable.commitFull(
-      packBands(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
-      bandsRoot(root))
+    // the signature and band commits read only the materialized `sig`
+    // cache, and the label pipeline below does not read the committed
+    // tables — run the two writes CONCURRENTLY with the candidate/
+    // verify/components computation (independent tables, independent
+    // manifests; the build pays max(writes, labels) not the sum)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sigWrite = Future {
+      SegmentedTable.commitFull(pack(sig), sigsRoot(root))
+    }
+    val bandWrite = Future {
+      SegmentedTable.commitFull(
+        packBands(Dedupe.bandRowsOf(sig, numHashes, rowsPerBand)),
+        bandsRoot(root))
+    }
     val cand = CacheHandle.eager(caches.track(
       Dedupe.minhashCandidatePairs(sig, numHashes, rowsPerBand,
         minSizeRatio = minJaccard).persist()))
@@ -194,6 +206,7 @@ object SignatureStore {
       distinctEdges = true)
     // single base segment — nightly label deltas fold over it
     SegmentedTable.commitFull(pack(labels), labelsRoot(root))
+    Await.result(Future.sequence(Seq(sigWrite, bandWrite)), Duration.Inf)
   }
 
   /** Read the committed corpus state — (band index, labels), the two
@@ -247,8 +260,13 @@ object SignatureStore {
     if (SegmentedTable.currentVersion(spark, bandsRoot(root)).isEmpty)
       SegmentedTable.adopt(spark, bandsRoot(root))
     // persist: the count (for AUTO file sizing), the segment write and
-    // the band derivation must not each re-sign the batch
-    val batch = batchSig.persist()
+    // the band derivation must not each re-sign the batch. A caller
+    // that already holds the frame cached (foldNight signs once for
+    // candidates AND commit) keeps ownership — don't re-persist, and
+    // don't unpersist out from under it.
+    val wasCached = batchSig.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val batch = if (wasCached) batchSig else batchSig.persist()
     try {
       val batchRows = batch.count()
       // tagged appends are idempotent PER TABLE: a replay after a crash
@@ -256,21 +274,37 @@ object SignatureStore {
       // whole batch) skips the tables that already committed this tag
       // and completes the rest — effective exactly-once without a
       // cross-table transaction
+      val nBands = numHashes / rowsPerBand
+      // The three segment writes (signatures, band rows, label delta)
+      // land in DIFFERENT tables with independent manifest commits and
+      // share no uncomputed lineage (batch is materialized above; the
+      // delta's component map is checkpointed by the merge pass), so
+      // they run as CONCURRENT jobs — each write alone is a handful of
+      // small tasks that leaves most of the cluster idle, and the
+      // night pays max() of the three instead of their sum. Crash
+      // semantics are unchanged: per-table tag guards make a replay
+      // complete whichever tables missed their commit.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
       if (!tag.exists(t => SegmentedTable.hasTag(spark, sigsRoot(root), t)))
-        SegmentedTable.appendSegment(
-          batch.coalesce(autoPartitions(batchRows)), sigsRoot(root), tag)
+        writes += Future {
+          SegmentedTable.appendSegment(
+            batch.coalesce(autoPartitions(batchRows)), sigsRoot(root),
+            tag)
+        }
       // band segment: the batch's rows banded once, at commit time —
       // the nightly read must never re-derive them. File count sized
       // from the segment's BAND rows (nBands × batch), not the corpus
-      val nBands = numHashes / rowsPerBand
       if (!tag.exists(t => SegmentedTable.hasTag(spark, bandsRoot(root), t)))
-        SegmentedTable.appendSegment(
-          Dedupe.bandRowsOf(batch, numHashes, rowsPerBand)
-            .coalesce(autoPartitions(batchRows * nBands)),
-          bandsRoot(root), tag)
-    } finally batch.unpersist()
-    labelDelta match {
-      case Some(delta) =>
+        writes += Future {
+          SegmentedTable.appendSegment(
+            Dedupe.bandRowsOf(batch, numHashes, rowsPerBand)
+              .coalesce(autoPartitions(batchRows * nBands)),
+            bandsRoot(root), tag)
+        }
+      labelDelta.foreach { delta =>
         // O(changed) label commit: a pre-delta labels table adopts its
         // snapshot as the merge-on-read base, then only the changed
         // rows land as a tagged override segment. Idempotent two ways:
@@ -281,19 +315,54 @@ object SignatureStore {
           SegmentedTable.adopt(spark, labelsRoot(root))
         if (!tag.exists(t =>
             SegmentedTable.hasTag(spark, labelsRoot(root), t)))
-          SegmentedTable.appendSegment(
-            delta.select(col("node"), col("label")).coalesce(1),
-            labelsRoot(root), tag)
-      case None =>
-        // legacy snapshot commit, idempotent BY VALUE: a replay
-        // recomputes the same contracted map and commits an identical
-        // next version (an extra time-travel entry, not duplicate
-        // state). Layout-aware so a delta-layout table never gains a
-        // competing _vNNNNNNNN snapshot.
-        if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isDefined)
-          SegmentedTable.commitFull(mergedLabels, labelsRoot(root))
-        else VersionedTable.commit(mergedLabels, labelsRoot(root))
+          writes += Future {
+            SegmentedTable.appendSegment(
+              delta.select(col("node"), col("label")).coalesce(1),
+              labelsRoot(root), tag)
+          }
+      }
+      Await.result(Future.sequence(writes.toSeq), Duration.Inf)
+    } finally if (!wasCached) batch.unpersist()
+    if (labelDelta.isEmpty) {
+      // legacy snapshot commit, idempotent BY VALUE: a replay
+      // recomputes the same contracted map and commits an identical
+      // next version (an extra time-travel entry, not duplicate
+      // state). Layout-aware so a delta-layout table never gains a
+      // competing _vNNNNNNNN snapshot.
+      if (SegmentedTable.currentVersion(spark, labelsRoot(root)).isDefined)
+        SegmentedTable.commitFull(mergedLabels, labelsRoot(root))
+      else VersionedTable.commit(mergedLabels, labelsRoot(root))
     }
+  }
+
+  /** One CLOSED nightly fold: read the committed corpus state, sign
+    * the batch ONCE, generate+verify candidates against the persisted
+    * band index, fold the verified edges into the labels, and commit
+    * signatures + band rows + the O(changed) label delta as one
+    * overlapped commit ([[appendBatch]]). This is the composition
+    * q80 and the streaming sink run every night; the single shared
+    * signature frame and the concurrent segment writes are what keep
+    * the per-night fixed overhead at (sign + candidates + max(writes))
+    * instead of (2×sign + candidates + Σwrites).
+    */
+  def foldNight(spark: SparkSession, root: String, batch: DataFrame,
+      textLookup: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int,
+      minJaccard: Double, tag: Option[String] = None,
+      caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
+      : Unit = {
+    val (bands, labels) = (readBands(spark, root), readLabels(spark, root))
+    val sig = graft.core.CacheHandle.eager(
+      Dedupe.minhashWide(batch, idCol, textCol, shingleK, numHashes,
+        withCount = true).persist())
+    try {
+      val (merged, delta) = Dedupe.incrementalFromStoreWithDelta(
+        bands, labels, batch, textLookup, idCol, textCol, shingleK,
+        numHashes, rowsPerBand, minJaccard, caches,
+        preSigned = Some(sig))
+      appendBatch(spark, root, sig, merged, numHashes, rowsPerBand,
+        tag, labelDelta = Some(delta))
+    } finally sig.unpersist()
   }
 
   /** Bound delta-segment growth: rewrite signatures and bands as one

@@ -299,25 +299,20 @@ object DedupeQueries extends QueryPack {
       // frame materializes; the NEXT q80 invocation reclaims it
       val store = graft.core.TempDirs.claim("graft_q80_store")
       val (k, n, rpb, minJ) = (3, 16, 4, 0.5)
-      val (bands0, labels0) = SignatureStore.ensureCorpusState(s, store,
+      SignatureStore.ensureCorpusState(s, store,
         docs.filter(col("doc_id") % 4 < 2), "doc_id", "text", k, n, rpb, minJ)
-      // night 1: fold batch 1, commit v+1 — the label commit writes
-      // only the CHANGED rows (O(changed) delta over the store's base)
-      val batch1 = docs.filter(col("doc_id") % 4 === 2)
-      val (merged1, delta1) = Dedupe.incrementalFromStoreWithDelta(
-        bands0, labels0, batch1, docs, "doc_id", "text", k, n, rpb, minJ)
-      SignatureStore.appendBatch(s, store,
-        Dedupe.minhashWide(batch1, "doc_id", "text", k, n,
-          withCount = true), merged1, n, rpb, labelDelta = Some(delta1))
-      // night 2: read the FLIPPED store, fold batch 2, commit v+2
-      val bands1 = SignatureStore.readBands(s, store)
-      val (_, labels1) = SignatureStore.read(s, store)
-      val batch2 = docs.filter(col("doc_id") % 4 === 3)
-      val (merged2, delta2) = Dedupe.incrementalFromStoreWithDelta(
-        bands1, labels1, batch2, docs, "doc_id", "text", k, n, rpb, minJ)
-      SignatureStore.appendBatch(s, store,
-        Dedupe.minhashWide(batch2, "doc_id", "text", k, n,
-          withCount = true), merged2, n, rpb, labelDelta = Some(delta2))
+      // night 1: fold batch 1, commit v+1 — ONE batch signing shared
+      // between the candidate pass and the segment commit, the label
+      // commit writing only the CHANGED rows (O(changed) delta over
+      // the store's base), and the three segment writes overlapped
+      // (foldNight)
+      SignatureStore.foldNight(s, store,
+        docs.filter(col("doc_id") % 4 === 2), docs, "doc_id", "text",
+        k, n, rpb, minJ)
+      // night 2: reads the FLIPPED store, folds batch 2, commits v+2
+      SignatureStore.foldNight(s, store,
+        docs.filter(col("doc_id") % 4 === 3), docs, "doc_id", "text",
+        k, n, rpb, minJ)
       // what any reader sees after the loop ran twice
       val (_, labelsFinal) = SignatureStore.read(s, store)
       labelsFinal

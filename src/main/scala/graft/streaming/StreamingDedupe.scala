@@ -68,21 +68,16 @@ object StreamingDedupe {
     } else if (docsReady) {
       val corpusDocs = SegmentedTable.read(spark, docsRoot)
         .select(col(idCol), col(textCol))
-      val bands = SignatureStore.readBands(spark, storeRoot)
-      val (_, labels) = SignatureStore.read(spark, storeRoot)
       // text lookup must cover both candidate sides: corpus docs (from
       // the persisted doc table) and this batch's docs. Plain union, no
       // distinct: the committed doc table can never contain this batch
       // (its commit is LAST and tag-guarded above), and a corpus-wide
-      // dedup shuffle per micro-batch would violate the O(batch) loop
-      val (merged, delta) = Dedupe.incrementalFromStoreWithDelta(
-        bands, labels, docsBatch,
+      // dedup shuffle per micro-batch would violate the O(batch) loop.
+      // foldNight signs the batch once (shared between candidates and
+      // the segment commit) and overlaps the three segment writes.
+      SignatureStore.foldNight(spark, storeRoot, docsBatch,
         corpusDocs.unionByName(docsBatch), idCol, textCol,
-        shingleK, numHashes, rowsPerBand, minJaccard)
-      SignatureStore.appendBatch(spark, storeRoot,
-        Dedupe.minhashWide(docsBatch, idCol, textCol, shingleK,
-          numHashes, withCount = true), merged, numHashes, rowsPerBand,
-        tag = Some(tag), labelDelta = Some(delta))
+        shingleK, numHashes, rowsPerBand, minJaccard, tag = Some(tag))
     }
     // else: store exists but the doc table was never committed — an
     // interrupted bootstrap; the doc commit below completes it
