@@ -34,6 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE PER CALL:
+  // `ImageIO.read(InputStream)`, `createImageInputStream`,
+  // `createImageOutputStream` and `ImageIO.write(_, _, OutputStream)`
+  // all spill through a RandomAccessFile when useCache=true (the JDK
+  // default). Per decoded blob that is create+write+read+delete of a
+  // /tmp file — measured at sf10 (500k blobs) it turned q104's decode
+  // pass ~80% SYSTEM time and leaked `imageio*.tmp` residue; on a real
+  // cluster it is a local-disk IOP per record. Every payload here is
+  // already an in-memory byte array, so the file cache can never win.
+  // Object-initializer placement makes this run once per JVM —
+  // executors included, since every ImageIO call site lives in this
+  // object and loading it initializes the object first.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media payload row: opaque bytes + source metadata. */
   case class MediaBlob(id: Long, kind: String, content: Array[Byte])
 
