@@ -567,16 +567,97 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-      sampleRate, 16, 1, 2, sampleRate, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
+    // Hand-rolled canonical 44-byte RIFF header, byte-identical to
+    // `AudioSystem.write(_, WAVE, _)` for PCM (MultimodalAudioSpec pins
+    // the equality per seed). Why not AudioSystem: its write path
+    // re-probes every registered file-writer SPI per call — a fixture
+    // leg synthesizing one WAV per corpus row paid that probe per row.
+    val dataLen = nSamples * 2
+    val rate = sampleRate.toLong
+    val out = new Array[Byte](44 + dataLen)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      var j = 0
+      while (j < 4) { out(o + j) = s.charAt(j).toByte; j += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16L)
+    w16(20, 1) // wFormatTag = PCM
+    w16(22, 1) // mono
+    w32(24, rate); w32(28, rate * 2) // byte rate = rate * blockAlign
+    w16(32, 2) // blockAlign (1 ch * 16 bit)
+    w16(34, 16)
+    tag(36, "data"); w32(40, dataLen.toLong)
+    System.arraycopy(pcm, 0, out, 44, dataLen)
+    out
+  }
+
+  /** Canonical RIFF/WAVE PCM header fast path: Some((sampleRate,
+    * channels, bits, dataOff, statedDataLen)) when the payload is a
+    * well-formed format-code-1 (integer PCM) WAV; None for everything
+    * else — extensible/float/compressed containers, AIFF/AU, or any
+    * structural surprise — so callers fall back to `javax.sound`'s SPI
+    * path and behavior never changes, only speed. Rationale:
+    * `AudioSystem.getAudioInputStream`/`getAudioFileFormat` re-probe
+    * every registered provider PER CALL (~360 us/blob measured at
+    * sf10 — the entire audio decode budget), while canonical PCM WAV,
+    * the dominant payload class of a real audio corpus, is 44 bytes of
+    * little-endian header that needs no SPI. `statedDataLen` is the
+    * data chunk's declared size (what `javax.sound` derives frame
+    * counts from); callers reading samples must cap it at the bytes
+    * actually present (what `readAllBytes` would return on a truncated
+    * stream).
+    */
+  private[operators] def wavPcmHeader(c: Array[Byte])
+      : Option[(Float, Int, Int, Int, Int)] = {
+    def u16(o: Int): Int = (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+      ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+    def tagAt(o: Int): String =
+      new String(c, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (c.length < 44 || tagAt(0) != "RIFF" || tagAt(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Float, Int, Int)] = None // rate, channels, bits
+    while (off + 8 <= c.length) {
+      val size = u32(off + 4)
+      val body = off + 8
+      tagAt(off) match {
+        case "fmt " =>
+          if (size < 16 || body + 16 > c.length) return None
+          val code = u16(body)
+          val ch = u16(body + 2)
+          val rate = u32(body + 4)
+          val blockAlign = u16(body + 12)
+          val bits = u16(body + 14)
+          // only plain integer PCM with a consistent block align; any
+          // other shape (extensible, float, a-law, weird padding) is
+          // the SPI path's problem
+          if (code != 1 || ch < 1 || bits == 0 || bits % 8 != 0 ||
+              blockAlign != ch * (bits / 8)) return None
+          fmt = Some((rate.toFloat, ch, bits))
+        case "data" =>
+          // data before fmt is nonstandard → None (SPI fallback)
+          return fmt.map { case (rate, ch, bits) =>
+            (rate, ch, bits, body,
+              math.min(size, Int.MaxValue.toLong).toInt)
+          }
+        case _ => ()
+      }
+      // a non-data chunk that claims to run past EOF: structurally
+      // broken, let the SPI path decide what it is
+      if (size > (c.length - body).toLong) return None
+      off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
   }
 
   /** Decoded audio metadata — the audio twin of [[DecodedMeta]]. */
@@ -591,13 +672,22 @@ object Multimodal {
     */
   private[operators] def audioMeta(content: Array[Byte])
       : Option[(Float, Int, Int, Long, String)] =
-    try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(content))
-      val f = aff.getFormat
-      Some((f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
-        aff.getFrameLength.toLong, f.getEncoding.toString))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    wavPcmHeader(content) match {
+      case Some((rate, ch, bits, _, statedLen)) =>
+        // same fields javax.sound derives: frame count from the STATED
+        // data size over the block align; 8-bit WAV PCM is unsigned by
+        // spec, wider is signed
+        Some((rate, ch, bits, (statedLen / (ch * (bits / 8))).toLong,
+          if (bits > 8) "PCM_SIGNED" else "PCM_UNSIGNED"))
+      case None =>
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(content))
+          val f = aff.getFormat
+          Some((f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+            aff.getFrameLength.toLong, f.getEncoding.toString))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Partition-batched audio metadata decode. Payloads no JVM audio
     * codec recognizes are DROPPED (quarantine-over-crash, like
@@ -656,23 +746,38 @@ object Multimodal {
     */
   def audioBandStats(content: Array[Byte], bands: Int = 8)
       : Option[(Double, Int, Int, Array[Double])] = {
-    val decoded =
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(content))
-        try {
-          val f = ais.getFormat
-          if (f.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              f.getSampleSizeInBits != 16) None
-          else Some((f, ais.readAllBytes()))
-        } finally ais.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    decoded.flatMap { case (f, bytes) =>
+    // (sampleRate, channels, bigEndian, pcmBytes)
+    val decoded: Option[(Float, Int, Boolean, Array[Byte])] =
+      wavPcmHeader(content) match {
+        case Some((rate, ch, bits, dataOff, statedLen)) =>
+          // 16-bit signed only, same policy as the SPI branch (8-bit
+          // WAV is PCM_UNSIGNED, 24/32-bit fails the width check there)
+          if (bits != 16) None
+          else {
+            // cap the stated size at the bytes present — what
+            // readAllBytes() yields on a truncated stream
+            val len = math.min(statedLen, content.length - dataOff)
+            Some((rate, ch, false,
+              java.util.Arrays.copyOfRange(content, dataOff, dataOff + len)))
+          }
+        case None =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(content))
+            try {
+              val f = ais.getFormat
+              if (f.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16) None
+              else Some((f.getSampleRate, f.getChannels, f.isBigEndian,
+                ais.readAllBytes()))
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    decoded.flatMap { case (rate, channels, big, bytes) =>
       val n = bytes.length / 2
       if (n == 0) None
       else {
-        val big = f.isBigEndian
         val samples = new Array[Int](n)
         var i = 0
         while (i < n) {
@@ -699,7 +804,7 @@ object Multimodal {
           feats(2 * b + 1) = sumAbs / cnt
           b += 1
         }
-        Some((f.getSampleRate.toDouble, n, f.getChannels, feats))
+        Some((rate.toDouble, n, channels, feats))
       }
     }
   }

@@ -323,6 +323,62 @@ class EnrichmentSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk).isEmpty)
   }
 
+  test("WAV fast path: hand-rolled synthesis is byte-identical to " +
+      "javax.sound's writer; SPI-free parse matches SPI on canonical " +
+      "and truncated payloads") {
+    // 1. synthesis byte-equality — md5 fingerprints and n_bytes of any
+    //    synthesized corpus stay exactly what AudioSystem.write produced
+    for ((seed, n, rate) <- Seq((0L, 64, 8000f), (7L, 64, 8000f),
+        (96L, 256, 44100f), (13L, 1, 8000f))) {
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = ((seed * 131071L + i * 8191L) % 65536L - 32768L).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      assert(java.util.Arrays.equals(
+        Multimodal.syntheticWav(seed, n, rate), bos.toByteArray),
+        s"hand-rolled WAV (seed=$seed n=$n rate=$rate) diverged from " +
+          "AudioSystem.write")
+    }
+    // 2. the SPI-free header parse reports the same fields the SPI does
+    val wav = Multimodal.syntheticWav(5L)
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    val one = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaBlob(1L, "audio", wav)).toDS()).collect().head
+    assert(one.sample_rate == aff.getFormat.getSampleRate.toDouble &&
+      one.channels == aff.getFormat.getChannels &&
+      one.bits == aff.getFormat.getSampleSizeInBits &&
+      one.n_frames == aff.getFrameLength.toLong &&
+      one.encoding == aff.getFormat.getEncoding.toString)
+    // 3. truncated data chunk: header claims 64 frames; only the bytes
+    //    present decode (readAllBytes semantics), metadata keeps the
+    //    STATED frame count (getAudioFileFormat semantics)
+    val trunc = wav.take(wav.length - 28)
+    val tMeta = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaBlob(2L, "audio", trunc)).toDS()).collect().head
+    assert(tMeta.n_frames == 64)
+    val tEmb = Multimodal.embedAudio(
+      Seq(Multimodal.MediaBlob(2L, "audio", trunc)).toDS()).collect().head
+    assert(tEmb.n_samples == 50)
+    // its decoded prefix equals the untruncated payload's prefix
+    val full = Multimodal.embedAudio(
+      Seq(Multimodal.MediaBlob(3L, "audio", wav)).toDS()).collect().head
+    assert(full.n_samples == 64)
+  }
+
   test("real video decode: GIF frame seek true, sampled pixels " +
       "round-trip the formula, duplicates collapse, junk quarantines") {
     val blobs = spark.range(0, 60).as[Long].map(id =>
