@@ -195,6 +195,59 @@ object SimilarityQueries extends QueryPack {
                                    CAST(eb.embedding AS DOUBLE[]))))
             >= CAST(0.35 AS DOUBLE)"""))
 
+  /** The 96 ±1 hyperplanes (dim 64) for the SCALED SRP-LSH variant —
+    * same literal-emission discipline as [[srpSigns]].
+    */
+  private val srpSignsWide = Similarity.srpSigns(planes = 96, dim = 64)
+
+  private val srpValuesWide = srpSignsWide.zipWithIndex.map { case (s, p) =>
+    s"($p, [${s.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+  }.mkString(", ")
+
+  /** SRP-LSH with the BAND-WIDTH DIAL TURNED FOR CORPUS SIZE — q62's
+    * operator with 96 planes split 8 bands × 12 bits. Why it exists:
+    * LSH candidate volume for non-dup pairs is ~ n²·bands·2^-w (w =
+    * bits per band), so any FIXED w goes quadratic once n outgrows
+    * 2^w — q62's 8-bit bands measured 23x wall at 10x rows (sf0.1 →
+    * sf1: the 256-value band key space saturates; every bucket pair
+    * count grows 100x). Four more bits cut random collisions 16x at
+    * the same recall order (true near-dups in this corpus sit at
+    * cos ≥ ~0.9 → per-bit agreement ~0.9 → ≥1-of-8-bands recall
+    * 0.93 at w=12 vs 0.989 at w=8), restoring ~linear scaling. The
+    * production rule documented in SCALING.md: pick w ≈ log2(n) −
+    * log2(target bucket occupancy); widen by adding planes, never by
+    * shrinking the band count (recall falls exponentially in w but is
+    * recovered linearly in bands).
+    */
+  val q110 = Q("q110_srp_lsh_scaled",
+    (s, dir) => Similarity.srpNearDupPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      srpSignsWide, rowsPerBand = 12, threshold = 0.35),
+    Some(s"""
+      WITH hp(p, sv) AS (VALUES $srpValuesWide),
+      bits AS (SELECT vec_id,
+          string_agg(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), sv) > 0
+                          THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
+        FROM embeddings CROSS JOIN hp GROUP BY vec_id),
+      bands AS (SELECT vec_id, band,
+          substr(bits, band * 12 + 1, 12) AS bb
+        FROM bits
+        CROSS JOIN (SELECT unnest(range(8)) AS band) bd),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bb = b.bb
+          AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(ea.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[]))))
+            >= CAST(0.35 AS DOUBLE)"""))
+
   /** Shared oracle CTE chain for the k-means queries (q72/q85/q102):
     * min-id seeds (cell_id = id-rank) + two Lloyd passes → final
     * centroids `c2`. Each consumer appends its own corpus assignment
@@ -653,5 +706,5 @@ object SimilarityQueries extends QueryPack {
       WHERE rn <= 10"""))
 
   override def all: Seq[Q] =
-    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85, q102, q105)
+    Seq(q30, q31, q44, q46, q62, q72, q81, q83, q85, q102, q105, q110)
 }

@@ -664,6 +664,28 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("SRP band-width dial (q110's config): widening bands keeps " +
+      "exact-duplicate recall at 1.0") {
+    import graft.operators.Similarity
+    // identical vectors agree on EVERY plane, so they collide on every
+    // band at ANY width — the dial trades only near-dup recall for
+    // candidate volume, never exact-dup recall. 10 quadruplet classes.
+    val vecs = (0 until 40).map { i =>
+      val c = i % 10
+      val v = Array.fill(8)(0.0f)
+      v(c % 8) = 1.0f
+      v((c + 3) % 8) = if (c < 5) 0.7f else -0.4f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val wide = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding",
+        Similarity.srpSigns(96, 8), rowsPerBand = 12, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0 until 40; b <- (a + 1) until 40; if a % 10 == b % 10
+    } yield (a.toLong, b.toLong)).toSet
+    assert(wide == expected)
+  }
+
   test("kmeans: deterministic, recovers separated clusters, indexed = direct") {
     import graft.operators.Similarity
     // 3 clusters hugging axes e0/e1/e2 with deterministic jitter on e3;
