@@ -194,12 +194,15 @@ object Pq {
     */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
-      path: String): Unit = {
-    val cells = Similarity.assignCells(corpus, centroids, idCol, vecCol)
-    encode(corpus, idCol, vecCol, codebooks)
-      .join(cells, idCol)
+      path: String): Unit =
+    // encode + assign in ONE narrow pass over the corpus — the previous
+    // assignCells + id equi-join shuffled the corpus twice before the
+    // write (guide §2.4); both kernels are per-row codegen'd loops
+    corpus
+      .select(col(idCol),
+        encodeCol(col(vecCol), codebooks).as("codes"),
+        Similarity.nearestCellCol(centroids, col(vecCol)).as("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
-  }
 
   /** The composed SERVING search — IVF-PQ shortlist, exact re-rank:
     * probe-pruned ADC over the cell-partitioned code table

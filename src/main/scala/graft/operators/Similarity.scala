@@ -161,12 +161,33 @@ object Similarity {
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, dim: Int = -1): DataFrame =
-    vectors.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col(vecCol), col("centroid"), dim))
-      .groupBy(idCol)
-      .agg(min_by(col("cell_id"),
-        struct((-col("sim")).as("ns"), col("cell_id"))).as("cell_id"))
+    vectors.select(col(idCol),
+      nearestCellCol(centroids, col(vecCol)).as("cell_id"))
+
+  /** The max-cosine cell id of `vec` as an IN-ROW codegen'd argmax
+    * ([[graft.functions.NearestCentroidExpr]]) — centroids ride the
+    * expression as a referenced constant (they are literal k×dim
+    * frames everywhere: Lloyd passes collect them by design, indexes
+    * freeze them). This is what turned [[assignCells]] from
+    * crossJoin(broadcast) → groupBy(argmax) — a k× row multiplication
+    * plus a corpus-wide shuffle, which every caller then JOINED back
+    * onto the corpus (a second corpus-sized exchange) — into a narrow
+    * projection with ZERO exchanges (guide §2.4). Bit-parity with the
+    * aggregation form (same left-to-right double sums, same
+    * SQLOrderingUtil total order, ties to the lower cell_id) is
+    * spec-asserted (SemDedupSpec/OperatorSpec assignment equalities).
+    */
+  def nearestCellCol(centroids: DataFrame, vec: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rows = centroids.select(col("cell_id").cast("int"),
+        transform(col("centroid"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    ColumnBridge.column(graft.functions.NearestCentroidExpr(
+      ColumnBridge.expression(vec),
+      rows.map(_._1).toSeq, rows.map(_._2).toSeq))
+  }
 
   /** Blocked embedding near-duplicate pairs with bounded per-task
     * fan-out: same-`labelCol` pairs (a, b) with a < b and cosine ≥
@@ -229,13 +250,12 @@ object Similarity {
       caches: graft.core.CacheHandle = graft.core.CacheHandle.session)
       : DataFrame = {
     val centroids = kmeansCentroids(vectors, idCol, vecCol, k, iters, dim)
-    val cells = caches.track(vectors.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col(vecCol), col("centroid"), dim))
-      .groupBy(idCol)
-      .agg(min_by(col("cell_id"),
-          struct((-col("sim")).as("ns"), col("cell_id"))).as("cell_id"),
-        first(col(vecCol)).as(vecCol))
+    // in-row assignment (see [[nearestCellCol]]): one narrow projection
+    // — the previous crossJoin(broadcast) → groupBy(argmax) multiplied
+    // every vector k× and shuffled the corpus once before the pair join
+    val cells = caches.track(vectors.select(col(idCol),
+        nearestCellCol(centroids, col(vecCol)).as("cell_id"),
+        col(vecCol))
       .persist())
     // one action consumes `cells` via two arms (pair join + the final
     // left join) — materialize before AQE stages race the cache
@@ -291,8 +311,14 @@ object Similarity {
     // the literal, each corpus pass executes exactly once and the plan
     // depth stays constant at any iteration count.
     (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      val next = vectors.select(col(idCol), col(vecCol))
-        .join(assignCells(vectors, centroids, idCol, vecCol, dim), idCol)
+      // in-row assignment (nearestCellCol): each pass is ONE narrow
+      // corpus scan into the partially-aggregated mean update — the
+      // previous form ran assignCells (crossJoin → corpus-wide argmax
+      // shuffle) and then JOINED the assignment back onto a second
+      // corpus scan (two more exchanges) per iteration (guide §2.4)
+      val next = vectors
+        .select(nearestCellCol(centroids, col(vecCol)).as("cell_id"),
+          col(vecCol))
         .groupBy("cell_id")
         .agg(means.head, means.tail: _*)
         .select(col("cell_id"),
@@ -309,11 +335,13 @@ object Similarity {
     * full scan.
     */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, path: String): Unit = {
-    val cells = assignCells(corpus, centroids, idCol, vecCol)
-    corpus.join(cells, idCol)
+      idCol: String, vecCol: String, path: String): Unit =
+    // in-row assignment: the write is ONE narrow pass over the corpus —
+    // the previous assignCells + join-back shuffled the corpus twice
+    // (argmax aggregation, id equi-join) before any byte was written
+    corpus
+      .withColumn("cell_id", nearestCellCol(centroids, col(vecCol)))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
-  }
 
   /** Nightly maintenance for a materialized IVF index: assign a NEW
     * batch of vectors to the index's FROZEN centroids and append them
@@ -341,7 +369,7 @@ object Similarity {
       // pointer under the same lock, so an append can never land its
       // cells in a root that was retired mid-write
       val dataRoot = currentIvfRoot(batch.sparkSession, path)
-      batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
+      batch.withColumn("cell_id", nearestCellCol(centroids, col(vecCol)))
         .write.partitionBy("cell_id").mode("append").parquet(dataRoot)
     }
 
@@ -661,7 +689,7 @@ object Similarity {
       }
       val staged = new Path(root, s".append-stage-$tag")
       fs.delete(staged, true)
-      batch.join(assignCells(batch, centroids, idCol, vecCol), idCol)
+      batch.withColumn("cell_id", nearestCellCol(centroids, col(vecCol)))
         .write.partitionBy("cell_id").parquet(staged.toString)
       fs.listStatus(staged).toSeq
         .filter(_.getPath.getName.startsWith("cell_id="))
