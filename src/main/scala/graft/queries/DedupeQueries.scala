@@ -620,12 +620,21 @@ object DedupeQueries extends QueryPack {
       val corpus = docs.filter(col("doc_id") % 7 =!= 0 &&
         col("text").isNotNull)
       val bench = docs.filter(col("doc_id") % 7 === 0)
-      val lm = TextAnalysis.unigramLmScore(corpus, "doc_id", "text")
-        .select(col("doc").as("doc_id"), col("keep").as("lm_keep"))
-      val ex = corpus.select(col("doc_id"),
-        (col("doc_id") ===
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .as("exact_keep"))
+      // lm score and the exact-dedup content hash are both per-row
+      // expressions over text — computed in ONE corpus scan (the lm
+      // projection carries lang + text, md5 rides the same collapsed
+      // projection) with exact_keep as a window on that frame, instead
+      // of two separate corpus scans JOINED back onto a third
+      // (guide §2.4: two corpus-sized equi-joins and two text scans
+      // removed; values identical — the joins were 1:1 on doc_id)
+      val scored = TextAnalysis.unigramLmScore(corpus, "doc_id", "text",
+          carry = Seq("lang", "text"))
+        .withColumn("__m", md5(col("text")))
+        .select(col("doc").as("doc_id"), col("lang"),
+          col("keep").as("lm_keep"), col("__m"))
+        .withColumn("exact_keep", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("__m"))))
+        .drop("__m")
       val sig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
         withCount = true)
       val cand = CacheHandle.eager(CacheHandle.session.track(
@@ -640,9 +649,7 @@ object DedupeQueries extends QueryPack {
         .select(col("doc").as("doc_id")).distinct()
         .withColumn("__c", lit(true))
       val base = CacheHandle.eager(CacheHandle.session.track(
-        corpus.select(col("doc_id"), col("lang"))
-          .join(lm, Seq("doc_id"))
-          .join(ex, Seq("doc_id"))
+        scored
           .join(labels.withColumnRenamed("node", "doc_id"),
             Seq("doc_id"), "left")
           .join(contam, Seq("doc_id"), "left")
@@ -749,16 +756,19 @@ object DedupeQueries extends QueryPack {
         Dedupe.verifyJaccardOneJoin(cand, docs, "doc_id", "text", 3,
           0.5),
         "doc_a", "doc_b", distinctEdges = true)
+      // the lm score is a zero-shuffle projection over the SAME corpus
+      // scan the id list came from — start from it directly instead of
+      // equi-joining it onto a second scan (guide §2.4; the join was
+      // 1:1 on doc_id, values identical)
       val scored = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
         .select(col("doc").as("doc_id"), col("avg_bits"))
       val w = Window.partitionBy("cluster")
         .orderBy(col("avg_bits").desc, col("doc_id").asc)
-      docs.select(col("doc_id"))
+      scored
         .join(labels.withColumnRenamed("node", "doc_id"),
           Seq("doc_id"), "left")
         .withColumn("cluster",
           coalesce(col("label"), col("doc_id")))
-        .join(scored, Seq("doc_id"))
         .withColumn("keeper", first(col("doc_id")).over(w))
         .select(col("doc_id").as("doc"), col("cluster"), col("keeper"),
           (col("doc_id") === col("keeper")).as("keep"))
@@ -811,13 +821,17 @@ object DedupeQueries extends QueryPack {
       val corpus = docs.filter(col("doc_id") % 7 =!= 0 &&
         col("text").isNotNull)
       val bench = docs.filter(col("doc_id") % 7 === 0)
-      val lm = TextAnalysis.unigramLmScore(corpus, "doc_id", "text")
-        .select(col("doc").as("doc_id"), col("keep").as("lm_keep"),
-          col("avg_bits"))
-      val ex = corpus.select(col("doc_id"),
-        (col("doc_id") ===
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .as("exact_keep"))
+      // same one-scan fuse as q100 (lm + md5 in one projection,
+      // exact_keep as a window) — avg_bits rides the same frame for
+      // the keeper window below
+      val scored = TextAnalysis.unigramLmScore(corpus, "doc_id", "text",
+          carry = Seq("lang", "text"))
+        .withColumn("__m", md5(col("text")))
+        .select(col("doc").as("doc_id"), col("lang"),
+          col("keep").as("lm_keep"), col("avg_bits"), col("__m"))
+        .withColumn("exact_keep", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("__m"))))
+        .drop("__m")
       val sig = Dedupe.minhashWide(corpus, "doc_id", "text", 3, 16,
         withCount = true)
       val cand = CacheHandle.eager(CacheHandle.session.track(
@@ -834,9 +848,7 @@ object DedupeQueries extends QueryPack {
       val w = Window.partitionBy("cluster")
         .orderBy(col("avg_bits").desc, col("doc_id").asc)
       val base = CacheHandle.eager(CacheHandle.session.track(
-        corpus.select(col("doc_id"), col("lang"))
-          .join(lm, Seq("doc_id"))
-          .join(ex, Seq("doc_id"))
+        scored
           .join(labels.withColumnRenamed("node", "doc_id"),
             Seq("doc_id"), "left")
           .join(contam, Seq("doc_id"), "left")
