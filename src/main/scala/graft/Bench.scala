@@ -35,6 +35,29 @@ object Bench {
       calMin: Double, maxDrift: Double, medianDrift: Double,
       sustainedRun: Boolean, burst: Boolean, contended: Boolean)
 
+  /** Mid-run contention detector (r17 judge directive #3): the r17
+    * 32-core driver run passed every up-front gate and probe check
+    * (steal 1.2%, median drift 1.32) yet q103 ran 26.3 s mid-suite vs
+    * 3.7-4.1 s in every quiet measurement — whatever inflated the
+    * middle of that suite was invisible to loadavg (the bench's own
+    * load dominates 1-min loadavg: the ADJUDICATED-QUIET r16 run shows
+    * probe loads of 3-7) and to the pure-CPU calibration probe. The
+    * signal that DOES survive in the artifact is the quiet rerun pass
+    * the bench already takes at the end of the suite: a main-pass
+    * median more than `ratio`× its own late quiet rerun, on a query
+    * above the noise `floor`, is the contamination signature. One such
+    * query can be a plan with high variance; `minFlagged` independent
+    * queries showing it is a contended window. Quiet-run false-positive
+    * check: in the clean r17 8-core driver run the largest ratio on the
+    * heavy set was 1.5 (q57), so 2.0 clears real suites.
+    */
+  private[graft] def midrunFlagged(medians: Seq[(String, Double)],
+      rerunSecs: Map[String, Double], floor: Double = 1.0,
+      ratio: Double = 2.0): Seq[String] =
+    medians.collect { case (n, m)
+        if m > floor &&
+          rerunSecs.get(n).exists(r => r > 0 && m > ratio * r) => n }
+
   private[graft] def adjudicateCal(calBase: Double, probes: Seq[Double],
       gateContended: Boolean, gateStealContended: Boolean,
       suiteStealPct: Double): CalVerdict = {
@@ -73,6 +96,22 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Scale-adaptive AQE reduce-partition sizing (guide §2.2, r18).
+      // With parallelismFirst=true (upstream default) AQE never
+      // coalesces below the local core count, so every kilobyte-sized
+      // shuffle in the suite pays 32 task launches (measured r17:
+      // 64-task stages reading 62 records in q80's job profile).
+      // false makes AQE respect advisoryPartitionSizeInBytes, which is
+      // SIZE-derived and therefore scale-adaptive: a 100 TB shuffle
+      // still gets thousands of reducers at 64 MB/partition, while a
+      // 50 KB shuffle collapses to one task. Spark's own config doc
+      // recommends false. Parameterized (env) so the A/B and any
+      // production override stay one variable away; the driver's
+      // lower-core runs see the same settings either way.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -262,7 +301,9 @@ object Bench {
     // b3 runs on full suites, or on demand via the literal arg "b3"
     // (scale sweeps re-measure it at sf1/sf10 without paying the
     // whole suite at those dirs)
-    val b3 = if (only.nonEmpty && !only("b3")) """"b3_inat_e2e":null""" else {
+    // (full-detail json, slim json for the tail-capped stdout line)
+    val b3: (String, String) = if (only.nonEmpty && !only("b3"))
+      (""""b3_inat_e2e":null""", """"b3_inat_e2e":null""") else {
       import graft.inat.Inat
       import graft.operators.MergeUpsert
       val li = Tables(spark, sfDir, "lineitem")
@@ -333,7 +374,9 @@ object Bench {
       }
       target.unpersist()
       val sec = medianOf(times)
-      f""""b3_inat_e2e":{"rows":$photoRows,"sec":$sec%.3f,"rows_per_sec":${photoRows / sec}%.0f,"baseline_rows_per_sec":1852,"runs":${times.map(t => f"${t._1}%.3f").mkString("[", ",", "]")},"gc_ms":${times.map(_._2).mkString("[", ",", "]")}}"""
+      val head = f""""b3_inat_e2e":{"rows":$photoRows,"sec":$sec%.3f,"rows_per_sec":${photoRows / sec}%.0f,"baseline_rows_per_sec":1852"""
+      (head + f""","runs":${times.map(t => f"${t._1}%.3f").mkString("[", ",", "]")},"gc_ms":${times.map(_._2).mkString("[", ",", "]")}}""",
+        head + "}")
     }
     // Output design is load-bearing: the driver captures only the LAST
     // ~2000 chars of stdout (with sbt's "[success]" line at the very
@@ -582,7 +625,21 @@ object Bench {
     val maxDrift = cal.maxDrift
     val medianDrift = cal.medianDrift
     val sustainedRun = cal.sustainedRun
-    val contended = cal.contended
+    // Mid-run contention (r17 judge directive #3): compare every heavy
+    // query's main-pass median against its own late quiet rerun — see
+    // midrunFlagged. ≥3 independent >2x queries = the suite's middle
+    // was contended even when every probe/gate read quiet. Suppressed
+    // when the RERUN window itself self-adjudicated contended (then
+    // the ratios are meaningless in the other direction).
+    val flagged = midrunFlagged(
+      results.map { case (k, ts) => k -> medianOf(ts) },
+      reruns.map { case (k, (s, _, _)) => k -> s }.toMap)
+    val midrunContended =
+      flagged.size >= 3 && !childContended.contains(true)
+    val contended = cal.contended || midrunContended
+    val midrunJson = s""""midrun_contended":$midrunContended,""" +
+      s""""midrun_flagged":${flagged.take(12).map(n => "\"" + short(n) + "\"")
+        .mkString("[", ",", "]")}"""
     val calJson = f""""calibration":{"base_sec":$calBase%.3f,"max_drift":$maxDrift%.2f,"median_drift":$medianDrift%.2f,"sustained_run":$sustainedRun,"burst":${cal.burst},"steal_pct":$suiteStealPct%.1f,"gate_steal_pct":$gateSteal%.1f,"gate_load":$gateLoad%.1f,"gate_wait_sec":$gateWaitSec%.0f,"steal_wait_sec":$stealWaitSec%.0f,"probes":${calProbes.map(p => f"[${p._1},${p._2}%.2f,${p._3}%.1f]").mkString("[", ",", "]")}}"""
     // ---- Durable full-evidence file (r14 judge directive): the driver
     // captures only the LAST ~2000 chars of stdout, which clipped the
@@ -618,12 +675,36 @@ object Bench {
         "\"" + k + f"\":[$s%.3f,$g,$l%.1f]"
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        f"""{"metric":"bench_detail","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"total":$total%.3f,"contended":$contended,$calJson,"rerun_note":"$rerunNote"$rerunAdjudication,"runs":$dq,"rerun_quiet_pass":$dr,$b3,$q80Split,"errors":$errs}""" + "\n")
+        f"""{"metric":"bench_detail","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"total":$total%.3f,"contended":$contended,$midrunJson,$calJson,"rerun_note":"$rerunNote"$rerunAdjudication,"runs":$dq,"rerun_quiet_pass":$dr,${b3._1},$q80Split,"errors":$errs}""" + "\n")
       System.err.println(s"bench detail -> $detailPath")
     } catch { case e: Throwable =>
       System.err.println(s"bench detail write failed: $e")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calJson,"queries":$qs,$b3,$q80Split,"errors":$errs,"sf":"$sfDir"}""")
+    // The one-line stdout summary is the driver's PRIMARY artifact and
+    // its capture window holds only the LAST ~2000 chars of output
+    // (~1880 after the trailing sbt lines) — the r17 line, carrying the
+    // full calibration block with 12 probes, grew to ~1920 chars and
+    // lost its HEAD to the window, so the driver parsed nothing and
+    // PERF_r17 came back empty (r17 judge directive #2). The line now
+    // stays compact: full-name medians, per-run arrays, probes, b3
+    // run arrays all live in the detail file; the stdout line keeps the
+    // contract fields (metric/value/unit/queries/sf), the contended
+    // stamp with a 3-number cal digest, and the midrun evidence. The
+    // SAME full summary (calibration included) is also written to a
+    // file the driver or judge can read when stdout is clipped anyway.
+    val calDigest = f""""cal":{"median_drift":$medianDrift%.2f,"max_drift":$maxDrift%.2f,"steal_pct":$suiteStealPct%.1f,"burst":${cal.burst}}"""
+    val summaryLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended":$contended,$calDigest,$midrunJson,"queries":$qs,${b3._2},$q80Split,"errors":$errs,"sf":"$sfDir"}"""
+    val summaryFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"contended":$contended,$midrunJson,$calJson,${b3._1},$q80Split,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      if (commitDetail) "BENCH_SUMMARY.json" else "BENCH_SUMMARY.scratch.json")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(summaryPath), summaryFull + "\n")
+      System.err.println(s"bench summary -> $summaryPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench summary write failed: $e")
+    }
+    println(summaryLine)
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -43,6 +43,10 @@ case class NearestCentroidExpr(child: Expression,
     s"${cellIds.size} cell ids vs ${centroids.size} centroids")
   require(cellIds == cellIds.sorted,
     "centroids must be sorted by ascending cell_id (tie-break order)")
+  // a ragged centroid list would silently misindex the flattened
+  // matrix below and assign wrong cells (ADVICE r17)
+  require(centroids.forall(_.size == centroids.head.size),
+    s"ragged centroid list: dims ${centroids.map(_.size).distinct}")
 
   private val k = centroids.size
   private val dim = centroids.head.size

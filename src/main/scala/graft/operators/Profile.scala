@@ -48,4 +48,46 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** [[table]] with APPROXIMATE distinct counts — the documented
+    * 100 TB swap, prototyped behind its own entry point (r17 judge
+    * directive #7). Same output schema; `n_distinct` is the KMV
+    * bottom-k estimate ([[graft.functions.KmvSketchAgg]]) cast to
+    * long, EXACT while a column's distinct count stays below `k`.
+    *
+    * Plan shape vs [[table]]: no Expand and no per-value distinct
+    * state — every column's sketch is an independent MERGEABLE
+    * aggregate over one scan, so the partial aggregation exchanges
+    * O(k × columns) longs where the exact form exchanges every
+    * distinct value of every profiled column (the 100 TB wall).
+    *
+    * NOT wired into q90: its oracle contract is exact distinct counts
+    * per column, which no sketch preserves — q90 keeps [[table]]; the
+    * A/B numbers live in OPTIMIZATION_r18.md.
+    */
+  def tableApprox(df: DataFrame, columns: Seq[String], k: Int = 1024)
+      : DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    graft.functions.KmvSketchAgg.register(df.sparkSession)
+    val hashed = df.select(columns.map(col) ++
+      columns.map(c => graft.functions.KmvSketchAgg.hash60(col(c))
+        .as(s"__h_$c")): _*)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      columns.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          expr(s"kmv_distinct(__h_$c, $k)").cast("long").as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+    val one = hashed.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

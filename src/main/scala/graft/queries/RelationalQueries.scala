@@ -61,16 +61,30 @@ object RelationalQueries extends QueryPack {
       val c = Tables(s, dir, "customer")
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // r18 (guide §2.3 "aggregate before you shuffle"): lineitem —
+      // the 100 TB side — pre-aggregates to ONE row per order before
+      // any join, so (a) every downstream join and exchange moves
+      // |orders-with-lineitems| rows instead of |lineitems|, (b) the
+      // countDistinct(o_orderkey) collapses to count(*) — each
+      // surviving order contributes exactly one row (o_orderkey unique
+      // in orders, c_custkey unique in customer, dim keys unique), so
+      // the distinct-aggregate machinery drops out of the plan
+      // entirely. Revenue is unchanged: per-order decimal sums summed
+      // again are the same exact decimal total (sum is associative;
+      // same result type decimal(38,4) → double). Oracle SQL is
+      // untouched — hash-verified at sf0.001/0.01/0.1.
+      val liAgg = li.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("order_revenue"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("order_revenue")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     },
     Some("""
       SELECT r_name, n_name,

@@ -65,4 +65,45 @@ class BenchSpec extends AnyFunSuite {
     assert(adj(0.10, Seq.empty, gate = true).contended)
     assert(adj(0.10, Seq.empty, gateSteal = true).contended)
   }
+
+  // ---- midrunFlagged (r17 judge directive #3): main-pass medians vs
+  // the suite's own late quiet rerun pass.
+
+  private def flag(meds: Seq[(String, Double)], rr: Map[String, Double]) =
+    Bench.midrunFlagged(meds, rr)
+
+  test("midrun: the r17 32-core signature — heavy queries >2x their " +
+      "quiet rerun are flagged") {
+    // medians from BENCH_r17.json (contaminated mid-suite), reruns =
+    // the same binary's quiet measurements
+    val meds = Seq("q103_pipeline_best" -> 26.33, "q100_pipeline" -> 12.59,
+      "q101_best_keeper" -> 9.85, "q108_video_frame_dedup" -> 8.66,
+      "q80_store_nightly_loop" -> 10.53, "q02_star_join" -> 3.22)
+    val rr = Map("q103_pipeline_best" -> 3.67, "q100_pipeline" -> 3.91,
+      "q101_best_keeper" -> 2.09, "q108_video_frame_dedup" -> 1.35,
+      "q80_store_nightly_loop" -> 9.71, "q02_star_join" -> 2.10)
+    assert(flag(meds, rr).toSet == Set("q103_pipeline_best",
+      "q100_pipeline", "q101_best_keeper", "q108_video_frame_dedup"))
+  }
+
+  test("midrun: a clean suite flags nothing (r17 8-core driver ratios)") {
+    val meds = Seq("q57_e2e_funnel" -> 2.82, "q59_dedup_clusters" -> 2.50,
+      "q90_profile" -> 2.56, "q80_store_nightly_loop" -> 9.71)
+    val rr = Map("q57_e2e_funnel" -> 1.87, "q59_dedup_clusters" -> 2.03,
+      "q90_profile" -> 2.78, "q80_store_nightly_loop" -> 9.62)
+    assert(flag(meds, rr).isEmpty)
+  }
+
+  test("midrun: sub-floor queries, missing and zero reruns never flag") {
+    val meds = Seq("q31" -> 0.9, "q32" -> 0.8, "q33" -> 5.0, "q34" -> 5.0)
+    val rr = Map("q31" -> 0.1, "q32" -> 0.2, "q34" -> 0.0)
+    assert(flag(meds, rr).isEmpty)
+  }
+
+  test("midrun: a rerun window slower than the suite (late contention) " +
+      "flags nothing in this direction") {
+    val meds = Seq("q103" -> 3.7, "q100" -> 3.9)
+    val rr = Map("q103" -> 8.0, "q100" -> 9.0)
+    assert(flag(meds, rr).isEmpty)
+  }
 }

@@ -119,4 +119,39 @@ class MaintenanceSpec extends SparkSpec {
       assert(got(c) == ((nn, nd)), s"col $c")
     }
   }
+
+  test("Profile.tableApprox: same schema as table, exact below k, " +
+      "no Expand in the plan (the flagged 100 TB swap, r18)") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables(spark, sfDir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val exact = graft.operators.Profile.table(orders, cols)
+    val approx = graft.operators.Profile.tableApprox(orders, cols,
+      k = 1024)
+    // same names and types (nullability may differ: the KMV estimate's
+    // cast is conservatively nullable where countDistinct is not)
+    assert(approx.schema.map(f => (f.name, f.dataType)) ==
+      exact.schema.map(f => (f.name, f.dataType)))
+    val ex = exact.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    val ap = approx.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    for (c <- cols) {
+      // rows/non-null/min/max are EXACT either way
+      assert(ap(c)._1 == ex(c)._1 && ap(c)._2 == ex(c)._2, s"col $c")
+      assert(ap(c)._4 == ex(c)._4 && ap(c)._5 == ex(c)._5, s"col $c")
+      // distinct: exact below k, within 15% above (k=1024 ⇒ ~3% σ)
+      if (ex(c)._3 < 1024) assert(ap(c)._3 == ex(c)._3, s"col $c exact")
+      else assert(math.abs(ap(c)._3 - ex(c)._3).toDouble / ex(c)._3
+        < 0.15, s"col $c: est ${ap(c)._3} vs ${ex(c)._3}")
+    }
+    // the whole point: the sketch form has no Expand (mergeable
+    // aggregates only), where the exact form multiplies the scan
+    val planApprox = approx.queryExecution.executedPlan.toString
+    val planExact = exact.queryExecution.executedPlan.toString
+    assert(!planApprox.contains("Expand"), planApprox.take(400))
+    assert(planExact.contains("Expand"))
+  }
 }

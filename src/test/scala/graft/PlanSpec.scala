@@ -188,6 +188,109 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // Exchanges of a query plan INCLUDING those hidden inside cached
+  // (persisted) pipeline fragments: operators that persist mid-plan
+  // (CacheHandle.eager) re-plan their consumers over an
+  // InMemoryTableScan, and collect/collectWithSubqueries do not look
+  // through InMemoryRelation.cachedPlan — a payload pin that stops at
+  // the cache boundary can pass vacuously.
+  // NOTE: AdaptiveSparkPlanExec.inputPlan is the plan BEFORE
+  // EnsureRequirements (AQE applies it in its own preparation rules),
+  // so exchanges only exist in executedPlan/currentPhysicalPlan — a
+  // collect over inputPlan finds no Exchange at all and the pin
+  // passes vacuously.
+  private def aqeUnwrap(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case x => x
+  }
+
+  private def deepExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val root = aqeUnwrap(p)
+    val here = root.collectWithSubqueries {
+      case e: ShuffleExchangeLike => e
+    }
+    val cached = root.collectWithSubqueries {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    here ++ cached.flatMap(deepExchanges)
+  }
+
+  private def deepString(p: org.apache.spark.sql.execution.SparkPlan)
+      : String = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val root = aqeUnwrap(p)
+    val cached = root.collectWithSubqueries {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    (root.toString +: cached.map(deepString)).mkString("\n")
+  }
+
+  test("q25 operator: no text/shingle payload crosses the band-join " +
+      "exchanges (r17 judge directive #10)") {
+    // the LSH bucket shuffle must carry (band, band_sig, per-doc
+    // (doc,cnt) buffers) ONLY — a raw text column or a shingle string
+    // array riding it means the corpus-scale-bytes-per-candidate plan
+    // regressed back in. The verify stage's pair regroup DOES move
+    // shingle-set arrays (|candidates| of them, by design) — so the
+    // assertion is scoped to exchanges carrying the band signature.
+    // Pinned on the OPERATOR over a repartitioned input: at testdata
+    // scale the single-partition scan satisfies every distribution and
+    // the planner inserts no exchange at all (a vacuous pin).
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import graft.operators.Dedupe
+    val docs = Tables(spark, sfDir, "documents").repartition(4)
+    val sig = Dedupe.minhashWide(docs, "doc_id", "text", 3, 16,
+      withCount = true)
+    val cand = Dedupe.minhashCandidatePairs(sig, 16, 4,
+      minSizeRatio = 0.5)
+    val bandExchanges = deepExchanges(cand.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "band_sig"))
+    assert(bandExchanges.nonEmpty, "expected band-keyed exchanges")
+    bandExchanges.foreach { e =>
+      e.output.foreach { a =>
+        val bad = a.dataType match {
+          case StringType => a.name != "band_sig"
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }
+        assert(!bad,
+          s"text/shingle payload crosses the band exchange: ${e.output}")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q88 operator: no text column crosses the rolling-hash window " +
+      "pipeline (r17 judge directive #10)") {
+    // grams are Bloom-prefiltered in-scan, the duplicate-span window
+    // shuffles (doc, pos, 40-char gram) rows, and per-doc span lists
+    // regroup by doc_id; the corpus TEXT must cross only the final
+    // unique-keyed outer join's exchange (one shuffle of the payload,
+    // guide §8), never the gram/window exchanges. Repartitioned input
+    // for the same reason as the q25 operator pin above.
+    import graft.operators.Dedupe
+    val docs = Tables(spark, sfDir, "documents").repartition(4)
+    val out = Dedupe.exactSubstrDedup(docs, "doc_id", "text", 40)
+    val exec = out.queryExecution.executedPlan
+    val pipeline = deepExchanges(exec).filter { e =>
+      val names = e.output.map(_.name)
+      names.exists(n => n == "__g" || n == "__p" || n == "buf")
+    }
+    assert(pipeline.nonEmpty, "expected the gram/span-regroup exchanges")
+    pipeline.foreach { e =>
+      assert(!e.output.exists(_.name.contains("text")),
+        s"corpus text crosses a rolling-hash exchange: ${e.output}")
+    }
+    // the gram explode is Bloom-prefiltered inside the scan stage
+    assert(deepString(exec).toLowerCase.contains("bloommightcontain"))
+    spark.catalog.clearCache()
+  }
+
   test("q26: simhash is one per-row projection — no explode, no shuffle") {
     val p = plan("q26_simhash")
     // SimHashExpr reduces all 64 bit-counters inside the row; a Generate
