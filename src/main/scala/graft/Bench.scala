@@ -96,20 +96,21 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // Scale-adaptive AQE reduce-partition sizing (guide §2.2, r18).
-      // With parallelismFirst=true (upstream default) AQE never
-      // coalesces below the local core count, so every kilobyte-sized
-      // shuffle in the suite pays 32 task launches (measured r17:
-      // 64-task stages reading 62 records in q80's job profile).
-      // false makes AQE respect advisoryPartitionSizeInBytes, which is
-      // SIZE-derived and therefore scale-adaptive: a 100 TB shuffle
-      // still gets thousands of reducers at 64 MB/partition, while a
-      // 50 KB shuffle collapses to one task. Spark's own config doc
-      // recommends false. Parameterized (env) so the A/B and any
-      // production override stay one variable away; the driver's
-      // lower-core runs see the same settings either way.
+      // AQE reduce-partition sizing, parameterized (guide §2.2, r18).
+      // parallelismFirst=false (the flip Spark's config doc suggests
+      // for pure size-based coalescing) was A/B-measured this round —
+      // quiet-gated ABAB, 8-query set, plans/r18/AB_aqe_*.json — and
+      // LOST at this scale: +3.9% total, q25 +17%, q100 +11% (MB-scale
+      // CPU-heavy reduce stages collapse to 1-2 tasks at the 64 MB
+      // advisory target and serialize, outweighing the task-launch
+      // savings of the kilobyte stages). The default therefore stays
+      // the upstream `true`, which is itself scale-adaptive (coalesces
+      // by minPartitionSize but never below the cores available); a
+      // cluster deployment whose shuffles are 100 MB+/partition can
+      // flip it with one env var, and the explicit advisory size keeps
+      // the production target one variable away too.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false")

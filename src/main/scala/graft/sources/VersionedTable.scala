@@ -66,7 +66,14 @@ object VersionedTable {
       asOfVersion: Option[Long] = None): DataFrame = {
     val v = asOfVersion.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    spark.read.parquet(versionDir(root, v).toString)
+    // explicit footer schema: skips the per-read schema-inference job
+    // (see SegmentedTable.readParquet)
+    org.apache.spark.sql.graftbridge.ParquetSchemaBridge
+      .dirSchema(spark, versionDir(root, v)) match {
+      case Some(s) =>
+        spark.read.schema(s).parquet(versionDir(root, v).toString)
+      case None => spark.read.parquet(versionDir(root, v).toString)
+    }
   }
 
   /** Highest version directory present (committed or orphaned). */
